@@ -1,0 +1,87 @@
+"""Engine configuration.
+
+Mirrors the reference's compile-time constants (`Content/SharedConsts.h:5-10`)
+and hand-parsed CLI defaults (`MultiVolumes/MultiVolumes.cpp:27-68,543-613`)
+as one frozen dataclass, so a whole scene is reconstructible from a config —
+the reference is likewise stateless beyond its flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+class SharedConsts:
+    """Compile-time constants shared by host and kernels.
+
+    Reference: `MultiVolumes/Content/SharedConsts.h:5-10` and
+    `Content/Shaders/RayMarch.hlsli:11-17`.
+    """
+
+    GROUP_VOLUME_COUNT = 4
+    NUM_CUBE_MIP = 5
+    NUM_OIT_LAYERS = 8
+    Z_NEAR = 1.0
+    Z_FAR = 1000.0
+
+    ABSORPTION = 0.8
+    ZERO_THRESHOLD = 0.01
+    MAX_DIST = 2.0 * math.sqrt(3.0)  # diameter of the [-1,1]^3 cube
+
+    # Render scheme bit in VolumeInfo.MaskBits (`Common.hlsli:12`)
+    CUBEMAP_RAYMARCH_BIT = 1 << 15
+
+    FOV_ANGLE_Y = math.pi / 4.0  # `MultiVolumes.cpp` g_FOVAngleY
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Scene/engine knobs, mirroring the reference CLI.
+
+    Reference flag parsing: `MultiVolumes/MultiVolumes.cpp:543-613`;
+    defaults: `MultiVolumes.cpp:27-68`.
+    """
+
+    width: int = 1280
+    height: int = 800
+
+    grid_size: int = 128        # -gridSize: density volume resolution
+    light_grid_size: int = 96   # -lightGridSize: light map resolution
+    max_ray_samples: int = 256  # -maxRaySamples
+    max_light_samples: int = 96  # -maxLightSamples
+    num_volumes: int = 2        # -numVolumes (2..64 in demos)
+
+    # Number of distinct source density textures; volumes index into these
+    # (reference: 10 DDS files cycled, `MultiVolumes.cpp:60-69`).
+    num_volume_srcs: int = 2
+
+    cube_map_size: int = 128    # per-volume cube-map top-mip resolution
+    num_cube_mips: int = SharedConsts.NUM_CUBE_MIP
+    oit_layers: int = SharedConsts.NUM_OIT_LAYERS
+
+    # Scene placement: -volume x y z scale (`MultiVolumes.cpp:38,59`)
+    vol_pos_scale: tuple[float, float, float, float] = (0.0, 0.0, 0.0, 10.0)
+    # Mesh placement: -mesh file x y z scale (`MultiVolumes.cpp:39,55`)
+    mesh_pos_scale: tuple[float, float, float, float] = (0.0, -9.0, 0.0, 1.8)
+
+    show_mesh: bool = False
+    has_light_probe: bool = True
+    adaptive_raymarch: bool = True  # `_ADAPTIVE_RAYMARCH_`, Common.hlsli:13
+
+    shadow_map_size: int = 1024  # `ObjectRenderer.cpp:80-83`
+
+    # Compute dtype for the marching kernels. fp32 matches the reference's
+    # min16float-on-fp32-hardware closely; bf16 is the TPU fast path.
+    use_bf16: bool = False
+
+    @property
+    def viewport(self) -> tuple[int, int]:
+        return (self.width, self.height)
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self.width / self.height
+
+    def with_(self, **kwargs) -> "RenderConfig":
+        return dataclasses.replace(self, **kwargs)

@@ -1,0 +1,175 @@
+"""Scene and frame state as a JAX pytree.
+
+Everything the reference keeps in GPU resources owned by `MultiRayCaster`
+(`Content/MultiRayCaster.cpp:99-126,455-549`), `ObjectRenderer` and
+`LightProbe` lives here as one dataclass-pytree: density sources, per-volume
+transforms, light maps, SH coefficients, radiance environment, mesh
+geometry, TAA history, and the frame counter. A frame step is then a pure
+function `(SceneState, Camera) -> (image, SceneState)` — XLA dataflow
+replaces every barrier/fence/descriptor in the reference, and the state
+being a pytree makes checkpoint/resume trivial (the reference has none).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multivolumes_tpu.config import RenderConfig
+from multivolumes_tpu.core import math3d
+from multivolumes_tpu.scene import volume as volume_lib
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "frame_idx",
+        "volumes",
+        "vol_tex_ids",
+        "volume_worlds",
+        "light_maps",
+        "sh_coeffs",
+        "radiance",
+        "light_pos",
+        "light_color",
+        "ambient",
+        "taa_history",
+        "mesh_verts",
+        "mesh_indices",
+        "mesh_world",
+        "mesh_prev_wvp",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class SceneState:
+    frame_idx: jnp.ndarray        # () int32
+
+    # Volume data — `MultiRayCaster.cpp:99-126`
+    volumes: jnp.ndarray          # (N_src, D, H, W, 4) density sources
+    vol_tex_ids: jnp.ndarray      # (N,) int32 source id per volume
+    volume_worlds: jnp.ndarray    # (N, 4, 4) world transforms (row-vector)
+    light_maps: jnp.ndarray       # (N, L, L, L, 3) R11G11B10F equivalent
+
+    # Lighting — `LightProbe` + cbPerFrame light params
+    sh_coeffs: jnp.ndarray        # (9, 3) SH-projected radiance
+    radiance: jnp.ndarray         # (6, R, R, 3) environment cube map
+    light_pos: jnp.ndarray        # (4,) xyz + 1
+    light_color: jnp.ndarray      # (4,) rgb + intensity
+    ambient: jnp.ndarray          # (4,) rgb + intensity
+
+    # TAA ping-pong state — `ObjectRenderer.m_temporalViews`
+    taa_history: jnp.ndarray      # (H, W, 4) color + history metadata in w
+
+    # Opaque mesh — `ObjectRenderer` + `XUSG::ObjLoader`
+    mesh_verts: jnp.ndarray       # (V, 6) position + normal
+    mesh_indices: jnp.ndarray     # (T, 3) int32
+    mesh_world: jnp.ndarray       # (4, 4)
+    mesh_prev_wvp: jnp.ndarray    # (4, 4) previous frame WVP (velocity)
+
+    @property
+    def num_volumes(self) -> int:
+        return self.volume_worlds.shape[0]
+
+
+def volume_grid_worlds(num_volumes: int, size: float, center) -> np.ndarray:
+    """Grid layout of volume world matrices.
+
+    Port of `MultiRayCaster::SetVolumesWorld` (`MultiRayCaster.cpp:277-295`):
+    a ceil(sqrt(N)) x cols grid in xz spaced 1.5*size, each world =
+    scale(size/2) * translate(pos) (`SetVolumeWorld`, `:297-303`).
+    """
+    center = np.asarray(center, np.float32)
+    row_length = int(np.ceil(np.sqrt(float(num_volumes))))
+    col_length = int(np.ceil(num_volumes // row_length))
+    worlds = np.zeros((num_volumes, 4, 4), np.float32)
+    half = size * 0.5
+
+    pos_z = center[2] - (col_length / 2.0 - 0.5) * size * 1.5
+    idx = 0
+    for _m in range(col_length):
+        pos_x = center[0] - (row_length / 2.0 - 0.5) * size * 1.5
+        for _n in range(row_length):
+            if idx < num_volumes:
+                w = np.eye(4, dtype=np.float32)
+                w[0, 0] = w[1, 1] = w[2, 2] = half
+                w[3, :3] = (pos_x, center[1], pos_z)
+                worlds[idx] = w
+            idx += 1
+            pos_x += size * 1.5
+        pos_z += size * 1.5
+    # Volumes past the grid (N not a perfect fit) keep marching the rows.
+    while idx < num_volumes:  # pragma: no cover - layout always covers N
+        worlds[idx] = worlds[idx % max(1, idx)]
+        idx += 1
+    return worlds
+
+
+def create_scene(config: RenderConfig,
+                 mesh_verts=None, mesh_indices=None,
+                 radiance=None, dtype=jnp.float32) -> SceneState:
+    """Build the initial scene, mirroring `MultiVolumes::LoadAssets`."""
+    n = config.num_volumes
+    vols = volume_lib.make_volume_sources(config.num_volume_srcs,
+                                          config.grid_size, dtype)
+    vol_tex_ids = jnp.asarray(np.arange(n) % config.num_volume_srcs, jnp.int32)
+
+    cx, cy, cz, size = config.vol_pos_scale
+    worlds = jnp.asarray(volume_grid_worlds(n, size, (cx, cy, cz)))
+
+    lgs = config.light_grid_size
+    light_maps = jnp.ones((n, lgs, lgs, lgs, 3), dtype)
+
+    if radiance is None:
+        radiance = default_radiance(64)
+    from multivolumes_tpu.core import sh as sh_lib
+    sh_coeffs = sh_lib.project_cube_map(jnp.asarray(radiance))
+
+    if mesh_verts is None:
+        mesh_verts = jnp.zeros((3, 6), jnp.float32)
+        mesh_indices = jnp.zeros((1, 3), jnp.int32)
+    mx, my, mz, ms = config.mesh_pos_scale
+    mesh_world = math3d.scaling(ms) @ math3d.translation(jnp.array([mx, my, mz]))
+
+    # Light defaults from `MultiVolumes::OnUpdate` (`MultiVolumes.cpp:340-346`)
+    light_pos = jnp.array([75.0, 75.0, -75.0, 1.0], jnp.float32)
+    light_color = jnp.array([1.0, 0.7, 0.3, 3.0 * np.pi], jnp.float32)
+    ambient = jnp.array([0.4, 0.6, 1.0, 2.0 * np.pi], jnp.float32)
+
+    return SceneState(
+        frame_idx=jnp.asarray(0, jnp.int32),
+        volumes=vols,
+        vol_tex_ids=vol_tex_ids,
+        volume_worlds=worlds,
+        light_maps=light_maps,
+        sh_coeffs=sh_coeffs,
+        radiance=jnp.asarray(radiance, dtype),
+        light_pos=light_pos,
+        light_color=light_color,
+        ambient=ambient,
+        taa_history=jnp.zeros((config.height, config.width, 4), jnp.float32),
+        mesh_verts=jnp.asarray(mesh_verts, jnp.float32),
+        mesh_indices=jnp.asarray(mesh_indices, jnp.int32),
+        mesh_world=mesh_world,
+        mesh_prev_wvp=jnp.eye(4, dtype=jnp.float32),
+    )
+
+
+def default_radiance(size: int = 64) -> np.ndarray:
+    """Procedural sky radiance cube standing in for `LA_Radiance.dds`
+    (stripped from the snapshot): a simple sun + horizon gradient."""
+    from multivolumes_tpu.core import sh as sh_lib
+
+    dirs = sh_lib.cube_face_dirs(size)  # (6,S,S,3)
+    sun_dir = np.array([0.577, 0.577, -0.577], np.float32)
+    cos_sun = np.clip(np.einsum("fuvc,c->fuv", dirs, sun_dir), 0.0, 1.0)
+    sun = (cos_sun ** 64)[..., None] * np.array([8.0, 6.0, 4.0], np.float32)
+    horiz = np.clip(dirs[..., 1:2] * 0.5 + 0.5, 0.0, 1.0)
+    sky = (1.0 - horiz) * np.array([0.25, 0.2, 0.15], np.float32) + horiz * np.array(
+        [0.4, 0.6, 1.0], np.float32
+    )
+    return (sky + sun).astype(np.float32)
