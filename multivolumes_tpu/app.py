@@ -1,0 +1,90 @@
+"""Offline app harness: the `MultiVolumes` shell without a window.
+
+Mirrors the reference's CLI (`MultiVolumes::ParseCommandLineArgs`,
+`MultiVolumes.cpp:543-613`) and per-frame loop (`OnUpdate`/`OnRender`):
+renders F frames of the demo scene (optionally with the orbit-camera
+animation of `MultiVolumes.cpp:328-337`) and writes PNG screenshots — the
+F11 path (`MultiVolumes.cpp:744-764`). Run:
+
+    python -m multivolumes_tpu.app --numVolumes 4 --frames 8 --out out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from multivolumes_tpu.config import RenderConfig
+from multivolumes_tpu.core import camera as cam_lib
+from multivolumes_tpu.engine import MultiRayCaster
+from multivolumes_tpu.render.postprocess import srgb_encode
+from multivolumes_tpu.utils.png import write_png
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # reference flags (`MultiVolumes.cpp:543-613`)
+    p.add_argument("--gridSize", type=int, default=128)
+    p.add_argument("--lightGridSize", type=int, default=96)
+    p.add_argument("--maxRaySamples", type=int, default=256)
+    p.add_argument("--maxLightSamples", type=int, default=96)
+    p.add_argument("--numVolumes", type=int, default=2)
+    p.add_argument("--volume", nargs=4, type=float, default=[0.0, 0.0, 0.0, 10.0],
+                   metavar=("X", "Y", "Z", "SCALE"))
+    p.add_argument("--mesh", type=str, default=None,
+                   help="OBJ path (e.g. the reference's Assets/bunny.obj)")
+    p.add_argument("--meshPos", nargs=4, type=float, default=[0.0, -9.0, 0.0, 1.8],
+                   metavar=("X", "Y", "Z", "SCALE"))
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=800)
+    # harness extras
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--animate", action="store_true",
+                   help="orbit camera ([A] hotkey)")
+    p.add_argument("--no-taa", action="store_true")
+    p.add_argument("--out", type=str, default="frame.png")
+    return p
+
+
+def main(argv=None) -> None:
+    from multivolumes_tpu.utils.platform import configure_for_host
+
+    configure_for_host()
+    args = build_arg_parser().parse_args(argv)
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        grid_size=args.gridSize,
+        light_grid_size=args.lightGridSize,
+        max_ray_samples=args.maxRaySamples,
+        max_light_samples=args.maxLightSamples,
+        num_volumes=args.numVolumes,
+        num_volume_srcs=min(args.numVolumes, 10),
+        vol_pos_scale=tuple(args.volume),
+        mesh_pos_scale=tuple(args.meshPos),
+    )
+    engine = MultiRayCaster(cfg)
+    if args.mesh:
+        engine.set_mesh(args.mesh)
+
+    aspect = cfg.aspect_ratio
+    img = None
+    for f in range(args.frames):
+        if args.animate:
+            camera = cam_lib.orbit_camera(f / 60.0, aspect)
+        else:
+            camera = cam_lib.default_camera(aspect)
+        t0 = time.time()
+        img = engine.render(camera, use_taa=not args.no_taa)
+        img.block_until_ready()
+        print(f"frame {f}: {(time.time() - t0) * 1000:.1f} ms")
+
+    write_png(args.out, np.asarray(srgb_encode(img)))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

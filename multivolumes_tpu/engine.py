@@ -1,0 +1,137 @@
+"""Engine facade: the `MultiRayCaster`-shaped public API.
+
+Mirrors the reference's component interfaces (`Content/MultiRayCaster.h:
+31-50`, `ObjectRenderer.h`, `LightProbe.h`) over the functional core:
+`init / load_volume / init_volume / set_volumes_world / set_volume_world /
+set_max_samples / set_light / set_ambient / set_sh / update_frame / render`.
+State mutations rebuild the SceneState pytree; `render` is one cached jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multivolumes_tpu.config import RenderConfig
+from multivolumes_tpu.core import camera as camera_lib
+from multivolumes_tpu.core import math3d, sh as sh_lib
+from multivolumes_tpu.render import frame as frame_lib
+from multivolumes_tpu.scene import io_obj, state as state_lib, volume as volume_lib
+
+
+class MultiRayCaster:
+    """Volume-rendering engine with the reference's host API."""
+
+    def __init__(self, config: RenderConfig):
+        self.config = config
+        self.state = state_lib.create_scene(config)
+        self._render_jit = None
+        self._render_sig = None
+
+    # --- MultiRayCaster API (`MultiRayCaster.h:31-50`) -------------------
+
+    def load_volume_data(self, i: int, density: np.ndarray) -> None:
+        """R32F density grid -> volume source i (`LoadVolumeData`,
+        `MultiRayCaster.cpp:168-209`)."""
+        vol = volume_lib.r32f_to_rgba(density, self.state.volumes.dtype)
+        self.state = dataclasses.replace(
+            self.state, volumes=self.state.volumes.at[i].set(vol)
+        )
+
+    def init_volume_data(self, i: int) -> None:
+        """Procedural volume (`InitVolumeData`, `MultiRayCaster.cpp:243-264`)."""
+        vol = volume_lib.init_grid_data(self.config.grid_size,
+                                        self.state.volumes.dtype)
+        self.state = dataclasses.replace(
+            self.state, volumes=self.state.volumes.at[i].set(vol)
+        )
+
+    def set_volumes_world(self, size: float, center) -> None:
+        worlds = state_lib.volume_grid_worlds(
+            self.config.num_volumes, size, center
+        )
+        self.state = dataclasses.replace(
+            self.state, volume_worlds=jnp.asarray(worlds)
+        )
+
+    def set_volume_world(self, i: int, size: float, pos) -> None:
+        half = size * 0.5
+        w = math3d.scaling(half) @ math3d.translation(jnp.asarray(pos, jnp.float32))
+        self.state = dataclasses.replace(
+            self.state, volume_worlds=self.state.volume_worlds.at[i].set(w)
+        )
+
+    def set_max_samples(self, max_ray_samples: int, max_light_samples: int) -> None:
+        self.config = self.config.with_(
+            max_ray_samples=max_ray_samples, max_light_samples=max_light_samples
+        )
+        self._render_jit = None
+
+    def set_light(self, pos, color, intensity: float) -> None:
+        self.state = dataclasses.replace(
+            self.state,
+            light_pos=jnp.asarray([*pos, 1.0], jnp.float32),
+            light_color=jnp.asarray([*color, intensity], jnp.float32),
+        )
+
+    def set_ambient(self, color, intensity: float) -> None:
+        self.state = dataclasses.replace(
+            self.state, ambient=jnp.asarray([*color, intensity], jnp.float32)
+        )
+
+    def set_sh(self, sh_coeffs) -> None:
+        self.state = dataclasses.replace(
+            self.state, sh_coeffs=jnp.asarray(sh_coeffs, jnp.float32)
+        )
+
+    def set_radiance(self, radiance) -> None:
+        """Radiance env + SH projection (`LightProbe::TransformSH`)."""
+        radiance = jnp.asarray(radiance)
+        self.state = dataclasses.replace(
+            self.state,
+            radiance=radiance,
+            sh_coeffs=sh_lib.project_cube_map(radiance),
+        )
+
+    def set_mesh(self, path: str) -> None:
+        """OBJ mesh + world placement (`ObjectRenderer::Init`)."""
+        mesh = io_obj.load_obj(path)
+        mx, my, mz, ms = self.config.mesh_pos_scale
+        self.state = dataclasses.replace(
+            self.state,
+            mesh_verts=jnp.asarray(mesh.vertices),
+            mesh_indices=jnp.asarray(mesh.indices),
+            mesh_world=math3d.scaling(ms)
+            @ math3d.translation(jnp.array([mx, my, mz], jnp.float32)),
+            scene_size=jnp.asarray(mesh.scene_size * ms, jnp.float32),
+        )
+        self.config = self.config.with_(show_mesh=True)
+        self._render_jit = None
+
+    # --- frame loop -------------------------------------------------------
+
+    def render(self, camera: Optional[camera_lib.Camera] = None,
+               use_taa: bool = True) -> jnp.ndarray:
+        """Render one frame, advancing the engine state. Returns the
+        display-mapped (H, W, 3) image."""
+        if camera is None:
+            camera = camera_lib.default_camera(self.config.aspect_ratio)
+        key = (self.config, use_taa)
+        if self._render_jit is None or self._render_sig != key:
+            cfg = self.config
+
+            def step(state, cam):
+                return frame_lib.render_frame(state, cam, cfg, use_taa=use_taa)
+
+            self._render_jit = jax.jit(step)
+            self._render_sig = key
+        out = self._render_jit(self.state, camera)
+        self.state = out.state
+        return out.image
+
+
+Renderer = MultiRayCaster

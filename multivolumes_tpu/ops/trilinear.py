@@ -76,6 +76,40 @@ def sample_point(tex, uv):
     return tex[yi, xi]
 
 
+def indexed_trilinear(stack, idx, uvw):
+    """Trilinear sample from a stack of volumes with a per-ray index.
+
+    stack: (N, D, H, W, C); idx: (...,) int32; uvw: (..., 3) -> (..., C).
+    Pointwise gather — never materializes per-ray volume copies. This is
+    the TPU stand-in for the reference's bindless `g_txGrids[]` /
+    `g_txLightMaps[]` descriptor arrays (`RayMarch.hlsli:23-24`).
+    """
+    d, h, w = stack.shape[1:4]
+    x = uvw[..., 0] * w - 0.5
+    y = uvw[..., 1] * h - 0.5
+    z = uvw[..., 2] * d - 0.5
+    x0f, y0f, z0f = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    fx, fy, fz = (x - x0f)[..., None], (y - y0f)[..., None], (z - z0f)[..., None]
+
+    def cidx(v, nn):
+        return jnp.clip(v.astype(jnp.int32), 0, nn - 1)
+
+    x0, x1 = cidx(x0f, w), cidx(x0f + 1, w)
+    y0, y1 = cidx(y0f, h), cidx(y0f + 1, h)
+    z0, z1 = cidx(z0f, d), cidx(z0f + 1, d)
+
+    def tap(zi, yi, xi):
+        return stack[idx, zi, yi, xi]
+
+    c00 = tap(z0, y0, x0) * (1 - fx) + tap(z0, y0, x1) * fx
+    c01 = tap(z0, y1, x0) * (1 - fx) + tap(z0, y1, x1) * fx
+    c10 = tap(z1, y0, x0) * (1 - fx) + tap(z1, y0, x1) * fx
+    c11 = tap(z1, y1, x0) * (1 - fx) + tap(z1, y1, x1) * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
 def gather4_bilinear(tex, uv):
     """D3D Gather semantics: the 4 texels a bilinear tap would read.
 

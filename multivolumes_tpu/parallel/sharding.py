@@ -1,0 +1,126 @@
+"""Multi-chip scaling: shard the volume axis and the pixel rows over an ICI
+device mesh.
+
+The reference is single-GPU; its scaling axes are threadgroups and
+instancing (SURVEY.md section 2.6). The TPU engine scales across chips with
+`jax.sharding` + jit (GSPMD):
+
+- mesh: 1-D ("volumes",) — the per-volume axis is the natural
+  model/expert-parallel axis: cube-map marching and light maps are
+  independent per volume (the inter-volume light coupling reads only the
+  *source textures*, which are replicated).
+- per-volume state (worlds, light maps, tex ids) is sharded on that axis;
+  the marched cube maps stay sharded; the OIT composite needs every
+  volume's (small, <=0.8 MB) cube map at every pixel, so XLA inserts an
+  all-gather over ICI there — exactly the plan in SURVEY.md section 2.6.
+- screen-space passes (composite, TAA, tone map, sky) are data-parallel
+  over pixel rows; with a 2-D ("rows", "volumes") mesh both axes shard.
+
+Everything is expressed as input shardings on one jitted frame step; XLA
+places the collectives.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multivolumes_tpu.config import RenderConfig
+from multivolumes_tpu.core import camera as cam_lib
+from multivolumes_tpu.render import frame as frame_lib
+from multivolumes_tpu.scene import state as state_lib
+from multivolumes_tpu.scene.state import SceneState
+
+
+def make_mesh(n_devices: int, rows: int = 1) -> Mesh:
+    """1-D volume mesh, or 2-D (rows x volumes) when rows > 1."""
+    devices = np.asarray(jax.devices()[: n_devices * rows])
+    if rows > 1:
+        return Mesh(devices.reshape(rows, n_devices), ("rows", "volumes"))
+    return Mesh(devices, ("volumes",))
+
+
+def state_shardings(mesh: Mesh, state: SceneState) -> SceneState:
+    """Per-field NamedShardings: volume axis sharded, rest replicated (or
+    row-sharded for screen-size buffers on a 2-D mesh)."""
+    has_rows = "rows" in mesh.axis_names
+    rep = NamedSharding(mesh, P())
+    vol = NamedSharding(mesh, P("volumes"))
+    rows = NamedSharding(mesh, P("rows")) if has_rows else rep
+
+    return SceneState(
+        frame_idx=rep,
+        volumes=rep,               # source textures replicated (shared reads)
+        vol_tex_ids=vol,
+        volume_worlds=vol,
+        light_maps=vol,
+        sh_coeffs=rep,
+        radiance=rep,
+        light_pos=rep,
+        light_color=rep,
+        ambient=rep,
+        taa_history=rows,
+        mesh_verts=rep,
+        mesh_indices=rep,
+        mesh_world=rep,
+        mesh_prev_wvp=rep,
+        scene_size=rep,
+    )
+
+
+def make_sharded_step(cfg: RenderConfig, mesh: Mesh):
+    """jit the frame step with sharded inputs/outputs."""
+
+    def step(state, camera):
+        out = frame_lib.render_frame(state, camera, cfg, use_taa=True)
+        return out.image, out.state
+
+    dummy = state_lib.create_scene(cfg)
+    s_shard = state_shardings(mesh, dummy)
+    cam_shard = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()),
+        cam_lib.default_camera(cfg.aspect_ratio),
+    )
+    has_rows = "rows" in mesh.axis_names
+    img_shard = NamedSharding(mesh, P("rows")) if has_rows else NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(s_shard, cam_shard),
+        out_shardings=(img_shard, s_shard),
+    )
+
+
+def shard_state(state: SceneState, mesh: Mesh) -> SceneState:
+    shardings = state_shardings(mesh, state)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state, shardings
+    )
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + execute one sharded frame step on tiny shapes.
+
+    The driver calls this under `xla_force_host_platform_device_count=N`.
+    """
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(jax.devices())} "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count)"
+        )
+    cfg = RenderConfig(
+        width=96, height=64, grid_size=16, light_grid_size=8,
+        max_ray_samples=16, max_light_samples=8,
+        num_volumes=max(n_devices, 2), num_volume_srcs=2,
+        cube_map_size=16, shadow_map_size=32,
+    )
+    mesh = make_mesh(n_devices)
+    state = state_lib.create_scene(cfg)
+    camera = cam_lib.default_camera(cfg.aspect_ratio)
+
+    step = make_sharded_step(cfg, mesh)
+    state = shard_state(state, mesh)
+    img, new_state = step(state, camera)
+    img.block_until_ready()
+    assert img.shape == (cfg.height, cfg.width, 3)
+    assert int(new_state.frame_idx) == 1

@@ -1,0 +1,38 @@
+"""Display mapping and sky rendering.
+
+- `tone_map`: `PSToneMap.hlsl:19-28` — x*1.05/(x+0.7) then pow 1.25.
+- `render_environment`: `PSEnvironment.hlsl:46-69` (infinite-size branch):
+  unproject each pixel, sample the radiance cube along the view ray,
+  depth-tested LESS_EQUAL behind everything already drawn.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from multivolumes_tpu.core import math3d
+from multivolumes_tpu.render import composite
+
+
+def tone_map(color):
+    """(..., 3+) linear HDR -> display color in [0,1]."""
+    c = color[..., :3]
+    c = c * 1.05 / (c + 0.7)
+    c = jnp.power(jnp.abs(c), 1.25)
+    return c
+
+
+def render_environment(radiance, screen_to_world, eye, width: int, height: int):
+    """Sky color for every pixel: (6, R, R, 3) cube -> (H, W, 3)."""
+    _xy, ray_dir = composite.screen_rays(width, height, screen_to_world, eye)
+    n = radiance.shape[1]
+    vol_id = jnp.zeros(ray_dir.shape[:-1], jnp.int32)
+    n_eff = jnp.full(ray_dir.shape[:-1], n, jnp.int32)
+    return composite.sample_cube(radiance[None], vol_id, ray_dir, n_eff)
+
+
+def srgb_encode(c):
+    """Linear -> sRGB for PNG output (the reference presents to an
+    R8G8B8A8_UNORM swap chain; we encode explicitly)."""
+    c = jnp.clip(c, 0.0, 1.0)
+    return jnp.where(c <= 0.0031308, 12.92 * c, 1.055 * jnp.power(c, 1 / 2.4) - 0.055)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from multivolumes_tpu.config import SharedConsts
 from multivolumes_tpu.core import math3d
 from multivolumes_tpu.ops import trilinear
+from multivolumes_tpu.ops.trilinear import indexed_trilinear
 from multivolumes_tpu.render.cull import CullResult
 from multivolumes_tpu.render.perframe import PerObject
 
@@ -286,13 +287,20 @@ def ray_march_view(
     )
     step_scale = MAX_DIST / jnp.maximum(smp_count.astype(jnp.float32), 1.0)
 
-    tex_sel = volumes[vol_tex_ids]  # (N, D, H, W, 4)
+    # Pointwise gathers with the texture id as an index coordinate — never
+    # materializes a per-volume copy of the source stack.
+    tex_idx = jnp.broadcast_to(
+        vol_tex_ids[:, None, None, None], active.shape
+    ).astype(jnp.int32)
+    lm_idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None, None, None], active.shape
+    )
 
     def sample_fn(uvw):
-        return jax.vmap(trilinear.sample_trilinear)(tex_sel, uvw)
+        return indexed_trilinear(volumes, tex_idx, uvw)
 
     def light_fn(uvw):
-        return jax.vmap(trilinear.sample_trilinear)(light_maps, uvw)
+        return indexed_trilinear(light_maps, lm_idx, uvw)
 
     result = march_scatter(
         sample_fn, light_fn, origin, ray_dir, t_max,

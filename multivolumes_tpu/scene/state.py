@@ -42,6 +42,7 @@ from multivolumes_tpu.scene import volume as volume_lib
         "mesh_indices",
         "mesh_world",
         "mesh_prev_wvp",
+        "scene_size",
     ],
     meta_fields=[],
 )
@@ -70,6 +71,9 @@ class SceneState:
     mesh_indices: jnp.ndarray     # (T, 3) int32
     mesh_world: jnp.ndarray       # (4, 4)
     mesh_prev_wvp: jnp.ndarray    # (4, 4) previous frame WVP (velocity)
+    scene_size: jnp.ndarray       # () max mesh extent * scale
+                                  # (`ObjectRenderer.cpp:76`; drives the
+                                  # shadow ortho size)
 
     @property
     def num_volumes(self) -> int:
@@ -83,6 +87,8 @@ def volume_grid_worlds(num_volumes: int, size: float, center) -> np.ndarray:
     a ceil(sqrt(N)) x cols grid in xz spaced 1.5*size, each world =
     scale(size/2) * translate(pos) (`SetVolumeWorld`, `:297-303`).
     """
+    if num_volumes < 1:
+        raise ValueError("num_volumes must be >= 1")
     center = np.asarray(center, np.float32)
     row_length = int(np.ceil(np.sqrt(float(num_volumes))))
     col_length = int(np.ceil(num_volumes // row_length))
@@ -110,7 +116,7 @@ def volume_grid_worlds(num_volumes: int, size: float, center) -> np.ndarray:
 
 
 def create_scene(config: RenderConfig,
-                 mesh_verts=None, mesh_indices=None,
+                 mesh_verts=None, mesh_indices=None, scene_size=1.0,
                  radiance=None, dtype=jnp.float32) -> SceneState:
     """Build the initial scene, mirroring `MultiVolumes::LoadAssets`."""
     n = config.num_volumes
@@ -156,6 +162,7 @@ def create_scene(config: RenderConfig,
         mesh_indices=jnp.asarray(mesh_indices, jnp.int32),
         mesh_world=mesh_world,
         mesh_prev_wvp=jnp.eye(4, dtype=jnp.float32),
+        scene_size=jnp.asarray(scene_size, jnp.float32),
     )
 
 

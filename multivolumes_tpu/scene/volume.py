@@ -20,16 +20,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def init_grid_data(grid_size: int, dtype=jnp.float32) -> jnp.ndarray:
+def init_grid_data(grid_size: int, dtype=jnp.float32,
+                   corner_free: bool = False) -> jnp.ndarray:
     """Procedural test volume: (1-r^2)^4 * 2 falloff, orange/blue gradient.
 
     Port of `CSInitGridData.hlsl:10-27`; DTid maps to [z, y, x] here with
     pos = (idx + 0.5)/N * 2 - 1 per axis.
+
+    Note the reference formula `saturate((1-r^2)^4 * 2)` re-saturates to
+    density 1 in the cube corners (r^2 > 2), so the literal volume is a
+    sphere blob plus eight dense corner bulbs. `corner_free=True` clamps
+    (1-r^2) at zero first, producing the pure blob — nicer demo visuals
+    (the reference demo normally loads DDS volumes and rarely shows this).
     """
     ts = (np.arange(grid_size, dtype=np.float32) + 0.5) / grid_size * 2.0 - 1.0
     z, y, x = np.meshgrid(ts, ts, ts, indexing="ij")
     r_sq = x * x + y * y + z * z
     a = 1.0 - r_sq
+    if corner_free:
+        a = np.maximum(a, 0.0)
     a = a * a
     a = np.clip(a * a * 2.0, 0.0, 1.0)
 
@@ -93,7 +102,7 @@ def make_volume_sources(num_srcs: int, grid_size: int, dtype=jnp.float32) -> jnp
     Source 0 is the canonical CSInitGridData volume (used for golden
     tests); the rest are procedural variants standing in for the DDS set.
     """
-    vols = [init_grid_data(grid_size, dtype)]
+    vols = [init_grid_data(grid_size, dtype, corner_free=True)]
     for i in range(1, num_srcs):
         vols.append(init_grid_variant(grid_size, i, dtype))
     return jnp.stack(vols)

@@ -1,0 +1,41 @@
+"""Minimal PNG writer (stdlib only).
+
+Replaces the reference's `stb_image_write` screenshot path
+(`MultiVolumes.cpp:744-764`, F11 hotkey). Pure Python + zlib — fast enough
+for screenshots; not on any hot path.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """image: (H, W, 3|4) uint8 or float in [0,1]."""
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, -1)
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    raw = b"".join(b"\x00" + img[row].tobytes() for row in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))

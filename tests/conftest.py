@@ -18,3 +18,14 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+
+# On 1-core hosts JAX's async CPU dispatch can wedge the runtime (eager
+# arrays never materialize; np.asarray blocks forever). Synchronous
+# dispatch is reliable and, on one core, just as fast.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
+
+# This host is 1-core with very slow IO: every tiny eager-op compile costs
+# seconds. The persistent cache makes reruns nearly compile-free.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

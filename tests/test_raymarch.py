@@ -1,0 +1,120 @@
+"""View-space march vs the per-ray numpy twin, and geometry helpers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import np_twin
+from multivolumes_tpu.render import raymarch
+from multivolumes_tpu.ops.trilinear import indexed_trilinear
+from multivolumes_tpu.scene import volume as volume_lib
+
+
+def test_compute_ray_origin_matches_twin():
+    rng = np.random.RandomState(7)
+    origins = rng.randn(200, 3).astype(np.float32) * 2.0
+    dirs = rng.randn(200, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    got_o, got_hit = jax.jit(raymarch.compute_ray_origin)(
+        jnp.asarray(origins), jnp.asarray(dirs)
+    )
+    got_o, got_hit = np.asarray(got_o), np.asarray(got_hit)
+
+    for i in range(200):
+        want_o, want_hit = np_twin.compute_ray_origin(origins[i], dirs[i])
+        assert got_hit[i] == want_hit, i
+        if want_hit:
+            np.testing.assert_allclose(got_o[i], want_o, atol=1e-4)
+
+
+def test_get_local_pos_covers_cube_faces():
+    # center texel of each face must land at the face center
+    pos2d = jnp.zeros((6, 2))
+    faces = jnp.arange(6)
+    p = np.asarray(raymarch.get_local_pos(pos2d, faces))
+    expect = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float32,
+    )
+    np.testing.assert_allclose(p, expect, atol=1e-6)
+
+
+def test_march_matches_numpy_twin():
+    vol = np.asarray(volume_lib.init_grid_data(16))
+    light = np.ones(3, np.float32) * 2.0
+
+    rng = np.random.RandomState(3)
+    n_rays = 24
+    origins = np.zeros((n_rays, 3), np.float32)
+    dirs = np.zeros((n_rays, 3), np.float32)
+    for i in range(n_rays):
+        o = rng.randn(3) * (2.5 if i % 2 else 0.4)  # outside and inside
+        d = rng.randn(3)
+        d /= np.linalg.norm(d)
+        origins[i], dirs[i] = o, d
+
+    o_clip, hit = jax.jit(raymarch.compute_ray_origin)(
+        jnp.asarray(origins), jnp.asarray(dirs)
+    )
+    smp = 32
+    t_max = jnp.full((n_rays,), 1e38, jnp.float32)
+    smp_count = jnp.full((n_rays,), smp, jnp.int32)
+    step_scale = jnp.full((n_rays,), np_twin.MAX_DIST / smp, jnp.float32)
+
+    vol_stack = jnp.asarray(vol)[None]
+    lm_stack = jnp.ones((1, 2, 2, 2, 3), jnp.float32) * 2.0
+    zeros = jnp.zeros((n_rays,), jnp.int32)
+
+    march = jax.jit(lambda o, d, t, s, ss, a: raymarch.march_scatter(
+        lambda uvw: indexed_trilinear(vol_stack, zeros, uvw),
+        lambda uvw: indexed_trilinear(lm_stack, zeros, uvw),
+        o, d, t, s, ss, smp, a, adaptive=True,
+    ))
+    res = march(o_clip, jnp.asarray(dirs), t_max, smp_count, step_scale,
+                jnp.asarray(hit))
+    got = np.array(res.scatter)
+    got[:, :3] /= 2.0 * np.pi
+
+    for i in range(n_rays):
+        o_np, hit_np = np_twin.compute_ray_origin(origins[i], dirs[i])
+        if not hit_np:
+            want = np.zeros(4, np.float32)
+        else:
+            want = np_twin.march_view_ray(
+                vol, lambda p: light, o_np, dirs[i].astype(np.float64),
+                1e38, smp,
+            )
+        np.testing.assert_allclose(got[i], want, atol=2e-3, err_msg=f"ray {i}")
+
+
+def test_cast_light_ray_matches_twin():
+    from multivolumes_tpu.render import lightmarch
+
+    vol = np.asarray(volume_lib.init_grid_data(16))
+    rng = np.random.RandomState(11)
+    n_rays = 16
+    origins = (rng.rand(n_rays, 3).astype(np.float32) * 2 - 1) * 0.95
+    dirs = rng.randn(n_rays, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    smp = 24
+    step_scale = np_twin.MAX_DIST / smp
+    got = np.asarray(
+        jax.jit(lightmarch.cast_light_ray, static_argnums=(6,))(
+            jnp.asarray(vol)[None],
+            jnp.zeros((n_rays,), jnp.int32),
+            jnp.asarray(origins),
+            jnp.asarray(dirs),
+            jnp.ones((n_rays,), jnp.float32),
+            jnp.asarray(step_scale, jnp.float32),
+            smp,
+            jnp.ones((n_rays,), bool),
+        )
+    )
+    for i in range(n_rays):
+        want = np_twin.cast_light_ray(
+            vol, origins[i].astype(np.float64), dirs[i].astype(np.float64),
+            1.0, step_scale, smp,
+        )
+        np.testing.assert_allclose(got[i], want, atol=2e-3, err_msg=f"ray {i}")
