@@ -75,6 +75,13 @@ class RenderConfig:
     # min16float-on-fp32-hardware closely; bf16 is the TPU fast path.
     use_bf16: bool = False
 
+    # View-march algorithm: "sweep" = MXU plane-sweep (TPU-native fast
+    # path, see render/sweep.py); "reference" = gather-based masked scan
+    # matching `CSRayMarch.hlsl` step-for-step (golden/debug path).
+    march_mode: str = "sweep"
+    # Plane count for the sweep (None -> cube_map_size).
+    sweep_planes: int | None = None
+
     @property
     def viewport(self) -> tuple[int, int]:
         return (self.width, self.height)

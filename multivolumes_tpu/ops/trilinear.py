@@ -110,6 +110,48 @@ def indexed_trilinear(stack, idx, uvw):
     return c0 * (1 - fz) + c1 * fz
 
 
+def indexed_trilinear_soa(stack, idx, u, v, w):
+    """Structure-of-arrays trilinear sample: returns a tuple of C arrays.
+
+    stack: (N, D, H, W, C); idx, u, v, w: (...,) -> C x (...,).
+
+    TPU-native variant of `indexed_trilinear`: every input and output is a
+    scalar field over the ray batch, so no array ever carries a tiny
+    channel dim in its minor axes (TPU tiling pads trailing dims of 3/4 to
+    128 lanes — a 32x memory blowup inside loop bodies).
+    """
+    d, h, ww = stack.shape[1:4]
+    c = stack.shape[-1]
+    x = u * ww - 0.5
+    y = v * h - 0.5
+    z = w * d - 0.5
+    x0f, y0f, z0f = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    fx, fy, fz = x - x0f, y - y0f, z - z0f
+
+    def cidx(vv, nn):
+        return jnp.clip(vv.astype(jnp.int32), 0, nn - 1)
+
+    x0, x1 = cidx(x0f, ww), cidx(x0f + 1, ww)
+    y0, y1 = cidx(y0f, h), cidx(y0f + 1, h)
+    z0, z1 = cidx(z0f, d), cidx(z0f + 1, d)
+
+    outs = []
+    for ci in range(c):
+        ch = stack[..., ci]
+
+        def tap(zi, yi, xi):
+            return ch[idx, zi, yi, xi]
+
+        c00 = tap(z0, y0, x0) * (1 - fx) + tap(z0, y0, x1) * fx
+        c01 = tap(z0, y1, x0) * (1 - fx) + tap(z0, y1, x1) * fx
+        c10 = tap(z1, y0, x0) * (1 - fx) + tap(z1, y0, x1) * fx
+        c11 = tap(z1, y1, x0) * (1 - fx) + tap(z1, y1, x1) * fx
+        c0 = c00 * (1 - fy) + c01 * fy
+        c1 = c10 * (1 - fy) + c11 * fy
+        outs.append(c0 * (1 - fz) + c1 * fz)
+    return tuple(outs)
+
+
 def gather4_bilinear(tex, uv):
     """D3D Gather semantics: the 4 texels a bilinear tap would read.
 

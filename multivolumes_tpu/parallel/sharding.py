@@ -104,9 +104,18 @@ def dryrun(n_devices: int) -> None:
     The driver calls this under `xla_force_host_platform_device_count=N`.
     """
     if len(jax.devices()) < n_devices:
+        # The axon TPU plugin overrides JAX_PLATFORMS; fall back to forcing
+        # the CPU backend at the config level (works when backends are not
+        # yet initialized in this process).
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+    if len(jax.devices()) < n_devices:
         raise RuntimeError(
             f"need {n_devices} devices, have {len(jax.devices())} "
-            "(set XLA_FLAGS=--xla_force_host_platform_device_count)"
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count and do "
+            "not initialize a non-CPU backend first)"
         )
     cfg = RenderConfig(
         width=96, height=64, grid_size=16, light_grid_size=8,

@@ -8,15 +8,16 @@ pass (`VSCube.hlsl` + `PSCube.hlsl`), the ray-query variant
 (`PSResolveOIT.hlsl`) — with one TPU-native formulation: per pixel,
 analytically intersect the camera ray with all N volume AABBs (the unit
 cube is the only geometry, `MultiRayCaster.cpp:387-453`), keep the
-`NUM_OIT_LAYERS` nearest exit points (`lax.top_k` instead of
-InterlockedMin cascades), shade each layer with `CubeCast` (the paper's
-depth-aware seam-free bilinear filter, `PSCube.hlsli:51-108`) or the
-`RayCast` per-pixel march fallback (`RayCast.hlsli:43-108`), and
+`NUM_OIT_LAYERS` nearest exit points (an iterative min-selection network
+instead of InterlockedMin cascades), shade each layer with `CubeCast` (the
+paper's depth-aware seam-free bilinear filter, `PSCube.hlsli:51-108`) or
+the `RayCast` per-pixel march fallback (`RayCast.hlsli:43-108`), and
 front-to-back under-blend. No atomics, no BVH, no rasterizer.
 
-All texture reads are pointwise multi-index gathers (volume id is just
-another index coordinate), so nothing larger than the ray grid is ever
-materialized.
+TPU layout rules observed throughout: scalar fields per ray (SoA), layer
+axis K and volume axis N always *leading* — (K, H, W) / (N, H, W) — so
+the minor dims are the well-tiled screen axes. Nothing ever carries a
+trailing 3/4-channel dim through a loop.
 """
 
 from __future__ import annotations
@@ -28,7 +29,6 @@ import jax.numpy as jnp
 
 from multivolumes_tpu.config import SharedConsts
 from multivolumes_tpu.core import math3d
-from multivolumes_tpu.ops.trilinear import indexed_trilinear
 from multivolumes_tpu.render import raymarch
 from multivolumes_tpu.render.cull import CullResult
 from multivolumes_tpu.render.perframe import PerObject
@@ -37,18 +37,16 @@ FLT_MAX = 3.402823466e38
 
 
 # ---------------------------------------------------------------------------
-# Cube-map addressing
+# Cube-map addressing (SoA)
 # ---------------------------------------------------------------------------
 
-def dir_to_face_uv(d):
-    """Direction -> (face id, face uv in [0,1]^2).
+def dir_to_face_uv_soa(x, y, z):
+    """Direction components -> (face id, u, v) in [0,1].
 
     Inverse of `GetLocalPos` (`CSRayMarch.hlsl:28-53`): face order
     +X,-X,+Y,-Y,+Z,-Z, u right / v down within each face.
     """
-    ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
-    x, y, z = d[..., 0], d[..., 1], d[..., 2]
-
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
     is_x = (ax >= ay) & (ax >= az)
     is_y = (~is_x) & (ay >= az)
 
@@ -62,7 +60,6 @@ def dir_to_face_uv(d):
     inv = 1.0 / jnp.maximum(major, 1e-20)
     xs, ys, zs = x * inv, y * inv, z * inv
 
-    # px, py such that GetLocalPos(face, px, py) == projected point
     px = jnp.where(
         is_x,
         jnp.where(x >= 0, -zs, zs),
@@ -71,13 +68,12 @@ def dir_to_face_uv(d):
     py = jnp.where(is_y, jnp.where(y >= 0, -zs, zs), ys)
 
     u = px * 0.5 + 0.5
-    v = -py * 0.5 + 0.5  # py = -(v*2-1)
-    return face, jnp.stack([u, v], -1)
+    v = -py * 0.5 + 0.5
+    return face, u, v
 
 
 def _face_axis_coords(u, n_eff, size: int):
-    """Linear-sampler axis coords against a traced effective size (mips are
-    stored in the top-left n_eff x n_eff corner of a `size`-wide buffer)."""
+    """Linear-sampler axis coords against a traced effective (mip) size."""
     x = u * n_eff - 0.5
     x0 = jnp.floor(x)
     f = (x - x0).astype(jnp.float32)
@@ -88,26 +84,36 @@ def _face_axis_coords(u, n_eff, size: int):
     return i0, i1, f
 
 
-def _cube_taps(d, n_eff, size: int):
-    """Shared addressing for cube sample/gather: returns
-    (face, uv, (x0, x1, fx), (y0, y1, fy))."""
-    face, uv = dir_to_face_uv(d)
-    xc = _face_axis_coords(uv[..., 0], n_eff, size)
-    yc = _face_axis_coords(uv[..., 1], n_eff, size)
-    return face, uv, xc, yc
+def sample_cube_soa(cube_color, vol_id, x, y, z, n_eff):
+    """Bilinear cube sample by direction: returns a channel tuple.
+
+    cube_color: (N, 6, C, S, S) channel-mid (see CubeMaps); vol_id, n_eff,
+    x/y/z: (...,)."""
+    size = cube_color.shape[-1]
+    c = cube_color.shape[2]
+    face, u, v = dir_to_face_uv_soa(x, y, z)
+    x0, x1, fx = _face_axis_coords(u, n_eff, size)
+    y0, y1, fy = _face_axis_coords(v, n_eff, size)
+
+    outs = []
+    for ci in range(c):
+        ch = cube_color[:, :, ci]
+
+        def tap(yi, xi):
+            return ch[vol_id, face, yi, xi]
+
+        c0 = tap(y0, x0) * (1 - fx) + tap(y0, x1) * fx
+        c1 = tap(y1, x0) * (1 - fx) + tap(y1, x1) * fx
+        outs.append(c0 * (1 - fy) + c1 * fy)
+    return tuple(outs)
 
 
 def sample_cube(cube_color, vol_id, d, n_eff):
-    """Bilinear cube-map sample by direction, per-ray volume indexing.
-
-    cube_color: (N, 6, S, S, C); vol_id, n_eff: (...,); d: (..., 3).
-    """
-    size = cube_color.shape[-2]
-    face, _uv, (x0, x1, fx), (y0, y1, fy) = _cube_taps(d, n_eff, size)
-    fx, fy = fx[..., None], fy[..., None]
-    c0 = cube_color[vol_id, face, y0, x0] * (1 - fx) + cube_color[vol_id, face, y0, x1] * fx
-    c1 = cube_color[vol_id, face, y1, x0] * (1 - fx) + cube_color[vol_id, face, y1, x1] * fx
-    return c0 * (1 - fy) + c1 * fy
+    """AoS convenience wrapper: d (..., 3) -> (..., C)."""
+    outs = sample_cube_soa(
+        cube_color, vol_id, d[..., 0], d[..., 1], d[..., 2], n_eff
+    )
+    return jnp.stack(outs, -1)
 
 
 # ---------------------------------------------------------------------------
@@ -120,54 +126,61 @@ def unproject_z(depth):
     return (zn * zf) / (depth * (zn - zf) + zf)
 
 
-def get_domain(uv, pos, ray_dir, grid_size):
-    """Custom bilinear domain with exterior-edge clamping
-    (`GetDomain`, `PSCube.hlsli:31-46`). uv in [0,1], grid_size (...,)."""
-    uvp = uv * grid_size[..., None]
-    domain = jnp.mod(uvp + 0.5, 1.0)
-
-    bound = grid_size - 1.0
-    axes = pos * grid_size[..., None]
-    clamp_needed = jnp.any(
-        (jnp.abs(axes) > bound[..., None]) & (axes * ray_dir < 0.0), axis=-1
-    )
-    uv_c = jnp.minimum(uvp, grid_size[..., None] - 0.5)
-    snapped = jnp.where(uv_c < 0.5, 1.0, 0.0)
-    return jnp.where(clamp_needed[..., None], snapped, domain)
-
-
-def cube_cast(cube_color, cube_depth, vol_id, n_eff, pos, ray_dir, scene_depth):
+def cube_cast_soa(cube_color, cube_depth, vol_id, n_eff,
+                  px, py, pz, dx, dy, dz, scene_depth):
     """The depth-aware seam-free cube-map filter (`CubeCast`,
-    `PSCube.hlsli:51-108`).
+    `PSCube.hlsli:51-108`). All ray quantities are scalar fields;
+    cube_color is (N, 6, 4, S, S) channel-mid.
 
-    cube_color: (N, 6, S, S, 4); cube_depth: (N, 6, S, S); vol_id, n_eff,
-    scene_depth: (...,); pos/ray_dir: (..., 3) local exit point/direction.
-    Returns (..., 4) premultiplied color.
+    Returns (r, g, b, a) tuple.
     """
-    size = cube_color.shape[-2]
-    face, uv, (x0, x1, _fx), (y0, y1, _fy) = _cube_taps(pos, n_eff, size)
+    size = cube_color.shape[-1]
+    face, u, v = dir_to_face_uv_soa(px, py, pz)
+    x0, x1, _fx = _face_axis_coords(u, n_eff, size)
+    y0, y1, _fy = _face_axis_coords(v, n_eff, size)
 
-    color = sample_cube(cube_color, vol_id, pos, n_eff)
+    fallback = sample_cube_soa(cube_color, vol_id, px, py, pz, n_eff)
 
     # Gather component order (x,y,z,w) = (x0,y1),(x1,y1),(x1,y0),(x0,y0)
     taps = ((x0, y1), (x1, y1), (x1, y0), (x0, y0))
-    samples = jnp.stack([cube_color[vol_id, face, yi, xi] for xi, yi in taps], -2)
-    zs = jnp.stack([cube_depth[vol_id, face, yi, xi] for xi, yi in taps], -1)
 
+    # GetDomain (`PSCube.hlsli:31-46`): bilinear domain with exterior-edge
+    # clamping.
     neff_f = n_eff.astype(jnp.float32)
-    domain = get_domain(uv, pos, ray_dir, neff_f)
-    dx, dy = domain[..., 0], domain[..., 1]
-    wb = jnp.stack(
-        [(1 - dx) * dy, dx * dy, dx * (1 - dy), (1 - dx) * (1 - dy)], -1
+    up = u * neff_f
+    vp = v * neff_f
+    du = jnp.mod(up + 0.5, 1.0)
+    dv = jnp.mod(vp + 0.5, 1.0)
+    bound = neff_f - 1.0
+    clamp_needed = (
+        ((jnp.abs(px * neff_f) > bound) & (px * neff_f * dx < 0.0))
+        | ((jnp.abs(py * neff_f) > bound) & (py * neff_f * dy < 0.0))
+        | ((jnp.abs(pz * neff_f) > bound) & (pz * neff_f * dz < 0.0))
     )
+    du = jnp.where(clamp_needed,
+                   jnp.where(jnp.minimum(up, neff_f - 0.5) < 0.5, 1.0, 0.0), du)
+    dv = jnp.where(clamp_needed,
+                   jnp.where(jnp.minimum(vp, neff_f - 0.5) < 0.5, 1.0, 0.0), dv)
 
-    depth_v = unproject_z(scene_depth)[..., None]
-    z_v = unproject_z(zs)
-    w = jnp.maximum(1.0 - 0.5 * jnp.abs(depth_v - z_v), 0.0) * wb
+    wb = ((1 - du) * dv, du * dv, du * (1 - dv), (1 - du) * (1 - dv))
 
-    ws = jnp.sum(w, -1)
-    result = jnp.sum(samples * w[..., None], -2) / jnp.maximum(ws, 1e-20)[..., None]
-    return jnp.where(ws[..., None] > 0.0, result, color)
+    depth_v = unproject_z(scene_depth)
+    dch = cube_depth
+
+    acc = [jnp.zeros_like(u) for _ in range(4)]  # r,g,b,a
+    ws = jnp.zeros_like(u)
+    for (xi, yi), wbi in zip(taps, wb):
+        zi = dch[vol_id, face, yi, xi]
+        w = jnp.maximum(1.0 - 0.5 * jnp.abs(depth_v - unproject_z(zi)), 0.0) * wbi
+        for ci in range(4):
+            acc[ci] = acc[ci] + cube_color[:, :, ci][vol_id, face, yi, xi] * w
+        ws = ws + w
+
+    inv = 1.0 / jnp.maximum(ws, 1e-20)
+    ok = ws > 0.0
+    return tuple(
+        jnp.where(ok, acc[ci] * inv, fallback[ci]) for ci in range(4)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -175,36 +188,65 @@ def cube_cast(cube_color, cube_depth, vol_id, n_eff, pos, ray_dir, scene_depth):
 # ---------------------------------------------------------------------------
 
 def screen_rays(width: int, height: int, screen_to_world, eye):
-    """Per-pixel world rays: -> (ndc xy (H, W, 2), dir (H, W, 3))."""
+    """Per-pixel world rays: -> (xy (2, H, W), dir (3 scalar fields))."""
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
     ys = -((jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0)
     xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
-    xy = jnp.stack([xg, yg], -1)  # (H,W,2)
-    # Unproject a mid-depth point (not z=1: the far plane's homogeneous w
-    # cancels to ~0 in fp32); any point on the ray gives the direction.
-    far_h = math3d.transform_point(
-        jnp.concatenate([xy, jnp.full_like(xy[..., :1], 0.5)], -1),
-        screen_to_world,
-    )
-    far = far_h[..., :3] / far_h[..., 3:4]
-    d = math3d.normalize(far - eye)
-    return xy, d
+    # Unproject a mid-depth point (z=1's homogeneous w cancels in fp32).
+    m = screen_to_world
+    hx = xg * m[0, 0] + yg * m[1, 0] + 0.5 * m[2, 0] + m[3, 0]
+    hy = xg * m[0, 1] + yg * m[1, 1] + 0.5 * m[2, 1] + m[3, 1]
+    hz = xg * m[0, 2] + yg * m[1, 2] + 0.5 * m[2, 2] + m[3, 2]
+    hw = xg * m[0, 3] + yg * m[1, 3] + 0.5 * m[2, 3] + m[3, 3]
+    hw = jnp.where(jnp.abs(hw) > 1e-20, hw, 1e-20)
+    fx, fy, fz = hx / hw - eye[0], hy / hw - eye[1], hz / hw - eye[2]
+    inv = jax.lax.rsqrt(jnp.maximum(fx * fx + fy * fy + fz * fz, 1e-20))
+    return (xg, yg), (fx * inv, fy * inv, fz * inv)
 
 
-def ray_box_exit(origin_local, dir_local, eps: float = 1e-12):
-    """Slab test with the unit cube: -> (hit, t_exit). origin/dir (..., 3)."""
-    safe = jnp.where(jnp.abs(dir_local) > eps, dir_local,
-                     jnp.where(dir_local >= 0, eps, -eps))
-    t1 = (-1.0 - origin_local) / safe
-    t2 = (1.0 - origin_local) / safe
-    t_near = jnp.max(jnp.minimum(t1, t2), -1)
-    t_far = jnp.min(jnp.maximum(t1, t2), -1)
+def _ray_box_exit_soa(ox, oy, oz, dx, dy, dz):
+    def slab(o, d):
+        ds = jnp.where(jnp.abs(d) > 1e-12, d, jnp.where(d >= 0, 1e-12, -1e-12))
+        t1 = (-1.0 - o) / ds
+        t2 = (1.0 - o) / ds
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    ix, ox_ = slab(ox, dx)
+    iy, oy_ = slab(oy, dy)
+    iz, oz_ = slab(oz, dz)
+    t_near = jnp.maximum(jnp.maximum(ix, iy), iz)
+    t_far = jnp.minimum(jnp.minimum(ox_, oy_), oz_)
     hit = t_far > jnp.maximum(t_near, 0.0)
     return hit, t_far
 
 
+def ray_box_exit(origin_local, dir_local):
+    """AoS wrapper: (..., 3) -> (hit, t_exit)."""
+    return _ray_box_exit_soa(
+        origin_local[..., 0], origin_local[..., 1], origin_local[..., 2],
+        dir_local[..., 0], dir_local[..., 1], dir_local[..., 2],
+    )
+
+
+def _select_layers(key, num_layers: int):
+    """Iterative min-selection over the leading N axis: key (N, H, W) ->
+    (layer_key (K, H, W), layer_idx (K, H, W)). Replaces lax.top_k (which
+    requires a minor-axis N and pads N=3/4 to 128 lanes on TPU)."""
+    n = key.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    keys, idxs = [], []
+    cur = key
+    for _ in range(num_layers):
+        kmin = jnp.min(cur, axis=0)
+        imin = jnp.argmin(cur, axis=0).astype(jnp.int32)
+        keys.append(kmin)
+        idxs.append(imin)
+        cur = jnp.where(ids == imin[None], FLT_MAX, cur)
+    return jnp.stack(keys), jnp.stack(idxs)
+
+
 def composite_oit(
-    cube_maps: raymarch.CubeMaps,   # color (N,6,S,S,4), depth (N,6,S,S)
+    cube_maps: raymarch.CubeMaps,   # color (N,6,4,S,S), depth (N,6,S,S)
     volumes,                        # (N_src, D, H, W, 4)
     vol_tex_ids,                    # (N,)
     light_maps,                     # (N, L, L, L, 3)
@@ -219,33 +261,47 @@ def composite_oit(
     num_layers: int = SharedConsts.NUM_OIT_LAYERS,
     adaptive: bool = True,
 ):
-    """Full OIT composite -> (H, W, 4) premultiplied scene-space volume
-    color, alpha clamped to 0.9997 (`PSResolveOIT.hlsl:23`)."""
+    """Full OIT composite -> (r, g, b, a) premultiplied scene-space volume
+    color fields, alpha clamped to 0.9997 (`PSResolveOIT.hlsl:23`)."""
     n = per_object.world.shape[0]
-    s = cube_maps.color.shape[-2]
+    s = cube_maps.color.shape[-1]
     num_layers = min(num_layers, n)
 
-    xy, dir_world = screen_rays(width, height, screen_to_world, eye)
+    (xg, yg), (dwx, dwy, dwz) = screen_rays(width, height, screen_to_world, eye)
 
-    # Local-space rays per volume: (N, H, W, 3)
+    # Local-space rays per volume — (N, H, W) scalar fields.
     eye_local = math3d.transform_point3(eye, per_object.world_i)  # (N,3)
-    dir_local = math3d.transform_vector(
-        dir_world[None], per_object.world_i[:, None, None]
-    )
-    origin_local = jnp.broadcast_to(
-        eye_local[:, None, None, :], (n, height, width, 3)
-    )
+    wi = per_object.world_i  # (N,4,4)
 
-    hit, t_exit = ray_box_exit(origin_local, dir_local)
-    exit_pos = origin_local + dir_local * t_exit[..., None]
+    def rot(cx, cy, cz, col):
+        return (
+            dwx[None] * wi[:, None, None, 0, col]
+            + dwy[None] * wi[:, None, None, 1, col]
+            + dwz[None] * wi[:, None, None, 2, col]
+        )
+
+    dlx = rot(dwx, dwy, dwz, 0)
+    dly = rot(dwx, dwy, dwz, 1)
+    dlz = rot(dwx, dwy, dwz, 2)
+    olx = jnp.broadcast_to(eye_local[:, 0, None, None], dlx.shape)
+    oly = jnp.broadcast_to(eye_local[:, 1, None, None], dlx.shape)
+    olz = jnp.broadcast_to(eye_local[:, 2, None, None], dlx.shape)
+
+    hit, t_exit = _ray_box_exit_soa(olx, oly, olz, dlx, dly, dlz)
+    qx = olx + dlx * t_exit
+    qy = oly + dly * t_exit
+    qz = olz + dlz * t_exit
 
     # Fragment depth = clip z of the exit (interior-face) point, matching
-    # what the rasterized `VSCubeDP` fragments would carry.
-    h4 = math3d.transform_point(exit_pos, per_object.world_view_proj[:, None, None])
-    exit_z = h4[..., 2] / jnp.maximum(h4[..., 3], 1e-20)
-    in_front = h4[..., 3] > 0.0
+    # the rasterized `VSCubeDP` fragments.
+    wvp = per_object.world_view_proj[:, None, None]
+    hx, hy, hz, hw = raymarch._transform_point_soa(qx, qy, qz, wvp)
+    exit_z = hz / jnp.maximum(hw, 1e-20)
+    in_front = hw > 0.0
 
-    scene_z = depth_map if depth_map is not None else jnp.ones((height, width), jnp.float32)
+    scene_z = depth_map if depth_map is not None else jnp.ones(
+        (height, width), jnp.float32
+    )
     valid = (
         hit
         & in_front
@@ -254,88 +310,113 @@ def composite_oit(
         & (exit_z > 0.0)
     )
 
-    # Nearest `num_layers` fragments per pixel (replaces the k-buffer peel).
-    key = jnp.where(valid, exit_z, FLT_MAX)  # (N,H,W)
-    key = jnp.moveaxis(key, 0, -1)           # (H,W,N)
-    neg_top, layer_vol = jax.lax.top_k(-key, num_layers)  # (H,W,K)
-    layer_z = -neg_top
+    # Nearest num_layers fragments per pixel (replaces the k-buffer peel).
+    key = jnp.where(valid, exit_z, FLT_MAX)       # (N, H, W)
+    layer_z, layer_vol = _select_layers(key, num_layers)  # (K, H, W)
     layer_valid = layer_z < FLT_MAX * 0.5
-    layer_vol = layer_vol.astype(jnp.int32)
 
-    # Per-layer ray data gathered by volume id (small per-ray quantities only)
-    l_eye = eye_local[layer_vol]                     # (H,W,K,3)
-    l_dir = math3d.transform_vector(
-        dir_world[:, :, None, :], per_object.world_i[layer_vol]
-    )                                                # (H,W,K,3)
-    _, l_texit = ray_box_exit(l_eye, l_dir)
-    l_exit_pos = l_eye + l_dir * l_texit[..., None]
+    # Gather per-layer ray fields by volume id — all (K, H, W).
+    def gv(a):  # (N, H, W) -> (K, H, W)
+        return jnp.take_along_axis(a, layer_vol, axis=0)
+
+    l_qx, l_qy, l_qz = gv(qx), gv(qy), gv(qz)
+    l_dx, l_dy, l_dz = gv(dlx), gv(dly), gv(dlz)
+    l_ox, l_oy, l_oz = gv(olx), gv(oly), gv(olz)
 
     n_eff = (s >> jnp.minimum(cull.mip_level, 31)).astype(jnp.int32)  # (N,)
-    l_neff = n_eff[layer_vol]                        # (H,W,K)
+    l_neff = n_eff[layer_vol]
     l_use_cube = cull.use_cube_map[layer_vol]
     l_smp = cull.smp_count[layer_vol]
-    l_tex = vol_tex_ids[layer_vol]
+    l_tex = vol_tex_ids[layer_vol].astype(jnp.int32)
 
-    scene_for_filter = jnp.broadcast_to(scene_z[:, :, None], layer_z.shape)
-    cc = cube_cast(
+    scene_b = jnp.broadcast_to(scene_z[None], layer_z.shape)
+    cc = cube_cast_soa(
         cube_maps.color, cube_maps.depth, layer_vol, l_neff,
-        l_exit_pos, l_dir, scene_for_filter,
+        l_qx, l_qy, l_qz, l_dx, l_dy, l_dz, scene_b,
     )
 
-    # Per-pixel march fallback (`PSCube.hlsl:49-55`, `_ADAPTIVE_RAYMARCH_`).
+    # Per-pixel march fallback: pre-compute clipped origins and occlusion
+    # bounds at the (N, H, W) level (broadcast matrices, no per-pixel 4x4
+    # gathers), then gather scalar fields per layer.
+    inv_dl = jax.lax.rsqrt(jnp.maximum(dlx * dlx + dly * dly + dlz * dlz, 1e-20))
+    ndx, ndy, ndz = dlx * inv_dl, dly * inv_dl, dlz * inv_dl
+    ocx, ocy, ocz, oc_hit = raymarch.compute_ray_origin_soa(
+        olx, oly, olz, ndx, ndy, ndz
+    )
+    t_max_n = raymarch.get_t_max_soa(
+        jnp.broadcast_to(xg[None], ocx.shape),
+        jnp.broadcast_to(yg[None], ocx.shape),
+        jnp.broadcast_to(scene_z[None], ocx.shape),
+        ocx, ocy, ocz, ndx, ndy, ndz,
+        per_object.world_view_proj_i[:, None, None],
+    )
     rc = _ray_cast_layers(
-        volumes, l_tex, light_maps, layer_vol, per_object,
-        l_eye, l_dir, xy, scene_z, l_smp, max_steps,
+        volumes, l_tex, light_maps, layer_vol,
+        (gv(ocx), gv(ocy), gv(ocz)),
+        (gv(ndx), gv(ndy), gv(ndz)),
+        gv(t_max_n), gv(oc_hit.astype(jnp.float32)) > 0.5,
+        l_smp, max_steps,
         active=layer_valid & ~l_use_cube, adaptive=adaptive,
     )
-    color = jnp.where(l_use_cube[..., None], cc, rc)
+    lr = jnp.where(l_use_cube, cc[0], rc[0])
+    lg = jnp.where(l_use_cube, cc[1], rc[1])
+    lb = jnp.where(l_use_cube, cc[2], rc[2])
+    la = jnp.where(l_use_cube, cc[3], rc[3])
 
     # `PSCube.hlsl:57`: store only if 0 < w <= 1
-    store_ok = (color[..., 3] > 0.0) & (color[..., 3] <= 1.0) & layer_valid
-    color = jnp.where(store_ok[..., None], color, 0.0)
+    store_ok = (la > 0.0) & (la <= 1.0) & layer_valid
+    zero = jnp.zeros_like(la)
+    lr = jnp.where(store_ok, lr, zero)
+    lg = jnp.where(store_ok, lg, zero)
+    lb = jnp.where(store_ok, lb, zero)
+    la = jnp.where(store_ok, la, zero)
 
-    # Front-to-back under-blend (`PSResolveOIT.hlsl:17-24`)
-    def blend(carry, c):
-        return carry + c * (1.0 - carry[..., 3:4]), None
+    # Front-to-back under-blend (`PSResolveOIT.hlsl:17-24`), K is tiny:
+    # unrolled accumulation over the leading axis.
+    accr = jnp.zeros((height, width), jnp.float32)
+    accg = jnp.zeros_like(accr)
+    accb = jnp.zeros_like(accr)
+    acca = jnp.zeros_like(accr)
+    for k in range(num_layers):
+        t = 1.0 - acca
+        accr = accr + lr[k] * t
+        accg = accg + lg[k] * t
+        accb = accb + lb[k] * t
+        acca = acca + la[k] * t
+    acca = jnp.minimum(acca, 0.9997)
+    return accr, accg, accb, acca
 
-    result, _ = jax.lax.scan(
-        blend, jnp.zeros((height, width, 4), jnp.float32),
-        jnp.moveaxis(color, 2, 0),
-    )
-    result = result.at[..., 3].min(0.9997)
-    return result
 
+def _ray_cast_layers(volumes, l_tex, light_maps, layer_vol,
+                     origin, dir_local, t_max, is_hit,
+                     smp_count, max_steps, active, adaptive):
+    """`RayCast` (`RayCast.hlsli:43-108`) over the (K, H, W) layer grid.
 
-def _ray_cast_layers(volumes, l_tex, light_maps, layer_vol, per_object,
-                     origin, dir_local, xy, scene_z, smp_count, max_steps,
-                     active, adaptive):
-    """`RayCast` (`RayCast.hlsli:43-108`) over the (H, W, K) layer grid."""
-    dirn = math3d.normalize(dir_local)
-    origin_c, is_hit = raymarch.compute_ray_origin(origin, dirn)
+    Origins are already box-clipped and t_max already occlusion-bounded
+    (computed at the per-volume level by the caller)."""
+    ox, oy, oz = origin
+    dx, dy, dz = dir_local
     active = active & is_hit
-
-    wvp_i = per_object.world_view_proj_i[layer_vol]  # (H,W,K,4,4)
-    clip_pos = jnp.concatenate(
-        [
-            jnp.broadcast_to(xy[:, :, None, :], origin.shape[:-1] + (2,)),
-            jnp.broadcast_to(scene_z[:, :, None, None], origin.shape[:-1] + (1,)),
-        ],
-        -1,
-    )
-    t_max = raymarch.get_t_max(clip_pos, origin_c, dirn, wvp_i)
 
     step_scale = raymarch.MAX_DIST / jnp.maximum(smp_count.astype(jnp.float32), 1.0)
 
-    def sample_fn(uvw):
-        return indexed_trilinear(volumes, l_tex, uvw)
+    from multivolumes_tpu.ops.trilinear import indexed_trilinear_soa
 
-    def light_fn(uvw):
-        return indexed_trilinear(light_maps, layer_vol, uvw)
+    def sample_fn(u, v, w):
+        return indexed_trilinear_soa(volumes, l_tex, u, v, w)
+
+    def light_fn(u, v, w):
+        return indexed_trilinear_soa(light_maps, layer_vol, u, v, w)
 
     res = raymarch.march_scatter(
-        sample_fn, light_fn, origin_c, dirn, t_max,
+        sample_fn, light_fn, (ox, oy, oz), (dx, dy, dz), t_max,
         smp_count, step_scale, max_steps, active, adaptive,
     )
-    scatter = res.scatter
-    scatter = scatter.at[..., :3].mul(1.0 / (2.0 * math.pi))
-    return jnp.where(active[..., None], scatter, 0.0)
+    inv2pi = 1.0 / (2.0 * math.pi)
+    zero = jnp.zeros_like(res.a)
+    return (
+        jnp.where(active, res.r * inv2pi, zero),
+        jnp.where(active, res.g * inv2pi, zero),
+        jnp.where(active, res.b * inv2pi, zero),
+        jnp.where(active, res.a, zero),
+    )

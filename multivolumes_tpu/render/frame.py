@@ -11,11 +11,14 @@ round-trips and fences:
 
 Returns the display image and the advanced SceneState (light maps, TAA
 history, frame index) — the whole engine is `(state, camera) -> (image,
-state)`.
+state)`. Screen-space data flows between passes as per-channel scalar
+fields (see render/raymarch.py for the TPU layout rule); the (H, W, 3)
+image is assembled once at the boundary.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -60,7 +63,8 @@ def render_frame(
         depth_map = mesh_out.depth
         shadow_map = mesh_out.shadow
         shadow_vp = mesh_out.shadow_vp
-        mesh_color = mesh_out.color
+        mesh_rgb = mesh_out.color
+        mesh_valid = mesh_out.valid
         velocity = mesh_out.velocity
         new_prev_wvp = mesh_out.new_prev_wvp
     else:
@@ -69,8 +73,10 @@ def render_frame(
             (config.shadow_map_size, config.shadow_map_size), jnp.float32
         )
         shadow_vp = mesh_lib.shadow_view_proj(state)
-        mesh_color = None
-        velocity = jnp.zeros((height, width, 2), jnp.float32)
+        mesh_rgb = None
+        mesh_valid = None
+        zero_hw = jnp.zeros((height, width), jnp.float32)
+        velocity = (zero_hw, zero_hw)
         new_prev_wvp = state.mesh_prev_wvp
 
     # --- volume culling / LOD -------------------------------------------
@@ -103,38 +109,64 @@ def render_frame(
     )
 
     # --- view-space cube-map march ---------------------------------------
-    cube_maps = raymarch.ray_march_view(
-        state.volumes,
-        state.vol_tex_ids,
-        light_maps,
-        per_object,
-        cull,
-        eye,
-        depth_map,
-        config.cube_map_size,
-        config.max_ray_samples,
-        adaptive=config.adaptive_raymarch,
-    )
+    if config.march_mode == "sweep":
+        from multivolumes_tpu.render import sweep as sweep_lib
 
-    # --- background: sky behind mesh -------------------------------------
-    sky = postprocess.render_environment(
-        state.radiance, screen_to_world, eye, width, height
-    )
-    if mesh_color is not None:
-        background = jnp.where(
-            (depth_map < 1.0)[..., None], mesh_color[..., :3], sky
+        dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
+        vol_or = sweep_lib.orient_volumes(state.volumes.astype(dtype))
+        lm_or = sweep_lib.orient_volumes(light_maps.astype(dtype))
+        cube_maps = sweep_lib.ray_march_view_sweep(
+            vol_or,
+            state.vol_tex_ids,
+            lm_or,
+            per_object,
+            cull,
+            eye,
+            depth_map,
+            config.cube_map_size,
+            num_planes=config.sweep_planes,
+            dtype=dtype,
+        )
+        # the sweep writes full-resolution maps: composite at mip 0
+        cull_for_composite = cull._replace(
+            mip_level=jnp.zeros_like(cull.mip_level)
         )
     else:
-        background = sky
+        cube_maps = raymarch.ray_march_view(
+            state.volumes,
+            state.vol_tex_ids,
+            light_maps,
+            per_object,
+            cull,
+            eye,
+            depth_map,
+            config.cube_map_size,
+            config.max_ray_samples,
+            adaptive=config.adaptive_raymarch,
+        )
+        cull_for_composite = cull
+
+    # --- background: sky behind mesh -------------------------------------
+    sky_r, sky_g, sky_b = postprocess.render_environment(
+        state.radiance, screen_to_world, eye, width, height
+    )
+    if mesh_rgb is not None:
+        bg_r = jnp.where(mesh_valid, mesh_rgb[0], sky_r)
+        bg_g = jnp.where(mesh_valid, mesh_rgb[1], sky_g)
+        bg_b = jnp.where(mesh_valid, mesh_rgb[2], sky_b)
+        bg_a = mesh_valid.astype(jnp.float32)
+    else:
+        bg_r, bg_g, bg_b = sky_r, sky_g, sky_b
+        bg_a = jnp.zeros((height, width), jnp.float32)
 
     # --- OIT composite over background -----------------------------------
-    vol_color = composite.composite_oit(
+    vr, vg, vb, va = composite.composite_oit(
         cube_maps,
         state.volumes,
         state.vol_tex_ids,
         light_maps,
         per_object,
-        cull,
+        cull_for_composite,
         eye,
         screen_to_world,
         depth_map,
@@ -144,20 +176,24 @@ def render_frame(
         num_layers=config.oit_layers,
         adaptive=config.adaptive_raymarch,
     )
-    scene_rgb = vol_color[..., :3] + (1.0 - vol_color[..., 3:4]) * background
-    scene = jnp.concatenate([scene_rgb, vol_color[..., 3:4]], -1)
+    t = 1.0 - va
+    sc_r = vr + t * bg_r
+    sc_g = vg + t * bg_g
+    sc_b = vb + t * bg_b
+    sc_a = va + t * bg_a  # mesh pixels opaque (alpha 1), sky alpha 0
 
     # --- TAA + tone map ---------------------------------------------------
     if use_taa:
-        taa_out, new_history = taa_lib.temporal_aa(
-            scene, state.taa_history, velocity
+        (rr, rg, rb), new_history = taa_lib.temporal_aa(
+            (sc_r, sc_g, sc_b, sc_a), state.taa_history, velocity
         )
     else:
-        taa_out, new_history = scene, state.taa_history
+        rr, rg, rb = sc_r, sc_g, sc_b
+        new_history = state.taa_history
 
-    image = postprocess.tone_map(taa_out)
-
-    import dataclasses
+    ir, ig, ib = postprocess.tone_map_ch(rr, rg, rb)
+    image = jnp.stack([ir, ig, ib], -1)
+    hdr = jnp.stack([sc_r, sc_g, sc_b, sc_a], -1)
 
     new_state = dataclasses.replace(
         state,
@@ -166,4 +202,4 @@ def render_frame(
         taa_history=new_history,
         mesh_prev_wvp=new_prev_wvp,
     )
-    return FrameOutput(image=image, hdr=scene, state=new_state)
+    return FrameOutput(image=image, hdr=hdr, state=new_state)

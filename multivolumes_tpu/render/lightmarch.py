@@ -10,11 +10,12 @@ in the scene — inter-volume volumetric shadowing, the N^2 coupling — and
 (3) optionally an ambient-occlusion march along the negated density
 gradient, attenuating SH irradiance.
 
-TPU formulation: all L^3 voxels batched; the per-volume loop is a
-`lax.scan`; each `CastLightRay` is a masked `lax.while_loop` with a global
-all-done early-out. The wave-uniform volume id selection from the GPU
-append-counter (`g_roVisibleVolumeCount`) becomes a rank-select over the
-dense visibility mask.
+TPU formulation: all L^3 voxels batched as scalar fields (SoA — see
+render/raymarch.py docstring for the layout rule); the per-volume loop is
+a `lax.scan`; each `CastLightRay` is a masked `lax.while_loop` with a
+global all-done early-out. The wave-uniform volume id selection from the
+GPU append-counter (`g_roVisibleVolumeCount`) becomes a rank-select over
+the dense visibility mask.
 """
 
 from __future__ import annotations
@@ -24,8 +25,7 @@ import jax.numpy as jnp
 
 from multivolumes_tpu.config import SharedConsts
 from multivolumes_tpu.core import math3d, sh as sh_lib
-from multivolumes_tpu.ops import trilinear
-from multivolumes_tpu.ops.trilinear import indexed_trilinear
+from multivolumes_tpu.ops.trilinear import indexed_trilinear_soa
 from multivolumes_tpu.render import raymarch
 from multivolumes_tpu.render.cull import CullResult
 from multivolumes_tpu.render.perframe import PerObject
@@ -48,51 +48,51 @@ def select_update_volume(visible, frame_idx):
     return jnp.where(count > 0, vid_visible, frame_idx % n).astype(jnp.int32)
 
 
-def shadow_test(world_pos, shadow_map, shadow_vp, bias: float = 0.0027):
+def shadow_test_soa(wx, wy, wz, shadow_map, shadow_vp, bias: float = 0.0027):
     """PCF shadow compare (`ShadowTest`, `RayMarch.hlsli:103-113`):
     SampleCmpLevelZero with a LESS_EQUAL linear comparison sampler ==
     bilinear blend of the four per-texel (z - bias <= depth) tests."""
-    ls = math3d.transform_point(world_pos, shadow_vp)[..., :3]
-    uv = ls[..., :2] * 0.5 + 0.5
-    uv = uv.at[..., 1].set(1.0 - uv[..., 1])
-    z = ls[..., 2] - bias
+    m = shadow_vp
+    lx = wx * m[0, 0] + wy * m[1, 0] + wz * m[2, 0] + m[3, 0]
+    ly = wx * m[0, 1] + wy * m[1, 1] + wz * m[2, 1] + m[3, 1]
+    lz = wx * m[0, 2] + wy * m[1, 2] + wz * m[2, 2] + m[3, 2]
 
-    smap = shadow_map
-    h, w = smap.shape
-    x = uv[..., 0] * w - 0.5
-    y = uv[..., 1] * h - 0.5
+    u = lx * 0.5 + 0.5
+    v = 1.0 - (ly * 0.5 + 0.5)
+    z = lz - bias
+
+    h, w = shadow_map.shape
+    x = u * w - 0.5
+    y = v * h - 0.5
     x0f, y0f = jnp.floor(x), jnp.floor(y)
     fx, fy = x - x0f, y - y0f
 
-    def cidx(v, nn):
-        return jnp.clip(v.astype(jnp.int32), 0, nn - 1)
+    def cidx(vv, nn):
+        return jnp.clip(vv.astype(jnp.int32), 0, nn - 1)
 
     x0, x1 = cidx(x0f, w), cidx(x0f + 1, w)
     y0, y1 = cidx(y0f, h), cidx(y0f + 1, h)
 
     def cmp(yi, xi):
-        return (z <= smap[yi, xi]).astype(jnp.float32)
+        return (z <= shadow_map[yi, xi]).astype(jnp.float32)
 
     c0 = cmp(y0, x0) * (1 - fx) + cmp(y0, x1) * fx
     c1 = cmp(y1, x0) * (1 - fx) + cmp(y1, x1) * fx
     return c0 * (1 - fy) + c1 * fy
 
 
-def density_gradient(volumes, tex_idx, uvw):
+def density_gradient_soa(volumes, tex_idx, u, v, w):
     """Central-difference density gradient (`GetDensityGradient`,
-    `RayMarch.hlsli:55-77`): six 1-texel-offset linear taps."""
-    d, h, w = volumes.shape[1:4]
-    tx = jnp.array([1.0 / w, 0, 0], jnp.float32)
-    ty = jnp.array([0, 1.0 / h, 0], jnp.float32)
-    tz = jnp.array([0, 0, 1.0 / d], jnp.float32)
+    `RayMarch.hlsli:55-77`): six 1-texel-offset linear taps -> (gx, gy, gz)."""
+    d, h, ww = volumes.shape[1:4]
 
-    def tap(off):
-        return indexed_trilinear(volumes, tex_idx, uvw + off)[..., 3]
+    def dens(du, dv, dw):
+        return indexed_trilinear_soa(volumes, tex_idx, u + du, v + dv, w + dw)[3]
 
-    gx = tap(tx) - tap(-tx)
-    gy = tap(ty) - tap(-ty)
-    gz = tap(tz) - tap(-tz)
-    return jnp.stack([gx, gy, gz], -1)
+    gx = dens(1.0 / ww, 0, 0) - dens(-1.0 / ww, 0, 0)
+    gy = dens(0, 1.0 / h, 0) - dens(0, -1.0 / h, 0)
+    gz = dens(0, 0, 1.0 / d) - dens(0, 0, -1.0 / d)
+    return gx, gy, gz
 
 
 def cast_light_ray(
@@ -100,8 +100,10 @@ def cast_light_ray(
     num_samples: int, active,
 ):
     """Transmittance march toward the light (`CastLightRay`,
-    `RayMarch.hlsli:197-230`). tex_id: (...,) per-ray source id;
-    origin/ray_dir: (..., 3); transm0: (...,) initial transmittance."""
+    `RayMarch.hlsli:197-230`). origin/ray_dir are (x, y, z) scalar-field
+    tuples; transm0: (...,) initial transmittance."""
+    ox, oy, oz = origin
+    dx, dy, dz = ray_dir
     shape = transm0.shape
 
     def cond(c):
@@ -110,10 +112,11 @@ def cast_light_ray(
 
     def body(c):
         i, t, transm, prev_density, done = c
-        pos = origin + ray_dir * t[..., None]
-        done = done | jnp.any(jnp.abs(pos) > 1.0, axis=-1)
-        uvw = pos * 0.5 + 0.5
-        density = indexed_trilinear(volumes, tex_id, uvw)[..., 3]
+        px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+        done = done | (jnp.abs(px) > 1.0) | (jnp.abs(py) > 1.0) | (jnp.abs(pz) > 1.0)
+        density = indexed_trilinear_soa(
+            volumes, tex_id, px * 0.5 + 0.5, py * 0.5 + 0.5, pz * 0.5 + 0.5
+        )[3]
 
         d_density = density - prev_density
         opacity = jnp.clip(density * step_scale, 0.0, 1.0)
@@ -128,7 +131,7 @@ def cast_light_ray(
 
     init = (
         jnp.asarray(0, jnp.int32),
-        jnp.broadcast_to(step_scale, shape).astype(jnp.float32),  # t starts at one step
+        jnp.broadcast_to(step_scale, shape).astype(jnp.float32),  # t = 1 step
         transm0,
         jnp.zeros(shape, jnp.float32),
         ~active,
@@ -162,66 +165,91 @@ def ray_march_light(
 
     # Voxel centers of the target volume's light grid, in its local space.
     ts = (jnp.arange(l, dtype=jnp.float32) + 0.5) / l * 2.0 - 1.0
-    z, y, x = jnp.meshgrid(ts, ts, ts, indexing="ij")
-    local = jnp.stack([x, y, z], -1)  # (L,L,L,3) — DTid walks x fastest
+    lz, ly_, lx = jnp.meshgrid(ts, ts, ts, indexing="ij")
 
     tex_id = vol_tex_ids[vid]
     tex_idx = jnp.broadcast_to(tex_id, (l, l, l)).astype(jnp.int32)
-    uvw = local * 0.5 + 0.5
-    density = indexed_trilinear(volumes, tex_idx, uvw)[..., 3]
+    u, v, w = lx * 0.5 + 0.5, ly_ * 0.5 + 0.5, lz * 0.5 + 0.5
+    density = indexed_trilinear_soa(volumes, tex_idx, u, v, w)[3]
     has_density = density >= ZERO_THRESHOLD
 
     world = per_object.world[vid]
-    world_pos = math3d.transform_point3(local, world)
+    wx = lx * world[0, 0] + ly_ * world[1, 0] + lz * world[2, 0] + world[3, 0]
+    wy = lx * world[0, 1] + ly_ * world[1, 1] + lz * world[2, 1] + world[3, 1]
+    wz = lx * world[0, 2] + ly_ * world[1, 2] + lz * world[2, 2] + world[3, 2]
 
-    shadow = shadow_test(world_pos, shadow_map, shadow_vp)
+    shadow = shadow_test_soa(wx, wy, wz, shadow_map, shadow_vp)
 
     # SH ambient: AO ray along the negated density gradient
     # (`CSRayMarchL.hlsl:61-75`).
     if has_light_probe:
-        grad = density_gradient(volumes, tex_idx, uvw)
-        ao_dir = -grad
-        ao_dir = jnp.where(
-            jnp.any(jnp.abs(ao_dir) > 0.0, axis=-1, keepdims=True), ao_dir, local
-        )
-        ao_dir_world = math3d.normalize(
-            math3d.transform_vector(ao_dir, world)
-        )
-        irradiance = sh_lib.eval_irradiance(sh_coeffs, ao_dir_world)
+        gx, gy, gz = density_gradient_soa(volumes, tex_idx, u, v, w)
+        ax_, ay_, az_ = -gx, -gy, -gz
+        zero_grad = (jnp.abs(ax_) + jnp.abs(ay_) + jnp.abs(az_)) <= 0.0
+        ax_ = jnp.where(zero_grad, lx, ax_)
+        ay_ = jnp.where(zero_grad, ly_, ay_)
+        az_ = jnp.where(zero_grad, lz, az_)
+        # to world (rotation part of `world`)
+        awx = ax_ * world[0, 0] + ay_ * world[1, 0] + az_ * world[2, 0]
+        awy = ax_ * world[0, 1] + ay_ * world[1, 1] + az_ * world[2, 1]
+        awz = ax_ * world[0, 2] + ay_ * world[1, 2] + az_ * world[2, 2]
+        inv = jax.lax.rsqrt(jnp.maximum(awx * awx + awy * awy + awz * awz, 1e-20))
+        awx, awy, awz = awx * inv, awy * inv, awz * inv
+        # SH irradiance per channel without a trailing-3 array
+        nrm = jnp.stack([awx, awy, awz], 0)  # (3, L, L, L) channel-leading
+        irr = sh_lib.eval_irradiance(
+            sh_coeffs, jnp.moveaxis(nrm, 0, -1)
+        )  # (L, L, L, 3) transient
+        irr_r, irr_g, irr_b = irr[..., 0], irr[..., 1], irr[..., 2]
     else:
-        ao_dir_world = jnp.zeros_like(world_pos)
-        irradiance = jnp.zeros((l, l, l, 3), jnp.float32)
+        awx = awy = awz = jnp.zeros_like(wx)
+        irr_r = irr_g = irr_b = jnp.zeros_like(wx)
 
-    light_dir_world = light_pos[:3]  # directional (no _POINT_LIGHT_)
+    ldx, ldy, ldz = light_pos[0], light_pos[1], light_pos[2]  # directional
 
     # March through every volume in the scene (`CSRayMarchL.hlsl:77-110`).
     def per_volume(carry, inputs):
         shadow_c, ao_c = carry
         world_i_n, tex_n, is_self = inputs
 
-        origin_n = math3d.transform_point3(world_pos, world_i_n)
+        m = world_i_n
+        onx = wx * m[0, 0] + wy * m[1, 0] + wz * m[2, 0] + m[3, 0]
+        ony = wx * m[0, 1] + wy * m[1, 1] + wz * m[2, 1] + m[3, 1]
+        onz = wx * m[0, 2] + wy * m[1, 2] + wz * m[2, 2] + m[3, 2]
         tex_b = jnp.broadcast_to(tex_n, (l, l, l)).astype(jnp.int32)
 
         # directional-light transmittance
-        ldir = math3d.normalize(
-            math3d.transform_vector(light_dir_world, world_i_n)
+        lvx = ldx * m[0, 0] + ldy * m[1, 0] + ldz * m[2, 0]
+        lvy = ldx * m[0, 1] + ldy * m[1, 1] + ldz * m[2, 1]
+        lvz = ldx * m[0, 2] + ldy * m[1, 2] + ldz * m[2, 2]
+        linv = jax.lax.rsqrt(jnp.maximum(lvx * lvx + lvy * lvy + lvz * lvz, 1e-20))
+        lvx, lvy, lvz = lvx * linv, lvy * linv, lvz * linv
+        lvxb = jnp.broadcast_to(lvx, onx.shape)
+        lvyb = jnp.broadcast_to(lvy, onx.shape)
+        lvzb = jnp.broadcast_to(lvz, onx.shape)
+
+        cx, cy, cz, hit = raymarch.compute_ray_origin_soa(
+            onx, ony, onz, lvxb, lvyb, lvzb
         )
-        ldir_b = jnp.broadcast_to(ldir, origin_n.shape)
-        o_clip, hit = raymarch.compute_ray_origin(origin_n, ldir_b)
         active = has_density & hit & (shadow_c >= ZERO_THRESHOLD)
         shadow_c = cast_light_ray(
-            volumes, tex_b, o_clip, ldir_b, shadow_c, step_scale,
-            max_light_samples, active,
+            volumes, tex_b, (cx, cy, cz), (lvxb, lvyb, lvzb), shadow_c,
+            step_scale, max_light_samples, active,
         )
 
         if has_light_probe:
-            adir = math3d.normalize(
-                math3d.transform_vector(ao_dir_world, world_i_n)
+            avx = awx * m[0, 0] + awy * m[1, 0] + awz * m[2, 0]
+            avy = awx * m[0, 1] + awy * m[1, 1] + awz * m[2, 1]
+            avz = awx * m[0, 2] + awy * m[1, 2] + awz * m[2, 2]
+            ainv = jax.lax.rsqrt(jnp.maximum(avx * avx + avy * avy + avz * avz, 1e-20))
+            avx, avy, avz = avx * ainv, avy * ainv, avz * ainv
+            c2x, c2y, c2z, hit2 = raymarch.compute_ray_origin_soa(
+                onx, ony, onz, avx, avy, avz
             )
-            o2, hit2 = raymarch.compute_ray_origin(origin_n, adir)
             active2 = has_density & hit2
             transm = cast_light_ray(
-                volumes, tex_b, o2, adir, jnp.ones((l, l, l), jnp.float32),
+                volumes, tex_b, (c2x, c2y, c2z), (avx, avy, avz),
+                jnp.ones((l, l, l), jnp.float32),
                 step_scale, max_light_samples, active2,
             )
             transm = jnp.where(active2, transm, 1.0)
@@ -246,11 +274,20 @@ def ray_march_light(
     if has_light_probe:
         # Empty voxels never compute irradiance in the reference
         # (`CSRayMarchL.hlsl:58-75`): their ambient term is zero.
-        amb_term = jnp.where(
-            has_density[..., None], ao[..., None] * irradiance, 0.0
-        )
+        amb_r = jnp.where(has_density, ao * irr_r, 0.0)
+        amb_g = jnp.where(has_density, ao * irr_g, 0.0)
+        amb_b = jnp.where(has_density, ao * irr_b, 0.0)
     else:
-        amb_term = jnp.broadcast_to(amb, (l, l, l, 3))
+        amb_r = jnp.full((l, l, l), amb[0])
+        amb_g = jnp.full((l, l, l), amb[1])
+        amb_b = jnp.full((l, l, l), amb[2])
 
-    new_map = shadow[..., None] * lcol + amb_term
+    new_map = jnp.stack(
+        [
+            shadow * lcol[0] + amb_r,
+            shadow * lcol[1] + amb_g,
+            shadow * lcol[2] + amb_b,
+        ],
+        axis=-1,
+    )
     return light_maps.at[vid].set(new_map.astype(light_maps.dtype))

@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multivolumes_tpu.config import RenderConfig
 from multivolumes_tpu.core import math3d, sh as sh_lib
@@ -35,12 +36,15 @@ from multivolumes_tpu.core.halton import halton_jitter
 from multivolumes_tpu.render import composite
 
 _ZQ = float(1 << 24)  # depth quantization for the uint z-buffer
-_BIG = jnp.uint32(0xFFFFFFFF)
+# plain numpy scalar: a jnp constant here would initialize JAX backends at
+# import time, locking the platform before the app can force CPU
+_BIG = np.uint32(0xFFFFFFFF)
 
 
 class MeshOutput(NamedTuple):
-    color: jnp.ndarray        # (H, W, 4)
-    velocity: jnp.ndarray     # (H, W, 2)
+    color: tuple              # (r, g, b) scalar fields (H, W)
+    valid: jnp.ndarray        # (H, W) bool — mesh covers the pixel
+    velocity: tuple           # (vx, vy) scalar fields (H, W)
     depth: jnp.ndarray        # (H, W) clip z (1 = empty)
     shadow: jnp.ndarray       # (Sm, Sm) light-view clip z
     shadow_vp: jnp.ndarray    # (4, 4)
@@ -225,12 +229,14 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
         state.sh_coeffs, state.radiance, shadow_depth,
         has_light_probe=config.has_light_probe,
     )
-    color = jnp.where(valid[..., None], color, 0.0)
-    velocity = jnp.where(valid[..., None], velocity, 0.0)
+    zero = jnp.zeros_like(depth)
+    col = tuple(jnp.where(valid, color[..., c], zero) for c in range(3))
+    vel = tuple(jnp.where(valid, velocity[..., c], zero) for c in range(2))
 
     return MeshOutput(
-        color=color,
-        velocity=velocity,
+        color=col,
+        valid=valid,
+        velocity=vel,
         depth=depth,
         shadow=shadow_depth,
         shadow_vp=s_vp,
@@ -267,11 +273,15 @@ def shade_base_pass(ws_pos, normal, ls_pos, cs_pos, ts_pos, eye,
     if has_light_probe:
         r = 2.0 * jnp.sum(v * n, -1, keepdims=True) * n - v  # reflect(-V, N)
         size = radiance.shape[1]
-        rad = composite.sample_cube(
-            radiance[None],
-            jnp.zeros(r.shape[:-1], jnp.int32),
-            r,
-            jnp.full(r.shape[:-1], size, jnp.int32),
+        rad_cm = jnp.moveaxis(radiance, -1, 1)[None]  # (1, 6, 3, R, R)
+        rad = jnp.stack(
+            composite.sample_cube_soa(
+                rad_cm,
+                jnp.zeros(r.shape[:-1], jnp.int32),
+                r[..., 0], r[..., 1], r[..., 2],
+                jnp.full(r.shape[:-1], size, jnp.int32),
+            ),
+            -1,
         )
     else:
         rad = jnp.zeros_like(ws_pos)

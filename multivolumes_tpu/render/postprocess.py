@@ -22,13 +22,24 @@ def tone_map(color):
     return c
 
 
+def tone_map_ch(r, g, b):
+    """Per-channel-field variant of `tone_map` (SoA hot path)."""
+
+    def f(x):
+        x = x * 1.05 / (x + 0.7)
+        return jnp.power(jnp.abs(x), 1.25)
+
+    return f(r), f(g), f(b)
+
+
 def render_environment(radiance, screen_to_world, eye, width: int, height: int):
-    """Sky color for every pixel: (6, R, R, 3) cube -> (H, W, 3)."""
-    _xy, ray_dir = composite.screen_rays(width, height, screen_to_world, eye)
+    """Sky color for every pixel: (6, R, R, 3) cube -> 3 x (H, W) fields."""
+    _xy, (dx, dy, dz) = composite.screen_rays(width, height, screen_to_world, eye)
     n = radiance.shape[1]
-    vol_id = jnp.zeros(ray_dir.shape[:-1], jnp.int32)
-    n_eff = jnp.full(ray_dir.shape[:-1], n, jnp.int32)
-    return composite.sample_cube(radiance[None], vol_id, ray_dir, n_eff)
+    vol_id = jnp.zeros(dx.shape, jnp.int32)
+    n_eff = jnp.full(dx.shape, n, jnp.int32)
+    rad = jnp.moveaxis(radiance, -1, 1)[None]  # (1, 6, 3, R, R)
+    return composite.sample_cube_soa(rad, vol_id, dx, dy, dz, n_eff)
 
 
 def srgb_encode(c):

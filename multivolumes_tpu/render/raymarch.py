@@ -11,9 +11,14 @@ and scene-depth occlusion (`GetTMax`).
 This module is the *reference-faithful* formulation: a `lax.while_loop`
 over sample steps carrying (t, scatter, prev_density, done) for all rays of
 all volumes at once, with gather-based trilinear sampling. It defines the
-semantics the Pallas plane-sweep kernels (`multivolumes_tpu.ops.pallas`)
-must reproduce, and doubles as the CPU/interpret-mode twin (the rebuild's
+semantics the plane-sweep path (`multivolumes_tpu.render.sweep`) must
+reproduce, and doubles as the CPU/interpret-mode twin (the rebuild's
 analog of the reference's WARP software-device path).
+
+TPU layout: everything is structure-of-arrays — rays are tuples of scalar
+fields (x, y, z / r, g, b, a as separate (...,) arrays), never (..., 3)
+vectors. TPU tiling pads a trailing dim of 3 or 4 to 128 lanes (a 32x
+memory blowup); with SoA every buffer tiles perfectly on its spatial dims.
 
 GPU-driven dispatch in the reference (`ExecuteIndirect` over the compacted
 visible list / D3D12 work graphs, `MultiRayCaster.cpp:1329-1438`) becomes
@@ -25,92 +30,110 @@ while-loop early-out still ends the work when every live ray terminates.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from multivolumes_tpu.config import SharedConsts
 from multivolumes_tpu.core import math3d
-from multivolumes_tpu.ops import trilinear
-from multivolumes_tpu.ops.trilinear import indexed_trilinear
+from multivolumes_tpu.ops.trilinear import indexed_trilinear_soa
 from multivolumes_tpu.render.cull import CullResult
 from multivolumes_tpu.render.perframe import PerObject
 
 ABSORPTION = SharedConsts.ABSORPTION
 ZERO_THRESHOLD = SharedConsts.ZERO_THRESHOLD
 MAX_DIST = SharedConsts.MAX_DIST
+FLT_MAX = 3.402823466e38
 
 
-def get_local_pos(pos2d, face):
-    """Interior-face texel -> local-space position on the unit cube.
+# ---------------------------------------------------------------------------
+# SoA geometry helpers (xyz as separate scalar fields)
+# ---------------------------------------------------------------------------
 
-    Port of `GetLocalPos` (`CSRayMarch.hlsl:28-53`). pos2d: (..., 2) texel
-    coords already normalized to [-1, 1] with y flipped; face: (...,) int.
+def _safe(d, eps=1e-12):
+    return jnp.where(jnp.abs(d) > eps, d, jnp.where(d >= 0, eps, -eps))
+
+
+def get_local_pos_soa(px, py, face):
+    """Interior-face texel -> local position (x, y, z) tuple.
+
+    Port of `GetLocalPos` (`CSRayMarch.hlsl:28-53`); face may broadcast.
     """
-    px, py = pos2d[..., 0], pos2d[..., 1]
     one = jnp.ones_like(px)
-    candidates = jnp.stack(
-        [
-            jnp.stack([one, py, -px], -1),     # +X
-            jnp.stack([-one, py, px], -1),     # -X
-            jnp.stack([px, one, -py], -1),     # +Y
-            jnp.stack([px, -one, py], -1),     # -Y
-            jnp.stack([px, py, one], -1),      # +Z
-            jnp.stack([-px, py, -one], -1),    # -Z
-        ],
-        axis=0,
-    )
-    return jnp.take_along_axis(
-        candidates, face[None, ..., None].astype(jnp.int32), axis=0
-    )[0]
+    fx = [one, -one, px, px, px, -px]
+    fy = [py, py, one, -one, py, py]
+    fz = [-px, px, -py, py, one, -one]
+
+    def sel(cands):
+        out = cands[0]
+        for i in range(1, 6):
+            out = jnp.where(face == i, cands[i], out)
+        return out
+
+    return sel(fx), sel(fy), sel(fz)
 
 
-def compute_ray_origin(ray_origin, ray_dir, eps: float = 1e-12):
-    """Clip the ray start to the unit box (`ComputeRayOrigin`,
-    `RayMarch.hlsli:128-155`). Returns (new_origin, is_hit)."""
-    inside = jnp.all(jnp.abs(ray_origin) <= 1.0, axis=-1)
+def compute_ray_origin_soa(ox, oy, oz, dx, dy, dz):
+    """Clip ray start to the unit box (`ComputeRayOrigin`,
+    `RayMarch.hlsli:128-155`). SoA in, SoA out + hit mask."""
+    inside = (jnp.abs(ox) <= 1.0) & (jnp.abs(oy) <= 1.0) & (jnp.abs(oz) <= 1.0)
 
-    safe_dir = jnp.where(jnp.abs(ray_dir) > eps, ray_dir, jnp.where(ray_dir >= 0, eps, -eps))
-    u = (-jnp.sign(safe_dir) - ray_origin) / safe_dir  # (..., 3)
-
-    # For each slab axis i, the hit point's other two coords must be in-box.
-    p = ray_origin[..., None, :] + ray_dir[..., None, :] * u[..., :, None]  # (...,3,3)
-    in_box = jnp.abs(p) <= 1.0 + 1e-6
-    axis_ok = jnp.ones(u.shape, bool)
-    # exclude the slab axis itself from the check (it is exactly +-1)
+    comps = ((ox, dx), (oy, dy), (oz, dz))
+    big = jnp.full_like(ox, FLT_MAX)
+    best_u = big
+    any_hit = jnp.zeros_like(inside)
     for i in range(3):
-        j, k = (i + 1) % 3, (i + 2) % 3
-        axis_ok = axis_ok.at[..., i].set(in_box[..., i, j] & in_box[..., i, k])
-    valid = (u >= 0.0) & axis_ok & (jnp.abs(ray_dir) > eps)
+        o_i, d_i = comps[i]
+        u = (-jnp.sign(_safe(d_i)) - o_i) / _safe(d_i)
+        ok = (u >= 0.0) & (jnp.abs(d_i) > 1e-12)
+        for j in range(3):
+            if j == i:
+                continue
+            o_j, d_j = comps[j]
+            ok = ok & (jnp.abs(d_j * u + o_j) <= 1.0 + 1e-6)
+        best_u = jnp.where(ok & (u < best_u), u, best_u)
+        any_hit = any_hit | ok
 
-    big = jnp.asarray(3.402823466e38, ray_origin.dtype)
-    uu = jnp.where(valid, u, big)
-    U = jnp.min(uu, axis=-1)
-    is_hit = jnp.any(valid, axis=-1)
-
-    clipped = jnp.clip(ray_origin + ray_dir * U[..., None], -1.0, 1.0)
-    new_origin = jnp.where(inside[..., None], ray_origin, clipped)
-    return new_origin, inside | is_hit
-
-
-def compute_target_hit(ray_origin, target, ray_dir, eps: float = 1e-12):
-    """Ray parameter at which the ray reaches the target texel
-    (`ComputeTargetHit`, `RayMarch.hlsli:160-165`)."""
-    safe_dir = jnp.where(jnp.abs(ray_dir) > eps, ray_dir, jnp.where(ray_dir >= 0, eps, -eps))
-    u = (target - ray_origin) / safe_dir
-    return jnp.max(u, axis=-1)
+    u = jnp.where(any_hit, best_u, 0.0)
+    cx = jnp.clip(ox + dx * u, -1.0, 1.0)
+    cy = jnp.clip(oy + dy * u, -1.0, 1.0)
+    cz = jnp.clip(oz + dz * u, -1.0, 1.0)
+    nx = jnp.where(inside, ox, cx)
+    ny = jnp.where(inside, oy, cy)
+    nz = jnp.where(inside, oz, cz)
+    return nx, ny, nz, inside | any_hit
 
 
-def get_t_max(clip_pos, ray_origin, ray_dir, world_view_proj_i, eps: float = 1e-12):
+def compute_target_hit_soa(ox, oy, oz, tx, ty, tz, dx, dy, dz):
+    """`ComputeTargetHit` (`RayMarch.hlsli:160-165`)."""
+    ux = (tx - ox) / _safe(dx)
+    uy = (ty - oy) / _safe(dy)
+    uz = (tz - oz) / _safe(dz)
+    return jnp.maximum(jnp.maximum(ux, uy), uz)
+
+
+def get_t_max_soa(cx, cy, cz, ox, oy, oz, dx, dy, dz, wvp_i):
     """Occluded end point from a scene-depth sample (`GetTMax`,
-    `RayMarch.hlsli:82-97`). clip_pos: (..., 3) ndc xy + depth z."""
-    h = math3d.transform_point(clip_pos, world_view_proj_i)
-    pos = h[..., :3] / h[..., 3:4]
-    safe_dir = jnp.where(jnp.abs(ray_dir) > eps, ray_dir, jnp.where(ray_dir >= 0, eps, -eps))
-    t = (pos - ray_origin) / safe_dir
-    t_occ = jnp.max(t, axis=-1)
-    return jnp.where(clip_pos[..., 2] >= 1.0, jnp.asarray(3.402823466e38, t_occ.dtype), t_occ)
+    `RayMarch.hlsli:82-97`). clip pos (cx, cy, cz=z); wvp_i: (..., 4, 4)
+    broadcastable row-vector inverse matrix."""
+    hw = cx * wvp_i[..., 0, 3] + cy * wvp_i[..., 1, 3] + cz * wvp_i[..., 2, 3] + wvp_i[..., 3, 3]
+    hw = _safe(hw, 1e-20)
+
+    def unproj(col):
+        return (
+            cx * wvp_i[..., 0, col]
+            + cy * wvp_i[..., 1, col]
+            + cz * wvp_i[..., 2, col]
+            + wvp_i[..., 3, col]
+        ) / hw
+
+    px, py, pz = unproj(0), unproj(1), unproj(2)
+    tx = (px - ox) / _safe(dx)
+    ty = (py - oy) / _safe(dy)
+    tz = (pz - oz) / _safe(dz)
+    t = jnp.maximum(jnp.maximum(tx, ty), tz)
+    return jnp.where(cz >= 1.0, FLT_MAX, t)
 
 
 def get_step(d_density, transm, density, step_scale):
@@ -121,85 +144,103 @@ def get_step(d_density, transm, density, step_scale):
     return step_scale * jnp.maximum(1.5 * factor_ev * factor_ui * factor_th, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# The march
+# ---------------------------------------------------------------------------
+
 class MarchResult(NamedTuple):
-    scatter: jnp.ndarray  # (..., 4) premultiplied scatter + inv transmittance
-    steps: jnp.ndarray    # () int32 — global step count actually executed
+    r: jnp.ndarray
+    g: jnp.ndarray
+    b: jnp.ndarray
+    a: jnp.ndarray
+    steps: jnp.ndarray
 
 
 def march_scatter(
-    sample_fn: Callable,
-    light_fn: Callable,
-    ray_origin,            # (..., 3) already clipped to the box
-    ray_dir,               # (..., 3)
+    sample_fn: Callable,   # (u, v, w) -> (cr, cg, cb, density)
+    light_fn: Callable,    # (u, v, w) -> (lr, lg, lb)
+    origin,                # (ox, oy, oz) scalar fields, box-clipped
+    direction,             # (dx, dy, dz)
     t_max,                 # (...,)
-    smp_count,             # (...,) int32 per-ray sample budget
-    step_scale,            # (...,) base step length
+    smp_count,             # (...,) int32
+    step_scale,            # (...,)
     max_steps: int,
-    active,                # (...,) bool — rays to march at all
+    active,                # (...,) bool
     adaptive: bool = True,
 ) -> MarchResult:
     """Front-to-back scatter accumulation — the inner loop of
-    `CSRayMarch.hlsl:112-155` with break -> done-mask semantics and a global
-    all-done early-out (`lax.while_loop`)."""
+    `CSRayMarch.hlsl:112-155` with break -> done-mask semantics and a
+    global all-done early-out (`lax.while_loop`)."""
+    ox, oy, oz = origin
+    dx, dy, dz = direction
     shape = t_max.shape
-    f32 = ray_origin.dtype
+    f32 = ox.dtype
 
     def cond(carry):
-        i, _t, _sc, _pd, done = carry
+        i = carry[0]
+        done = carry[-1]
         return (i < max_steps) & ~jnp.all(done)
 
     def body(carry):
-        i, t, scatter, prev_density, done = carry
-        pos = ray_origin + ray_dir * t[..., None]
-        out_of_box = jnp.any(jnp.abs(pos) > 1.0, axis=-1)
+        i, t, sr, sg, sb, sa, prev_density, done = carry
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        out_of_box = (jnp.abs(px) > 1.0) | (jnp.abs(py) > 1.0) | (jnp.abs(pz) > 1.0)
         done = done | out_of_box | (i >= smp_count)
 
-        uvw = pos * 0.5 + 0.5
-        color = sample_fn(uvw)
-        density = color[..., 3]
+        u = px * 0.5 + 0.5
+        v = py * 0.5 + 0.5
+        w = pz * 0.5 + 0.5
+        cr, cg, cb, density = sample_fn(u, v, w)
         occupied = density > ZERO_THRESHOLD
 
-        transm = 1.0 - scatter[..., 3]
-        light = light_fn(uvw)
+        transm = 1.0 - sa
+        lr, lg, lb = light_fn(u, v, w)
 
-        d_density = density - prev_density
         if adaptive:
             new_step = jnp.where(
                 occupied,
-                get_step(d_density, transm, density, step_scale),
+                get_step(density - prev_density, transm, density, step_scale),
                 step_scale,
             )
         else:
             new_step = jnp.broadcast_to(step_scale, shape).astype(f32)
 
-        rgb = color[..., :3] * density[..., None] * light
-        contrib = (
-            jnp.concatenate([rgb, density[..., None]], -1)
-            * (ABSORPTION * transm)[..., None]
-        )
+        k = ABSORPTION * transm
         do_acc = occupied & ~done
-        scatter = scatter + jnp.where(do_acc[..., None], contrib, 0.0)
+        kk = jnp.where(do_acc, k, 0.0)
+        sr = sr + cr * density * lr * kk
+        sg = sg + cg * density * lg * kk
+        sb = sb + cb * density * lb * kk
+        sa = sa + density * kk
         prev_density = jnp.where(do_acc, density, prev_density)
         done = done | (occupied & (transm < ZERO_THRESHOLD))
 
         t = jnp.where(done, t, t + new_step)
         done = done | (t > t_max)
-        return (i + 1, t, scatter, prev_density, done)
+        return (i + 1, t, sr, sg, sb, sa, prev_density, done)
 
-    init = (
-        jnp.asarray(0, jnp.int32),
-        jnp.zeros(shape, f32),
-        jnp.zeros(shape + (4,), f32),
-        jnp.zeros(shape, f32),
-        ~active,
-    )
-    i, _t, scatter, _pd, _done = jax.lax.while_loop(cond, body, init)
-    return MarchResult(scatter=scatter, steps=i)
+    z = jnp.zeros(shape, f32)
+    init = (jnp.asarray(0, jnp.int32), z, z, z, z, z, z, ~active)
+    out = jax.lax.while_loop(cond, body, init)
+    _i, _t, sr, sg, sb, sa = out[0], out[1], out[2], out[3], out[4], out[5]
+    return MarchResult(r=sr, g=sg, b=sb, a=sa, steps=_i)
 
 
 class CubeMaps(NamedTuple):
-    color: jnp.ndarray  # (N, 6, S, S, 4)
+    color: jnp.ndarray  # (N, 6, 4, S, S) — channel-mid so minor dims tile
     depth: jnp.ndarray  # (N, 6, S, S) clip-space z of the scene behind
+
+
+def _transform_point_soa(x, y, z, m):
+    """Row-vector transform of SoA points; m (..., 4, 4) broadcastable.
+    Returns (hx, hy, hz, hw)."""
+    hx = x * m[..., 0, 0] + y * m[..., 1, 0] + z * m[..., 2, 0] + m[..., 3, 0]
+    hy = x * m[..., 0, 1] + y * m[..., 1, 1] + z * m[..., 2, 1] + m[..., 3, 1]
+    hz = x * m[..., 0, 2] + y * m[..., 1, 2] + z * m[..., 2, 2] + m[..., 3, 2]
+    hw = x * m[..., 0, 3] + y * m[..., 1, 3] + z * m[..., 2, 3] + m[..., 3, 3]
+    return hx, hy, hz, hw
 
 
 def ray_march_view(
@@ -217,9 +258,8 @@ def ray_march_view(
     """March every visible volume's cube map. Returns color + depth maps.
 
     Dense equivalent of the `rayMarchV` ExecuteIndirect pass
-    (`MultiRayCaster.cpp:1329-1368`): volume/face/texel predication stands
-    in for the compacted dispatch. Per-volume LOD marches the texel grid at
-    the mip resolution S >> mip, stored in the top-left corner of the
+    (`MultiRayCaster.cpp:1329-1368`). Per-volume LOD marches the texel grid
+    at the mip resolution S >> mip, stored in the top-left corner of the
     full-resolution buffer (consumers rescale UVs by S_mip/S).
     """
     n = vol_tex_ids.shape[0]
@@ -227,87 +267,127 @@ def ray_march_view(
 
     eye_local = math3d.transform_point3(eye, per_object.world_i)  # (N,3)
 
-    mip = cull.mip_level  # (N,)
+    mip = cull.mip_level
     s_mip = (s >> jnp.minimum(mip, 31)).astype(jnp.float32)  # (N,)
 
     ij = jnp.arange(s, dtype=jnp.float32)
-    jj, ii = jnp.meshgrid(ij, ij, indexing="ij")  # (S,S): jj = y/row, ii = x/col
+    jj, ii = jnp.meshgrid(ij, ij, indexing="ij")
 
-    # Texel -> [-1,1] at the mip resolution; y flipped (`CSRayMarch.hlsl:33-34`)
-    px = (ii[None] + 0.5) / s_mip[:, None, None] * 2.0 - 1.0  # (N,S,S)
-    py = -((jj[None] + 0.5) / s_mip[:, None, None] * 2.0 - 1.0)
-    texel_valid = (ii[None] < s_mip[:, None, None]) & (jj[None] < s_mip[:, None, None])
+    # (N, 6, S, S) ray grids — SoA throughout.
+    sm = s_mip[:, None, None, None]
+    px = (ii[None, None] + 0.5) / sm * 2.0 - 1.0
+    py = -((jj[None, None] + 0.5) / sm * 2.0 - 1.0)
+    texel_valid = (ii[None, None] < sm) & (jj[None, None] < sm)
 
-    pos2d = jnp.stack([px, py], -1)  # (N,S,S,2)
-    faces = jnp.arange(6, dtype=jnp.int32)
-    target = jax.vmap(
-        lambda f: get_local_pos(pos2d, jnp.broadcast_to(f, pos2d.shape[:-1])),
-        out_axes=1,
-    )(faces)  # (N,6,S,S,3)
+    face = jnp.arange(6, dtype=jnp.int32)[None, :, None, None]
+    tx, ty, tz = get_local_pos_soa(px, py, face)
 
-    origin0 = jnp.broadcast_to(eye_local[:, None, None, None, :], target.shape)
-    ray_dir = math3d.normalize(target - origin0)
-    origin, is_hit = compute_ray_origin(origin0, ray_dir)
+    ex = eye_local[:, 0, None, None, None]
+    ey = eye_local[:, 1, None, None, None]
+    ez = eye_local[:, 2, None, None, None]
+    ox = jnp.broadcast_to(ex, tx.shape)
+    oy = jnp.broadcast_to(ey, tx.shape)
+    oz = jnp.broadcast_to(ez, tx.shape)
 
-    t_max = compute_target_hit(origin, target, ray_dir)
+    dxu, dyu, dzu = tx - ox, ty - oy, tz - oz
+    inv_len = jax.lax.rsqrt(jnp.maximum(dxu * dxu + dyu * dyu + dzu * dzu, 1e-20))
+    dx, dy, dz = dxu * inv_len, dyu * inv_len, dzu * inv_len
 
-    face_ok = cull.face_mask[:, :, None, None]  # (N,6,1,1)
+    ox, oy, oz, is_hit = compute_ray_origin_soa(ox, oy, oz, dx, dy, dz)
+    t_max = compute_target_hit_soa(ox, oy, oz, tx, ty, tz, dx, dy, dz)
+
     active = (
         is_hit
-        & face_ok
-        & texel_valid[:, None]
+        & cull.face_mask[:, :, None, None]
+        & texel_valid
         & cull.visible[:, None, None, None]
         & cull.use_cube_map[:, None, None, None]
     )
 
-    # Scene-depth occlusion (`GetClipPos` + `GetTMax`,
-    # `CSRayMarch.hlsl:102-107`): project a point slightly inside the
-    # volume, read scene depth (point sampler), clamp the march.
     if depth_map is not None:
-        probe = origin + 0.01 * ray_dir
-        h = math3d.transform_point(
-            probe, per_object.world_view_proj[:, None, None, None]
-        )
-        xy = h[..., :2] / h[..., 3:4]
-        uv = xy * 0.5 + 0.5
-        uv = uv.at[..., 1].set(1.0 - uv[..., 1])
-        z = trilinear.sample_point(depth_map, uv)
-        clip_pos = jnp.concatenate([xy, z[..., None]], -1)
+        prx, pry, prz = ox + 0.01 * dx, oy + 0.01 * dy, oz + 0.01 * dz
+        wvp = per_object.world_view_proj[:, None, None, None]
+        hx, hy, _hz, hw = _transform_point_soa(prx, pry, prz, wvp)
+        hw = _safe(hw, 1e-20)
+        cx, cy = hx / hw, hy / hw
+        uu = cx * 0.5 + 0.5
+        vv = 1.0 - (cy * 0.5 + 0.5)
+        hd, wd = depth_map.shape
+        xi = jnp.clip((uu * wd).astype(jnp.int32), 0, wd - 1)
+        yi = jnp.clip((vv * hd).astype(jnp.int32), 0, hd - 1)
+        z = depth_map[yi, xi]
         cube_depth = z
-        t_max = jnp.minimum(
-            t_max,
-            get_t_max(clip_pos, origin, ray_dir,
-                      per_object.world_view_proj_i[:, None, None, None]),
+        t_occ = get_t_max_soa(
+            cx, cy, z, ox, oy, oz, dx, dy, dz,
+            per_object.world_view_proj_i[:, None, None, None],
         )
+        t_max = jnp.minimum(t_max, t_occ)
     else:
-        cube_depth = jnp.ones(target.shape[:-1], jnp.float32)
+        cube_depth = jnp.ones(tx.shape, jnp.float32)
 
-    smp_count = jnp.broadcast_to(
-        cull.smp_count[:, None, None, None], active.shape
-    )
+    smp_count = jnp.broadcast_to(cull.smp_count[:, None, None, None], tx.shape)
     step_scale = MAX_DIST / jnp.maximum(smp_count.astype(jnp.float32), 1.0)
 
-    # Pointwise gathers with the texture id as an index coordinate — never
-    # materializes a per-volume copy of the source stack.
     tex_idx = jnp.broadcast_to(
-        vol_tex_ids[:, None, None, None], active.shape
+        vol_tex_ids[:, None, None, None], tx.shape
     ).astype(jnp.int32)
     lm_idx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None, None, None], active.shape
+        jnp.arange(n, dtype=jnp.int32)[:, None, None, None], tx.shape
     )
 
-    def sample_fn(uvw):
-        return indexed_trilinear(volumes, tex_idx, uvw)
+    def sample_fn(u, v, w):
+        return indexed_trilinear_soa(volumes, tex_idx, u, v, w)
 
-    def light_fn(uvw):
-        return indexed_trilinear(light_maps, lm_idx, uvw)
+    def light_fn(u, v, w):
+        return indexed_trilinear_soa(light_maps, lm_idx, u, v, w)
 
-    result = march_scatter(
-        sample_fn, light_fn, origin, ray_dir, t_max,
+    res = march_scatter(
+        sample_fn, light_fn, (ox, oy, oz), (dx, dy, dz), t_max,
         smp_count, step_scale, max_steps, active, adaptive,
     )
-    scatter = result.scatter
-    scatter = scatter.at[..., :3].mul(1.0 / (2.0 * math.pi))
-    scatter = jnp.where(active[..., None], scatter, 0.0)
+    inv2pi = 1.0 / (2.0 * math.pi)
+    zero = jnp.zeros_like(res.a)
+    color = jnp.stack(
+        [
+            jnp.where(active, res.r * inv2pi, zero),
+            jnp.where(active, res.g * inv2pi, zero),
+            jnp.where(active, res.b * inv2pi, zero),
+            jnp.where(active, res.a, zero),
+        ],
+        axis=2,
+    )
+    return CubeMaps(color=color, depth=cube_depth)
 
-    return CubeMaps(color=scatter, depth=cube_depth)
+
+# --- AoS compatibility wrappers (setup-time use and tests) -----------------
+
+def compute_ray_origin(ray_origin, ray_dir):
+    """AoS wrapper over compute_ray_origin_soa: (..., 3) in/out."""
+    ox, oy, oz, hit = compute_ray_origin_soa(
+        ray_origin[..., 0], ray_origin[..., 1], ray_origin[..., 2],
+        ray_dir[..., 0], ray_dir[..., 1], ray_dir[..., 2],
+    )
+    return jnp.stack([ox, oy, oz], -1), hit
+
+
+def get_t_max(clip_pos, ray_origin, ray_dir, world_view_proj_i):
+    """AoS wrapper over get_t_max_soa."""
+    return get_t_max_soa(
+        clip_pos[..., 0], clip_pos[..., 1], clip_pos[..., 2],
+        ray_origin[..., 0], ray_origin[..., 1], ray_origin[..., 2],
+        ray_dir[..., 0], ray_dir[..., 1], ray_dir[..., 2],
+        world_view_proj_i,
+    )
+
+
+def compute_target_hit(ray_origin, target, ray_dir):
+    return compute_target_hit_soa(
+        ray_origin[..., 0], ray_origin[..., 1], ray_origin[..., 2],
+        target[..., 0], target[..., 1], target[..., 2],
+        ray_dir[..., 0], ray_dir[..., 1], ray_dir[..., 2],
+    )
+
+
+def get_local_pos(pos2d, face):
+    x, y, z = get_local_pos_soa(pos2d[..., 0], pos2d[..., 1], face)
+    return jnp.stack([x, y, z], -1)

@@ -142,109 +142,124 @@ def face_ray_params(eye_f, u, v, s_max=None):
     return SweepParams(s_in=s_in, s_end=s_end, ray_len=ray_len, active=active)
 
 
-def sweep_face(
-    vol_oriented,     # (D, H, W, 4) oriented density (face frame)
-    light_oriented,   # (Dl, Hl, Wl, 3) oriented light map
-    eye_f,            # (3,) eye in face frame
-    params: SweepParams,  # (S, S) fields
-    smp_count,        # () per-volume sample budget (sets stepScale)
+def sweep_batched(
+    volumes_oriented,   # (N_src, 6, D, H, W, 4)
+    light_oriented,     # (N, 6, Dl, Hl, Wl, 3)
+    vol_tex_ids,        # (N,)
+    eye_faces,          # (N, 6, 3)
+    params: SweepParams,  # fields (N, 6, S, S)
+    smp_count,          # (N,)
+    run_mask,           # (N, 6) which faces to march
     num_planes: int,
-    size: int,        # S: output resolution
+    size: int,
     dtype=jnp.float32,
 ):
-    """Sweep one volume-face: -> (S, S, 4) scatter (pre 1/2pi)."""
-    d, h, w = vol_oriented.shape[0], vol_oriented.shape[1], vol_oriented.shape[2]
-    dl, hl, wl = light_oriented.shape[0], light_oriented.shape[1], light_oriented.shape[2]
+    """March all (volume, face) pairs as one batched plane scan.
 
-    eu, ev, ew = eye_f[0], eye_f[1], eye_f[2]
+    The batch axis B = N*6 rides the MXU's batched-matmul path; each scan
+    step does per-channel slab gathers and two batched einsums.
+    Returns (N, 6, 4, S, S) scatter (channel-mid, see CubeMaps).
+    """
+    n = vol_tex_ids.shape[0]
+    b = n * 6
+    d, h, w = volumes_oriented.shape[2:5]
+    dl, hl, wl = light_oriented.shape[2:5]
+
+    eye_b = eye_faces.reshape(b, 3)
+    eu, ev, ew = eye_b[:, 0], eye_b[:, 1], eye_b[:, 2]
     ew_c = jnp.clip(ew, -1.0, 1.0)
-    delta = (1.0 - ew_c) / num_planes
+    delta = (1.0 - ew_c) / num_planes                      # (B,)
     inv_gz = 1.0 / jnp.maximum(1.0 - ew, 1e-6)
 
+    tex_b = jnp.repeat(vol_tex_ids.astype(jnp.int32), 6)   # (B,)
+    lm_b = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 6)
+    face_b = jnp.tile(jnp.arange(6, dtype=jnp.int32), n)
+
     u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size * 2.0 - 1.0
-    v = -u  # pv = -((j+0.5)/S*2-1); row i maps to pv = -coord
+    v = -u
 
-    step_scale = MAX_DIST / jnp.maximum(smp_count.astype(jnp.float32), 1.0)
-    ds = delta * inv_gz                       # per-plane s increment
-    f_corr = ds * params.ray_len / step_scale  # (S,S) opacity correction
+    s_in = params.s_in.reshape(b, size, size)
+    s_end = params.s_end.reshape(b, size, size)
+    ray_len = params.ray_len.reshape(b, size, size)
+    ray_ok = params.active.reshape(b, size, size) & run_mask.reshape(b)[:, None, None]
 
-    log_absorb_base = None  # computed per plane
+    step_scale = MAX_DIST / jnp.maximum(
+        jnp.repeat(smp_count, 6).astype(jnp.float32), 1.0
+    )                                                       # (B,)
+    ds = delta * inv_gz                                     # (B,)
+    f_corr = (ds[:, None, None] * ray_len) / step_scale[:, None, None]
+
+    def interp_b(coords, nn):
+        """(B, S) continuous coords -> (B, S, nn) interp matrices."""
+        t = jax.lax.broadcasted_iota(jnp.float32, (1, size, nn), 2)
+        c = jnp.clip(coords, 0.0, nn - 1.0)[..., None]
+        return jnp.maximum(1.0 - jnp.abs(c - t), 0.0).astype(dtype)
+
+    def slab_at(stack, idx0, w_k, dd, n_ch):
+        """Lerp two adjacent slices per batch element, channel-first:
+        -> (B, C, H', W'). Per-channel gathers keep every buffer's minor
+        dims spatial (see raymarch.py layout note)."""
+        zc = (w_k * 0.5 + 0.5) * dd - 0.5
+        z0 = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, dd - 1)
+        z1 = jnp.clip(z0 + 1, 0, dd - 1)
+        fz = jnp.clip(zc - jnp.floor(zc), 0.0, 1.0).astype(dtype)
+        outs = []
+        for ci in range(n_ch):
+            ch = stack[..., ci]
+            s0 = ch[idx0, face_b, z0]
+            s1 = ch[idx0, face_b, z1]
+            outs.append(s0 * (1 - fz[:, None, None]) + s1 * fz[:, None, None])
+        return jnp.stack(outs, 1)  # (B, C, H, W)
 
     def body(carry, k):
-        transm, scatter = carry
-        w_k = ew_c + (k.astype(jnp.float32) + 0.5) * delta
-        s_k = (w_k - ew) * inv_gz
+        transm, sr, sg, sb, sa = carry
+        w_k = ew_c + (k.astype(jnp.float32) + 0.5) * delta      # (B,)
+        s_k = (w_k - ew) * inv_gz                               # (B,)
 
-        # plane positions: pu = eu + s(u - eu), pv similar (affine)
-        pu = eu + s_k * (u - eu)           # (S,)
-        pv = ev + s_k * (v - ev)           # (S,)
+        pu = eu[:, None] + s_k[:, None] * (u[None, :] - eu[:, None])  # (B,S)
+        pv = ev[:, None] + s_k[:, None] * (v[None, :] - ev[:, None])
 
-        # density slab at pw = w_k (slice along oriented axis 0)
-        zc = (w_k * 0.5 + 0.5) * d - 0.5
-        z0 = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, d - 1)
-        z1 = jnp.clip(z0 + 1, 0, d - 1)
-        fz = jnp.clip(zc - jnp.floor(zc), 0.0, 1.0).astype(dtype)
-        slab = (
-            jax.lax.dynamic_index_in_dim(vol_oriented, z0, 0, keepdims=False)
-            * (1 - fz)
-            + jax.lax.dynamic_index_in_dim(vol_oriented, z1, 0, keepdims=False) * fz
-        )  # (H, W, 4)
-
-        wx = _interp_matrix((pu * 0.5 + 0.5) * w - 0.5, w, dtype)  # (S, W)
-        wy = _interp_matrix((pv * 0.5 + 0.5) * h - 0.5, h, dtype)  # (S, H)
-        tmp = jnp.einsum("jw,hwc->hjc", wx, slab,
+        slab = slab_at(volumes_oriented, tex_b, w_k, d, 4)      # (B,4,H,W)
+        wx = interp_b((pu * 0.5 + 0.5) * w - 0.5, w)            # (B,S,W)
+        wy = interp_b((pv * 0.5 + 0.5) * h - 0.5, h)            # (B,S,H)
+        tmp = jnp.einsum("bjw,bchw->bchj", wx, slab.astype(dtype),
                          preferred_element_type=jnp.float32)
-        plane = jnp.einsum("ih,hjc->ijc", wy, tmp.astype(dtype),
-                           preferred_element_type=jnp.float32)  # (S, S, 4)
+        plane = jnp.einsum("bih,bchj->bcij", wy, tmp.astype(dtype),
+                           preferred_element_type=jnp.float32)  # (B,4,S,S)
 
-        # light slab (same geometry, light-map resolution)
-        zcl = (w_k * 0.5 + 0.5) * dl - 0.5
-        zl0 = jnp.clip(jnp.floor(zcl).astype(jnp.int32), 0, dl - 1)
-        zl1 = jnp.clip(zl0 + 1, 0, dl - 1)
-        fzl = jnp.clip(zcl - jnp.floor(zcl), 0.0, 1.0).astype(dtype)
-        lslab = (
-            jax.lax.dynamic_index_in_dim(light_oriented, zl0, 0, keepdims=False)
-            * (1 - fzl)
-            + jax.lax.dynamic_index_in_dim(light_oriented, zl1, 0, keepdims=False)
-            * fzl
-        )
-        wxl = _interp_matrix((pu * 0.5 + 0.5) * wl - 0.5, wl, dtype)
-        wyl = _interp_matrix((pv * 0.5 + 0.5) * hl - 0.5, hl, dtype)
-        tmpl = jnp.einsum("jw,hwc->hjc", wxl, lslab,
+        lslab = slab_at(light_oriented, lm_b, w_k, dl, 3)
+        wxl = interp_b((pu * 0.5 + 0.5) * wl - 0.5, wl)
+        wyl = interp_b((pv * 0.5 + 0.5) * hl - 0.5, hl)
+        tmpl = jnp.einsum("bjw,bchw->bchj", wxl, lslab.astype(dtype),
                           preferred_element_type=jnp.float32)
-        light = jnp.einsum("ih,hjc->ijc", wyl, tmpl.astype(dtype),
-                           preferred_element_type=jnp.float32)  # (S, S, 3)
+        light = jnp.einsum("bih,bchj->bcij", wyl, tmpl.astype(dtype),
+                           preferred_element_type=jnp.float32)  # (B,3,S,S)
 
-        rho = jnp.clip(plane[..., 3], 0.0, 1.0)
-        occupied = rho > ZERO_THRESHOLD
-        live = (
-            occupied
-            & (s_k >= params.s_in)
-            & (s_k <= params.s_end)
-            & params.active
-        )
+        rho = jnp.clip(plane[:, 3], 0.0, 1.0)                   # (B,S,S)
+        sk = s_k[:, None, None]
+        live = (rho > ZERO_THRESHOLD) & (sk >= s_in) & (sk <= s_end) & ray_ok
 
         t_mult = jnp.exp2(
             f_corr * jnp.log2(jnp.maximum(1.0 - rho * ABSORPTION, 1e-7))
         )
         t_mult = jnp.where(live, t_mult, 1.0)
 
-        c_unit = jnp.concatenate(
-            [plane[..., :3] * light, jnp.ones_like(rho)[..., None]], -1
-        )
-        contrib = c_unit * (transm * (1.0 - t_mult))[..., None]
-        scatter = scatter + jnp.where(live[..., None], contrib, 0.0)
+        amt = transm * (1.0 - t_mult)                           # (B,S,S)
+        zero = jnp.zeros_like(amt)
+        sr = sr + jnp.where(live, plane[:, 0] * light[:, 0] * amt, zero)
+        sg = sg + jnp.where(live, plane[:, 1] * light[:, 1] * amt, zero)
+        sb = sb + jnp.where(live, plane[:, 2] * light[:, 2] * amt, zero)
+        sa = sa + jnp.where(live, amt, zero)
         transm = transm * t_mult
-        return (transm, scatter), None
+        return (transm, sr, sg, sb, sa), None
 
-    init = (
-        jnp.ones((size, size), jnp.float32),
-        jnp.zeros((size, size, 4), jnp.float32),
-    )
-    (_transm, scatter), _ = jax.lax.scan(
+    z0_ = jnp.zeros((b, size, size), jnp.float32)
+    init = (jnp.ones((b, size, size), jnp.float32), z0_, z0_, z0_, z0_)
+    (_t, sr, sg, sb, sa), _ = jax.lax.scan(
         body, init, jnp.arange(num_planes, dtype=jnp.int32)
     )
-    return scatter
+    scatter = jnp.stack([sr, sg, sb, sa], 1)  # (B,4,S,S)
+    return scatter.reshape(n, 6, 4, size, size)
 
 
 def ray_march_view_sweep(
@@ -256,13 +271,12 @@ def ray_march_view_sweep(
     eye,
     depth_map,            # (Hd, Wd) or None
     cube_map_size: int,
-    max_steps: int,
     num_planes: int | None = None,
     dtype=jnp.float32,
 ) -> CubeMaps:
     """Sweep-march every (volume, face) cube map. Output contract matches
-    `raymarch.ray_march_view` at full-resolution mip 0 (LOD texel layout
-    handled by the caller via cull.smp_count; mips marched full-res)."""
+    `raymarch.ray_march_view` marched at mip 0 (consumers should treat the
+    maps as full-resolution; LOD still drives the scheme decision)."""
     n = vol_tex_ids.shape[0]
     s = cube_map_size
     k = num_planes or s
@@ -270,13 +284,9 @@ def ray_march_view_sweep(
     eye_local = math3d.transform_point3(eye, per_object.world_i)  # (N, 3)
     eye_faces = eye_to_face_frames(eye_local)                     # (N, 6, 3)
 
-    # Ray end bound from scene depth (GetClipPos/GetTMax equivalent) and
-    # cube depth output, computed in the original local frame.
     u = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s * 2.0 - 1.0
     v = -u
 
-    # target points per face in face frame are (u_j, v_i, 1); compute
-    # occlusion s_max by probing the scene depth through the WVP.
     if depth_map is not None:
         s_max, cube_depth = _occlusion_s_max(
             per_object, eye_local, eye_faces, depth_map, s
@@ -285,76 +295,84 @@ def ray_march_view_sweep(
         s_max = None
         cube_depth = jnp.ones((n, 6, s, s), jnp.float32)
 
-    def per_volume_face(nf):
-        ni = nf // 6
-        fi = nf % 6
-        eye_f = eye_faces[ni, fi]
-        prm = face_ray_params(
-            eye_f, u, v, None if s_max is None else s_max[ni, fi]
-        )
-        vol_o = volumes_oriented[vol_tex_ids[ni], fi]
-        light_o = light_maps_oriented[ni, fi]
-        scatter = sweep_face(
-            vol_o, light_o, eye_f, prm, cull.smp_count[ni], k, s, dtype
-        )
-        run = (
-            cull.visible[ni]
-            & cull.use_cube_map[ni]
-            & cull.face_mask[ni, fi]
-        )
-        return jnp.where(run, 1.0, 0.0) * scatter
+    params = face_ray_params(
+        eye_faces.reshape(n * 6, 3), u, v,
+        None if s_max is None else s_max.reshape(n * 6, s, s),
+    )
+    params = SweepParams(*(x.reshape(n, 6, s, s) for x in params))
 
-    nf_idx = jnp.arange(n * 6)
-    scatter = jax.lax.map(per_volume_face, nf_idx)  # sequential over faces
-    scatter = scatter.reshape(n, 6, s, s, 4)
-    scatter = scatter.at[..., :3].mul(1.0 / (2.0 * math.pi))
+    run_mask = (
+        cull.face_mask
+        & cull.visible[:, None]
+        & cull.use_cube_map[:, None]
+    )
+
+    scatter = sweep_batched(
+        volumes_oriented, light_maps_oriented, vol_tex_ids, eye_faces,
+        params, cull.smp_count, run_mask, k, s, dtype,
+    )
+    scatter = scatter.at[:, :, :3].mul(1.0 / (2.0 * math.pi))
+    scatter = scatter * run_mask[:, :, None, None, None]
     return CubeMaps(color=scatter, depth=cube_depth)
 
 
 def _occlusion_s_max(per_object, eye_local, eye_faces, depth_map, s):
     """Scene-depth occlusion per texel, as the reference's GetClipPos +
     GetTMax (`CSRayMarch.hlsl:102-107`) but expressed in the sweep's
-    s-parameter. Also returns the cube depth maps (the sampled scene z)."""
+    s-parameter. Also returns the cube depth maps (the sampled scene z).
+
+    SoA throughout (see raymarch.py layout note)."""
     n = eye_local.shape[0]
-    u = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s * 2.0 - 1.0
+    ij = jnp.arange(s, dtype=jnp.float32)
+    jj, ii = jnp.meshgrid(ij, ij, indexing="ij")
+    px = (ii[None, None] + 0.5) / s * 2.0 - 1.0
+    py = -((jj[None, None] + 0.5) / s * 2.0 - 1.0)
+    px = jnp.broadcast_to(px, (n, 6, s, s))
+    py = jnp.broadcast_to(py, (n, 6, s, s))
 
-    # face-frame target -> local-frame target for all 6 faces
     from multivolumes_tpu.render.raymarch import (
-        get_local_pos, compute_ray_origin, compute_target_hit, get_t_max,
+        get_local_pos_soa, compute_ray_origin_soa, get_t_max_soa,
+        _transform_point_soa, _safe,
     )
 
-    jj, ii = jnp.meshgrid(u, u, indexing="ij")
-    pos2d = jnp.stack([ii, -jj], -1)  # (S,S,2): px, py(flipped)
-    faces = jnp.arange(6, dtype=jnp.int32)
-    target = jax.vmap(
-        lambda f: get_local_pos(pos2d, jnp.broadcast_to(f, pos2d.shape[:-1]))
-    )(faces)  # (6,S,S,3)
-    target = jnp.broadcast_to(target[None], (n, 6, s, s, 3))
+    face = jnp.arange(6, dtype=jnp.int32)[None, :, None, None]
+    tx, ty, tz = get_local_pos_soa(px, py, face)
 
-    origin0 = jnp.broadcast_to(eye_local[:, None, None, None, :], target.shape)
-    ray_dir = math3d.normalize(target - origin0)
-    origin, _hit = compute_ray_origin(origin0, ray_dir)
+    ex = eye_local[:, 0, None, None, None]
+    ey = eye_local[:, 1, None, None, None]
+    ez = eye_local[:, 2, None, None, None]
+    dxu, dyu, dzu = tx - ex, ty - ey, tz - ez
+    il = jax.lax.rsqrt(jnp.maximum(dxu * dxu + dyu * dyu + dzu * dzu, 1e-20))
+    dx, dy, dz = dxu * il, dyu * il, dzu * il
 
-    probe = origin + 0.01 * ray_dir
-    h4 = math3d.transform_point(
-        probe, per_object.world_view_proj[:, None, None, None]
+    ox = jnp.broadcast_to(ex, tx.shape)
+    oy = jnp.broadcast_to(ey, tx.shape)
+    oz = jnp.broadcast_to(ez, tx.shape)
+    ox, oy, oz, _hit = compute_ray_origin_soa(ox, oy, oz, dx, dy, dz)
+
+    prx, pry, prz = ox + 0.01 * dx, oy + 0.01 * dy, oz + 0.01 * dz
+    wvp = per_object.world_view_proj[:, None, None, None]
+    hx, hy, _hz, hw = _transform_point_soa(prx, pry, prz, wvp)
+    hw = _safe(hw, 1e-20)
+    cx, cy = hx / hw, hy / hw
+    uu = cx * 0.5 + 0.5
+    vv = 1.0 - (cy * 0.5 + 0.5)
+    hd, wd = depth_map.shape
+    xi = jnp.clip((uu * wd).astype(jnp.int32), 0, wd - 1)
+    yi = jnp.clip((vv * hd).astype(jnp.int32), 0, hd - 1)
+    z = depth_map[yi, xi]
+    t_max = get_t_max_soa(
+        cx, cy, z, ox, oy, oz, dx, dy, dz,
+        per_object.world_view_proj_i[:, None, None, None],
     )
-    xy = h4[..., :2] / jnp.maximum(jnp.abs(h4[..., 3:4]), 1e-20) * jnp.sign(h4[..., 3:4])
-    uv = xy * 0.5 + 0.5
-    uv = uv.at[..., 1].set(1.0 - uv[..., 1])
-    z = trilinear.sample_point(depth_map, uv)
-    clip_pos = jnp.concatenate([xy, z[..., None]], -1)
-    t_max = get_t_max(clip_pos, origin, ray_dir,
-                      per_object.world_view_proj_i[:, None, None, None])
 
-    # convert to s: s = (t + t_origin_offset)/L where origin != eye when the
-    # eye is outside — s parameter is measured from the *eye*:
-    # p = eye + s*(g - eye); t (reference) measured from the clipped origin
-    # along the unit dir. s_of_t = (|origin - eye| + t) / |g - eye|.
-    L = jnp.linalg.norm(target - jnp.broadcast_to(
-        eye_local[:, None, None, None, :], target.shape), axis=-1)
-    t0 = jnp.linalg.norm(origin - jnp.broadcast_to(
-        eye_local[:, None, None, None, :], target.shape), axis=-1)
+    # s is measured from the eye: p = eye + s*(g - eye); the reference's t
+    # is measured from the box-clipped origin along the unit direction:
+    # s_of_t = (|origin - eye| + t) / |g - eye|.
+    lx, ly_, lz = tx - ex, ty - ey, tz - ez
+    L = jnp.sqrt(lx * lx + ly_ * ly_ + lz * lz)
+    t0x, t0y, t0z = ox - ex, oy - ey, oz - ez
+    t0 = jnp.sqrt(t0x * t0x + t0y * t0y + t0z * t0z)
     s_max = (t0 + jnp.minimum(t_max, FLT_MAX)) / jnp.maximum(L, 1e-12)
     s_max = jnp.where(t_max >= FLT_MAX * 0.5, FLT_MAX, s_max)
     return s_max, z

@@ -8,15 +8,14 @@ Reinhard tonemap into YCoCg, variance-AABB neighborhood clamping with
 history-confidence gamma, anti-flicker contrast weighting, history
 metadata packed in alpha (4-bit counter), NaN guard.
 
-One vectorized pass over the full image (the 8x8 thread groups become
-shifted-array neighborhoods).
+TPU layout: channels are separate (H, W) scalar fields throughout (SoA);
+the persistent history is stored channel-leading (4, H, W). The 8x8
+thread groups of the reference become shifted-array neighborhoods.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
-
-from multivolumes_tpu.ops import trilinear
 
 _HISTORY_MAX = 15.0  # (1 << 4) - 1, `CSTemporalAA.hlsl:41-43`
 _ALPHA_BOUND = 1.0   # vcxproj override
@@ -28,106 +27,131 @@ _WEIGHTS = [0.5, 0.5, 0.5, 0.5, 0.25, 0.25, 0.25, 0.25]
 
 
 def _shift(img, dx: int, dy: int):
-    """img shifted so that out[y, x] = img[y + dy, x + dx], edge-clamped."""
-    h, w = img.shape[0], img.shape[1]
+    """out[y, x] = img[y + dy, x + dx], edge-clamped. img (H, W)."""
+    h, w = img.shape[-2], img.shape[-1]
     ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
     xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    return img[..., ys, :][..., :, xs]
 
 
-def rgb_to_ycocg(rgb):
-    y = rgb[..., 0] + 2.0 * rgb[..., 1] + rgb[..., 2]
-    co = 2.0 * rgb[..., 0] - 2.0 * rgb[..., 2]
-    cg = -rgb[..., 0] + 2.0 * rgb[..., 1] - rgb[..., 2]
-    return jnp.stack([y, co, cg], -1)
+def rgb_to_ycocg(r, g, b):
+    return (r + 2.0 * g + b, 2.0 * r - 2.0 * b, -r + 2.0 * g - b)
 
 
-def ycocg_to_rgb(c):
-    y, co, cg = c[..., 0] * 0.25, c[..., 1] * 0.25, c[..., 2] * 0.25
-    return jnp.stack([y + co - cg, y + cg, y - co - cg], -1)
+def ycocg_to_rgb(y, co, cg):
+    y, co, cg = y * 0.25, co * 0.25, cg * 0.25
+    return (y + co - cg, y + cg, y - co - cg)
 
 
-def tm(hdr):
+def tm(r, g, b):
     """Invertible Reinhard in YCoCg (`TM`, `CSTemporalAA.hlsl:106-114`)."""
-    c = rgb_to_ycocg(hdr)
-    return c / (4.0 + c[..., 0:1])
+    y, co, cg = rgb_to_ycocg(r, g, b)
+    inv = 1.0 / (4.0 + y)
+    return y * inv, co * inv, cg * inv
 
 
-def itm(c):
+def itm(y, co, cg):
     """Inverse (`ITM`, `CSTemporalAA.hlsl:119-128`)."""
-    c = c * (4.0 / (1.0 - c[..., 0:1]))
-    return ycocg_to_rgb(c)
+    s = 4.0 / (1.0 - y)
+    return ycocg_to_rgb(y * s, co * s, cg * s)
 
 
-def velocity_max(velocity):
+def velocity_max(vx, vy):
     """Center + 4 diagonal taps, keep the fastest (`VelocityMax`,
     `CSTemporalAA.hlsl:133-161`)."""
-    best = velocity
-    best_sq = jnp.sum(velocity * velocity, -1)
+    best_x, best_y = vx, vy
+    best_sq = vx * vx + vy * vy
     for dx, dy in _OFFSETS[4:]:
-        nb = _shift(velocity, dx, dy)
-        sq = jnp.sum(nb * nb, -1)
+        nx_ = _shift(vx, dx, dy)
+        ny_ = _shift(vy, dx, dy)
+        sq = nx_ * nx_ + ny_ * ny_
         take = sq > best_sq
-        best = jnp.where(take[..., None], nb, best)
+        best_x = jnp.where(take, nx_, best_x)
+        best_y = jnp.where(take, ny_, best_y)
         best_sq = jnp.maximum(sq, best_sq)
-    return best
+    return best_x, best_y
+
+
+def _sample_bilinear_ch(img, u, v):
+    """img (H, W), u/v (H, W) normalized -> (H, W). Linear clamp."""
+    h, w = img.shape
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx, fy = x - x0f, y - y0f
+
+    def cidx(vv, nn):
+        return jnp.clip(vv.astype(jnp.int32), 0, nn - 1)
+
+    x0, x1 = cidx(x0f, w), cidx(x0f + 1, w)
+    y0, y1 = cidx(y0f, h), cidx(y0f + 1, h)
+    c0 = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
+    c1 = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+    return c0 * (1 - fy) + c1 * fy
 
 
 def temporal_aa(current, history, velocity):
-    """current: (H, W, 4) scene color (alpha <= 0.9997 marks transparency);
-    history: (H, W, 4) previous output + metadata; velocity: (H, W, 2).
-    Returns (resolved (H, W, 4), new_history (H, W, 4))."""
-    h, w = current.shape[0], current.shape[1]
-    tex_size = jnp.array([w, h], jnp.float32)
+    """current: (r, g, b, a) scalar fields ((H, W) each; a <= 0.9997 marks
+    transparency); history: (4, H, W) channel-leading previous output +
+    metadata; velocity: (vx, vy) fields. Returns ((r, g, b) resolved,
+    new history (4, H, W))."""
+    cr, cg_, cb, ca = current
+    h, w = cr.shape
+    vx, vy = velocity
 
-    vel = velocity_max(velocity)
+    mvx, mvy = velocity_max(vx, vy)
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
     ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
     ug, vg = jnp.meshgrid(xs, ys, indexing="xy")
-    uv_back = jnp.stack([ug, vg], -1) - vel
-    hist = trilinear.sample_bilinear(history, uv_back)
+    ub, vb = ug - mvx, vg - mvy
+    hist = [_sample_bilinear_ch(history[c], ub, vb) for c in range(4)]
 
-    history_blur_amp = 4.0 * tex_size
-    blurs = jnp.abs(vel) * history_blur_amp
-    cur_history_blur = blurs[..., 0] + blurs[..., 1]
+    blur_x = jnp.abs(mvx) * (4.0 * w)
+    blur_y = jnp.abs(mvy) * (4.0 * h)
+    cur_history_blur = blur_x + blur_y
 
-    history_blur = jnp.maximum(1.0 - hist[..., 3], cur_history_blur)
-    hist_w = hist[..., 3] * _HISTORY_MAX + 1.0
+    history_blur = jnp.maximum(1.0 - hist[3], cur_history_blur)
+    hist_w = hist[3] * _HISTORY_MAX + 1.0
 
-    cur_tm = tm(current[..., :3])
-    cur_a = jnp.where(current[..., 3] < _ALPHA_BOUND, 0.0, 1.0)
-    gamma = jnp.where(
-        (history_blur > 0.0) | (current[..., 3] < _ALPHA_BOUND), 1.0, 16.0
-    )
+    cy, cco, ccg = tm(cr, cg_, cb)
+    cur_a = jnp.where(ca < _ALPHA_BOUND, 0.0, 1.0)
+    gamma = jnp.where((history_blur > 0.0) | (ca < _ALPHA_BOUND), 1.0, 16.0)
 
     # NeighborMinMax (`CSTemporalAA.hlsl:166-236`)
-    m1 = cur_tm
-    m2 = cur_tm * cur_tm
-    filtered_rgb = cur_tm
-    filtered_a = cur_a
+    m1 = [cy, cco, ccg]
+    m2 = [cy * cy, cco * cco, ccg * ccg]
+    filt = [cy, cco, ccg]
+    filt_a = cur_a
     for (dx, dy), wt in zip(_OFFSETS, _WEIGHTS):
-        nb = _shift(current, dx, dy)
-        nb_tm = tm(nb[..., :3])
-        nb_a = jnp.where(nb[..., 3] < _ALPHA_BOUND, 0.0, 1.0)
-        filtered_rgb = filtered_rgb + nb_tm * wt
-        filtered_a = filtered_a + nb_a * wt
-        m1 = m1 + nb_tm
-        m2 = m2 + nb_tm * nb_tm
-    filtered_rgb = filtered_rgb / 4.0
-    filtered_a = filtered_a / 4.0
+        nr = _shift(cr, dx, dy)
+        ng = _shift(cg_, dx, dy)
+        nb = _shift(cb, dx, dy)
+        na = _shift(ca, dx, dy)
+        ny, nco, ncg = tm(nr, ng, nb)
+        na = jnp.where(na < _ALPHA_BOUND, 0.0, 1.0)
+        for ci, nv in enumerate((ny, nco, ncg)):
+            filt[ci] = filt[ci] + nv * wt
+            m1[ci] = m1[ci] + nv
+            m2[ci] = m2[ci] + nv * nv
+        filt_a = filt_a + na * wt
+    filt = [f / 4.0 for f in filt]
+    filt_a = filt_a / 4.0
 
-    mu = m1 / 9.0
-    sigma = jnp.sqrt(jnp.abs(m2 / 9.0 - mu * mu))
-    gs = gamma[..., None] * sigma
-    n_min = jnp.minimum(mu - gs, filtered_rgb)
-    n_max = jnp.maximum(mu + gs, filtered_rgb)
-    n_min_w = (mu - sigma)[..., 0]
-    n_max_w = (mu + sigma)[..., 0]
+    mu = [m / 9.0 for m in m1]
+    sigma = [jnp.sqrt(jnp.abs(m2[c] / 9.0 - mu[c] * mu[c])) for c in range(3)]
+    n_min = [jnp.minimum(mu[c] - gamma * sigma[c], filt[c]) for c in range(3)]
+    n_max = [jnp.maximum(mu[c] + gamma * sigma[c], filt[c]) for c in range(3)]
+    n_min_w = mu[0] - sigma[0]
+    n_max_w = mu[0] + sigma[0]
 
     cur_history_blur = jnp.clip(cur_history_blur, 0.0, 1.0)
     history_blur = jnp.clip(history_blur, 0.0, 1.0)
 
-    hist_tm = jnp.clip(tm(hist[..., :3]), n_min, n_max)
+    hy, hco, hcg = tm(hist[0], hist[1], hist[2])
+    hist_tm = [
+        jnp.clip(v, n_min[c], n_max[c])
+        for c, v in enumerate((hy, hco, hcg))
+    ]
     contrast = n_max_w - n_min_w
 
     lum_contrast_factor = 32.0 * 4.0
@@ -135,25 +159,28 @@ def temporal_aa(current, history, velocity):
     add_alias = jnp.clip(
         add_alias + 1.0 / (1.0 + contrast * lum_contrast_factor), 0.0, 1.0
     )
-    filtered_rgb = (
-        filtered_rgb + (cur_tm - filtered_rgb) * add_alias[..., None]
-    )
+    cur_tm = (cy, cco, ccg)
+    filt = [
+        filt[c] + (cur_tm[c] - filt[c]) * add_alias for c in range(3)
+    ]
 
-    lum_hist = hist_tm[..., 0]
+    lum_hist = hist_tm[0]
     dist_to_clamp = jnp.minimum(
         jnp.abs(n_min_w - lum_hist), jnp.abs(n_max_w - lum_hist)
     )
     history_amt = jnp.minimum(1.0 / hist_w + history_blur / 8.0, 1.0)
     blend = 0.25 / (8.0 + (dist_to_clamp + contrast - 8.0) * history_amt)
     blend = jnp.minimum(blend, 0.25)
-    blend = jnp.where(filtered_a > 0.0, blend, 1.0)
+    blend = jnp.where(filt_a > 0.0, blend, 1.0)
 
-    result = itm(hist_tm + (filtered_rgb - hist_tm) * blend[..., None])
-    fallback = itm(filtered_rgb)
-    result = jnp.where(
-        jnp.any(jnp.isnan(result), -1, keepdims=True), fallback, result
-    )
+    mixed = [hist_tm[c] + (filt[c] - hist_tm[c]) * blend for c in range(3)]
+    rr, rg, rb = itm(*mixed)
+    fr, fg, fb = itm(*filt)
+    bad = jnp.isnan(rr) | jnp.isnan(rg) | jnp.isnan(rb)
+    rr = jnp.where(bad, fr, rr)
+    rg = jnp.where(bad, fg, rg)
+    rb = jnp.where(bad, fb, rb)
 
     meta = jnp.minimum(hist_w / _HISTORY_MAX, 1.0 - cur_history_blur)
-    out = jnp.concatenate([result, meta[..., None]], -1)
-    return out, out
+    new_history = jnp.stack([rr, rg, rb, meta], 0)
+    return (rr, rg, rb), new_history

@@ -64,7 +64,8 @@ class SceneState:
     ambient: jnp.ndarray          # (4,) rgb + intensity
 
     # TAA ping-pong state — `ObjectRenderer.m_temporalViews`
-    taa_history: jnp.ndarray      # (H, W, 4) color + history metadata in w
+    taa_history: jnp.ndarray      # (4, H, W) channel-leading color +
+                                  # history metadata in channel 3
 
     # Opaque mesh — `ObjectRenderer` + `XUSG::ObjLoader`
     mesh_verts: jnp.ndarray       # (V, 6) position + normal
@@ -157,7 +158,7 @@ def create_scene(config: RenderConfig,
         light_pos=light_pos,
         light_color=light_color,
         ambient=ambient,
-        taa_history=jnp.zeros((config.height, config.width, 4), jnp.float32),
+        taa_history=jnp.zeros((4, config.height, config.width), jnp.float32),
         mesh_verts=jnp.asarray(mesh_verts, jnp.float32),
         mesh_indices=jnp.asarray(mesh_indices, jnp.int32),
         mesh_world=mesh_world,

@@ -6,7 +6,6 @@ import jax.numpy as jnp
 
 import np_twin
 from multivolumes_tpu.render import raymarch
-from multivolumes_tpu.ops.trilinear import indexed_trilinear
 from multivolumes_tpu.scene import volume as volume_lib
 
 
@@ -66,14 +65,18 @@ def test_march_matches_numpy_twin():
     lm_stack = jnp.ones((1, 2, 2, 2, 3), jnp.float32) * 2.0
     zeros = jnp.zeros((n_rays,), jnp.int32)
 
+    from multivolumes_tpu.ops.trilinear import indexed_trilinear_soa
+
     march = jax.jit(lambda o, d, t, s, ss, a: raymarch.march_scatter(
-        lambda uvw: indexed_trilinear(vol_stack, zeros, uvw),
-        lambda uvw: indexed_trilinear(lm_stack, zeros, uvw),
-        o, d, t, s, ss, smp, a, adaptive=True,
+        lambda u, v, w: indexed_trilinear_soa(vol_stack, zeros, u, v, w),
+        lambda u, v, w: indexed_trilinear_soa(lm_stack, zeros, u, v, w),
+        (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]),
+        t, s, ss, smp, a, adaptive=True,
     ))
     res = march(o_clip, jnp.asarray(dirs), t_max, smp_count, step_scale,
                 jnp.asarray(hit))
-    got = np.array(res.scatter)
+    got = np.stack([np.asarray(res.r), np.asarray(res.g),
+                    np.asarray(res.b), np.asarray(res.a)], -1)
     got[:, :3] /= 2.0 * np.pi
 
     for i in range(n_rays):
@@ -100,12 +103,14 @@ def test_cast_light_ray_matches_twin():
 
     smp = 24
     step_scale = np_twin.MAX_DIST / smp
+    o = jnp.asarray(origins)
+    d = jnp.asarray(dirs)
     got = np.asarray(
         jax.jit(lightmarch.cast_light_ray, static_argnums=(6,))(
             jnp.asarray(vol)[None],
             jnp.zeros((n_rays,), jnp.int32),
-            jnp.asarray(origins),
-            jnp.asarray(dirs),
+            (o[:, 0], o[:, 1], o[:, 2]),
+            (d[:, 0], d[:, 1], d[:, 2]),
             jnp.ones((n_rays,), jnp.float32),
             jnp.asarray(step_scale, jnp.float32),
             smp,
