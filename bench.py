@@ -31,12 +31,14 @@ def main() -> None:
     from multivolumes_tpu.scene import state as state_lib
 
     if on_tpu:
-        # 4-volume demo config (all4.bat) at the reference's default window.
+        # 64-volume demo config (all64.bat) at the reference's default
+        # window — the BASELINE.md north-star workload.
         cfg = RenderConfig(
             width=1280, height=800, grid_size=128, light_grid_size=96,
             max_ray_samples=256, max_light_samples=96,
-            num_volumes=4, num_volume_srcs=4,
+            num_volumes=64, num_volume_srcs=10,
             cube_map_size=128, shadow_map_size=1024,
+            march_mode="reference",
         )
         frames = 8
     else:
@@ -45,6 +47,7 @@ def main() -> None:
             max_ray_samples=64, max_light_samples=16,
             num_volumes=4, num_volume_srcs=2,
             cube_map_size=32, shadow_map_size=64,
+            march_mode="reference",
         )
         frames = 3
 
@@ -72,7 +75,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"frame_fps_4vol_full_pipeline_{platform}",
+                "metric": f"frame_fps_64vol_full_pipeline_{platform}",
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 60.0, 4),

@@ -99,7 +99,9 @@ class MultiRayCaster:
 
     def set_mesh(self, path: str) -> None:
         """OBJ mesh + world placement (`ObjectRenderer::Init`)."""
-        mesh = io_obj.load_obj(path)
+        from multivolumes_tpu import native
+
+        mesh = native.load_obj_native(path) or io_obj.load_obj(path)
         mx, my, mz, ms = self.config.mesh_pos_scale
         self.state = dataclasses.replace(
             self.state,

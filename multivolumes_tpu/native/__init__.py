@@ -55,6 +55,7 @@ def get_lib():
         lib.mv_load_obj.restype = ctypes.c_int
         lib.mv_load_obj.argtypes = [
             ctypes.c_char_p,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
             ctypes.POINTER(ctypes.c_int64),
@@ -69,7 +70,7 @@ def get_lib():
         return _lib
 
 
-def load_obj_native(path: str):
+def load_obj_native(path: str, for_dx: bool = True):
     """Fast OBJ load; returns io_obj.Mesh or None if unavailable/failed."""
     lib = get_lib()
     if lib is None:
@@ -80,7 +81,8 @@ def load_obj_native(path: str):
     t_count = ctypes.c_int64()
     aabb = (ctypes.c_float * 6)()
     rc = lib.mv_load_obj(
-        path.encode(), ctypes.byref(verts_p), ctypes.byref(idx_p),
+        path.encode(), 1 if for_dx else 0,
+        ctypes.byref(verts_p), ctypes.byref(idx_p),
         ctypes.byref(v_count), ctypes.byref(t_count), aabb,
     )
     if rc != 0:

@@ -62,8 +62,9 @@ extern "C" {
 // Load a Wavefront OBJ: positions + accumulated unit normals, triangulated
 // fan faces, AABB. Returns 0 on success. Buffers are malloc'd; release
 // with mv_free.
-int mv_load_obj(const char* path, float** out_verts, int32_t** out_indices,
-                int64_t* out_v_count, int64_t* out_t_count, float* out_aabb) {
+int mv_load_obj(const char* path, int for_dx, float** out_verts,
+                int32_t** out_indices, int64_t* out_v_count,
+                int64_t* out_t_count, float* out_aabb) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     fseek(f, 0, SEEK_END);
@@ -91,6 +92,7 @@ int mv_load_obj(const char* path, float** out_verts, int32_t** out_indices,
             Float3 v{};
             if (parse_float(q, end, v.x) && parse_float(q, end, v.y) &&
                 parse_float(q, end, v.z)) {
+                if (for_dx) v.z = -v.z;  // XUSGObjLoader.cpp:198
                 pos.push_back(v);
             }
         } else if (p[0] == 'f' && p + 1 < end && (p[1] == ' ' || p[1] == '\t')) {
@@ -103,9 +105,16 @@ int mv_load_obj(const char* path, float** out_verts, int32_t** out_indices,
                 face.push_back(resolved);
             }
             for (size_t k = 1; k + 1 < face.size(); ++k) {
+                // for_dx flips winding (handedness conversion, see
+                // XUSGObjLoader.cpp:227)
                 idx.push_back(static_cast<int32_t>(face[0]));
-                idx.push_back(static_cast<int32_t>(face[k]));
-                idx.push_back(static_cast<int32_t>(face[k + 1]));
+                if (for_dx) {
+                    idx.push_back(static_cast<int32_t>(face[k + 1]));
+                    idx.push_back(static_cast<int32_t>(face[k]));
+                } else {
+                    idx.push_back(static_cast<int32_t>(face[k]));
+                    idx.push_back(static_cast<int32_t>(face[k + 1]));
+                }
             }
         }
         while (p < end && *p != '\n') ++p;

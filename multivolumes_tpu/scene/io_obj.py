@@ -28,7 +28,10 @@ class Mesh(NamedTuple):
         return float(np.max(self.aabb_max - self.aabb_min))
 
 
-def load_obj(path: str) -> Mesh:
+def load_obj(path: str, for_dx: bool = True) -> Mesh:
+    """for_dx mirrors the loader's handedness conversion
+    (`XUSGObjLoader.cpp:198,227`): negate z and flip triangle winding
+    (OBJ right-handed -> engine left-handed)."""
     positions: list[list[float]] = []
     faces: list[list[int]] = []
     normals_file: list[list[float]] = []
@@ -60,6 +63,12 @@ def load_obj(path: str) -> Mesh:
     v_count = pos.shape[0]
     idx = np.asarray(faces, np.int64)
     idx = np.where(idx > 0, idx - 1, v_count + idx).astype(np.int32)
+    if for_dx:
+        pos[:, 2] = -pos[:, 2]
+        idx = idx[:, [0, 2, 1]].copy()  # flip winding
+        if normals_file:
+            for nf in normals_file:
+                nf[2] = -nf[2]
 
     if normals_file and len(nidx) == len(faces):
         nrm_src = np.asarray(normals_file, np.float32)

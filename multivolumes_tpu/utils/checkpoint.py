@@ -1,0 +1,30 @@
+"""Checkpoint / resume for the scene state.
+
+The reference has none (SURVEY.md section 5: the closest artifact is the
+F11 PNG dump; scenes are reconstructible only from CLI flags). Here the
+whole `SceneState` is a pytree, so a checkpoint is a flat npz of its
+leaves — runs are resumable and deterministic (TAA history and the frame
+counter are part of the state).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from multivolumes_tpu.scene.state import SceneState
+
+_FIELDS = [f.name for f in dataclasses.fields(SceneState)]
+
+
+def save_scene(path: str, state: SceneState) -> None:
+    arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS}
+    np.savez_compressed(path, **arrays)
+
+
+def load_scene(path: str) -> SceneState:
+    with np.load(path) as data:
+        kwargs = {name: jax.numpy.asarray(data[name]) for name in _FIELDS}
+    return SceneState(**kwargs)

@@ -1,0 +1,144 @@
+"""Per-pass timing and profiling harness.
+
+The reference's profiling story is PIX captures + an FPS window title
+(SURVEY.md section 5). Here: each pipeline stage is jitted and timed
+separately with `block_until_ready` (compile excluded via warmup), plus a
+`jax.profiler` trace helper for deep dives.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+
+
+def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 5,
+            **kwargs) -> float:
+    """Median wall-clock ms of `fn(*args)` after warmup; blocks on outputs."""
+    jitted = jax.jit(fn) if not hasattr(fn, "lower") else fn
+    for _ in range(warmup):
+        jax.block_until_ready(jitted(*args, **kwargs))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jitted(*args, **kwargs))
+        times.append((time.perf_counter() - t0) * 1000.0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str = "/tmp/mv_trace"):
+    """`jax.profiler` trace context (open with TensorBoard / xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def profile_frame(state, camera, config, iters: int = 3) -> dict:
+    """Per-pass timing breakdown of the frame graph. Returns {pass: ms}.
+
+    Stages are timed as separate jits, so totals exceed the fused frame
+    time (XLA can overlap/fuse across passes in the real frame function) —
+    use for *relative* cost attribution.
+    """
+    import jax.numpy as jnp
+
+    from multivolumes_tpu.render import (
+        composite, cull as cull_lib, lightmarch, mesh as mesh_lib,
+        postprocess, raymarch, taa as taa_lib,
+    )
+    from multivolumes_tpu.render.perframe import build_per_object
+
+    results = {}
+    viewport = jnp.array([config.width, config.height], jnp.float32)
+
+    po = build_per_object(state.volume_worlds, camera.view_proj)
+
+    def cull_fn(worlds):
+        po_ = build_per_object(worlds, camera.view_proj)
+        return cull_lib.cull_volumes(
+            po_, camera.eye, viewport, config.max_ray_samples,
+            config.cube_map_size, config.num_cube_mips,
+        )
+
+    results["cull"] = time_fn(cull_fn, state.volume_worlds, iters=iters)
+    cull = jax.jit(cull_fn)(state.volume_worlds)
+
+    shadow_map = jnp.ones((config.shadow_map_size,) * 2, jnp.float32)
+    shadow_vp = mesh_lib.shadow_view_proj(state)
+    depth_map = jnp.ones((config.height, config.width), jnp.float32)
+
+    def light_fn(lm):
+        return lightmarch.ray_march_light(
+            state.volumes, state.vol_tex_ids, lm, po, cull,
+            state.frame_idx, shadow_map, shadow_vp, state.light_pos,
+            state.light_color, state.ambient, state.sh_coeffs,
+            config.max_light_samples, config.has_light_probe,
+        )
+
+    results["light_march"] = time_fn(light_fn, state.light_maps, iters=iters)
+    light_maps = jax.jit(light_fn)(state.light_maps)
+
+    if config.march_mode == "sweep":
+        from multivolumes_tpu.render import sweep as sweep_lib
+
+        vol_or = sweep_lib.orient_volumes(state.volumes)
+        lm_or = sweep_lib.orient_volumes(light_maps)
+
+        def march_fn(v, l):
+            return sweep_lib.ray_march_view_sweep(
+                v, state.vol_tex_ids, l, po, cull, camera.eye, depth_map,
+                config.cube_map_size, num_planes=config.sweep_planes,
+            )
+
+        results["view_march(sweep)"] = time_fn(march_fn, vol_or, lm_or,
+                                               iters=iters)
+        cube_maps = jax.jit(march_fn)(vol_or, lm_or)
+    else:
+        def march_fn(v, l):
+            return raymarch.ray_march_view(
+                v, state.vol_tex_ids, l, po, cull, camera.eye, depth_map,
+                config.cube_map_size, config.max_ray_samples,
+            )
+
+        results["view_march"] = time_fn(march_fn, state.volumes, light_maps,
+                                        iters=iters)
+        cube_maps = jax.jit(march_fn)(state.volumes, light_maps)
+
+    def comp_fn(cm_color, cm_depth):
+        cm = raymarch.CubeMaps(cm_color, cm_depth)
+        return composite.composite_oit(
+            cm, state.volumes, state.vol_tex_ids, light_maps, po, cull,
+            camera.eye, camera.screen_to_world, depth_map,
+            config.width, config.height, config.max_ray_samples,
+            num_layers=config.oit_layers,
+        )
+
+    results["oit_composite"] = time_fn(comp_fn, cube_maps.color,
+                                       cube_maps.depth, iters=iters)
+    vol_rgba = jax.jit(comp_fn)(cube_maps.color, cube_maps.depth)
+
+    def sky_fn():
+        return postprocess.render_environment(
+            state.radiance, camera.screen_to_world, camera.eye,
+            config.width, config.height,
+        )
+
+    results["sky"] = time_fn(sky_fn, iters=iters)
+
+    def taa_fn(cur_r, history):
+        zero = jnp.zeros_like(cur_r)
+        return taa_lib.temporal_aa(
+            (cur_r, cur_r, cur_r, jnp.minimum(cur_r, 0.9997)),
+            history, (zero, zero),
+        )
+
+    results["taa"] = time_fn(taa_fn, vol_rgba[0], state.taa_history,
+                             iters=iters)
+    return results

@@ -29,11 +29,15 @@ f 1 3 4
 """
     path = tmp_path / "tet.obj"
     path.write_text(obj)
-    mesh = io_obj.load_obj(str(path))
+    mesh = io_obj.load_obj(str(path), for_dx=False)
     assert mesh.vertices.shape == (4, 6)
     assert mesh.indices.shape == (4, 3)
     np.testing.assert_allclose(mesh.aabb_min, [0, 0, 0])
     np.testing.assert_allclose(mesh.aabb_max, [1, 1, 1])
+    # forDX conversion (XUSGObjLoader.cpp:198,227): z negated, winding flip
+    mesh_dx = io_obj.load_obj(str(path))
+    np.testing.assert_allclose(mesh_dx.vertices[:, 2], -mesh.vertices[:, 2])
+    assert (mesh_dx.indices[:, 1] == mesh.indices[:, 2]).all()
     assert abs(mesh.scene_size - 1.0) < 1e-6
     # normals are unit
     nl = np.linalg.norm(mesh.vertices[:, 3:], axis=-1)
