@@ -59,16 +59,23 @@ def main() -> None:
 
     step_jit = jax.jit(step)
 
+    import numpy as np
+
+    def sync(x):
+        # block_until_ready is not a real sync on tunneled runtimes; a
+        # readback is.
+        return float(np.asarray(x.ravel()[0]))
+
     # warmup / compile
     camera = cam_lib.orbit_camera(0.0, cfg.aspect_ratio)
     img, state = step_jit(state, camera)
-    img.block_until_ready()
+    sync(img)
 
     t0 = time.perf_counter()
     for f in range(frames):
         camera = cam_lib.orbit_camera((f + 1) / 60.0, cfg.aspect_ratio)
         img, state = step_jit(state, camera)
-    img.block_until_ready()
+    sync(img)
     dt = (time.perf_counter() - t0) / frames
 
     fps = 1.0 / dt

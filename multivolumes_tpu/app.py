@@ -44,6 +44,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--animate", action="store_true",
                    help="orbit camera ([A] hotkey)")
     p.add_argument("--no-taa", action="store_true")
+    p.add_argument("--march", choices=["sweep", "reference"], default="reference",
+                   help="view-march algorithm (see render/sweep.py)")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-frame cull/LOD stats (F1-style overlay)")
     p.add_argument("--out", type=str, default="frame.png")
     return p
 
@@ -65,6 +69,7 @@ def main(argv=None) -> None:
         num_volume_srcs=min(args.numVolumes, 10),
         vol_pos_scale=tuple(args.volume),
         mesh_pos_scale=tuple(args.meshPos),
+        march_mode=args.march,
     )
     engine = MultiRayCaster(cfg)
     if args.mesh:
@@ -80,7 +85,23 @@ def main(argv=None) -> None:
         t0 = time.time()
         img = engine.render(camera, use_taa=not args.no_taa)
         img.block_until_ready()
-        print(f"frame {f}: {(time.time() - t0) * 1000:.1f} ms")
+        msg = f"frame {f}: {(time.time() - t0) * 1000:.1f} ms"
+        if args.stats:
+            import jax
+            import jax.numpy as jnp
+
+            from multivolumes_tpu.render import cull as cull_lib
+            from multivolumes_tpu.render.perframe import build_per_object
+            from multivolumes_tpu.utils import stats as stats_lib
+
+            po = build_per_object(engine.state.volume_worlds, camera.view_proj)
+            cull = cull_lib.cull_volumes(
+                po, camera.eye,
+                jnp.array([cfg.width, cfg.height], jnp.float32),
+                cfg.max_ray_samples, cfg.cube_map_size, cfg.num_cube_mips,
+            )
+            msg += " | " + stats_lib.format_stats(stats_lib.frame_stats(cull))
+        print(msg)
 
     write_png(args.out, np.asarray(srgb_encode(img)))
     print(f"wrote {args.out}")

@@ -81,6 +81,10 @@ class RenderConfig:
     march_mode: str = "sweep"
     # Plane count for the sweep (None -> cube_map_size).
     sweep_planes: int | None = None
+    # Light-map algorithm: "sweep" = shear-warp transmittance propagation,
+    # all N maps per frame (render/lightsweep.py); "reference" =
+    # gather-march, 1 volume/frame (render/lightmarch.py).
+    light_mode: str = "sweep"
 
     @property
     def viewport(self) -> tuple[int, int]:

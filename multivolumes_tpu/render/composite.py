@@ -260,6 +260,7 @@ def composite_oit(
     max_steps: int,
     num_layers: int = SharedConsts.NUM_OIT_LAYERS,
     adaptive: bool = True,
+    use_raycast: bool = True,
 ):
     """Full OIT composite -> (r, g, b, a) premultiplied scene-space volume
     color fields, alpha clamped to 0.9997 (`PSResolveOIT.hlsl:23`)."""
@@ -335,6 +336,20 @@ def composite_oit(
         l_qx, l_qy, l_qz, l_dx, l_dy, l_dz, scene_b,
     )
 
+    if not use_raycast:
+        # Every volume shades from its cube map (the sweep marches all of
+        # them at full resolution, so the per-pixel fallback adds nothing
+        # but a 4M-ray gather march). Equivalent to the reference's
+        # non-adaptive mode (`CSVolumeCull.hlsl:69` useCubeMap = true).
+        lr, lg, lb, la = cc
+        store_ok = (la > 0.0) & (la <= 1.0) & layer_valid
+        zero = jnp.zeros_like(la)
+        lr = jnp.where(store_ok, lr, zero)
+        lg = jnp.where(store_ok, lg, zero)
+        lb = jnp.where(store_ok, lb, zero)
+        la = jnp.where(store_ok, la, zero)
+        return _underblend(lr, lg, lb, la, num_layers, height, width)
+
     # Per-pixel march fallback: pre-compute clipped origins and occlusion
     # bounds at the (N, H, W) level (broadcast matrices, no per-pixel 4x4
     # gathers), then gather scalar fields per layer.
@@ -371,8 +386,12 @@ def composite_oit(
     lb = jnp.where(store_ok, lb, zero)
     la = jnp.where(store_ok, la, zero)
 
-    # Front-to-back under-blend (`PSResolveOIT.hlsl:17-24`), K is tiny:
-    # unrolled accumulation over the leading axis.
+    return _underblend(lr, lg, lb, la, num_layers, height, width)
+
+
+def _underblend(lr, lg, lb, la, num_layers, height, width):
+    """Front-to-back under-blend (`PSResolveOIT.hlsl:17-24`); K is tiny so
+    the accumulation over the leading axis is unrolled."""
     accr = jnp.zeros((height, width), jnp.float32)
     accg = jnp.zeros_like(accr)
     accb = jnp.zeros_like(accr)
@@ -402,21 +421,49 @@ def _ray_cast_layers(volumes, l_tex, light_maps, layer_vol,
 
     from multivolumes_tpu.ops.trilinear import indexed_trilinear_soa
 
-    def sample_fn(u, v, w):
-        return indexed_trilinear_soa(volumes, l_tex, u, v, w)
+    k, h, w = ox.shape
 
-    def light_fn(u, v, w):
-        return indexed_trilinear_soa(light_maps, layer_vol, u, v, w)
+    def march_band(args):
+        b_ox, b_oy, b_oz, b_dx, b_dy, b_dz, b_tm, b_smp, b_ss, b_act, b_tex, b_vol = args
 
-    res = raymarch.march_scatter(
-        sample_fn, light_fn, (ox, oy, oz), (dx, dy, dz), t_max,
-        smp_count, step_scale, max_steps, active, adaptive,
-    )
+        def sample_fn(u, v, ww):
+            return indexed_trilinear_soa(volumes, b_tex, u, v, ww)
+
+        def light_fn(u, v, ww):
+            return indexed_trilinear_soa(light_maps, b_vol, u, v, ww)
+
+        res = raymarch.march_scatter(
+            sample_fn, light_fn, (b_ox, b_oy, b_oz), (b_dx, b_dy, b_dz),
+            b_tm, b_smp, b_ss, max_steps, b_act, adaptive,
+        )
+        return res.r, res.g, res.b, res.a
+
+    # Band the march over row chunks: very large single while-loops
+    # (K * H * W rays at full resolution) fault the TPU runtime; a
+    # sequential lax.map over row bands keeps the live set bounded and
+    # lets fully-inactive bands finish in one trip.
+    band = 200
+    if h % band != 0 or h <= band:
+        band = h  # fall back to one band for odd sizes
+
+    def reshape_band(a):
+        return a.reshape(k, h // band, band, w).swapaxes(0, 1)
+
+    fields = [ox, oy, oz, dx, dy, dz, t_max,
+              smp_count, step_scale, active, l_tex, layer_vol]
+    banded = [reshape_band(a) for a in fields]
+    rr, rg, rb, ra = jax.lax.map(march_band, tuple(banded))
+
+    def unband(a):
+        return a.swapaxes(0, 1).reshape(k, h, w)
+
+    rr, rg, rb, ra = unband(rr), unband(rg), unband(rb), unband(ra)
+
     inv2pi = 1.0 / (2.0 * math.pi)
-    zero = jnp.zeros_like(res.a)
+    zero = jnp.zeros_like(ra)
     return (
-        jnp.where(active, res.r * inv2pi, zero),
-        jnp.where(active, res.g * inv2pi, zero),
-        jnp.where(active, res.b * inv2pi, zero),
-        jnp.where(active, res.a, zero),
+        jnp.where(active, rr * inv2pi, zero),
+        jnp.where(active, rg * inv2pi, zero),
+        jnp.where(active, rb * inv2pi, zero),
+        jnp.where(active, ra, zero),
     )

@@ -90,29 +90,58 @@ def render_frame(
         adaptive=config.adaptive_raymarch,
     )
 
-    # --- light-space march: refresh one volume's light map per frame ----
-    light_maps = lightmarch.ray_march_light(
-        state.volumes,
-        state.vol_tex_ids,
-        state.light_maps,
-        per_object,
-        cull,
-        state.frame_idx,
-        shadow_map,
-        shadow_vp,
-        state.light_pos,
-        state.light_color,
-        state.ambient,
-        state.sh_coeffs,
-        config.max_light_samples,
-        has_light_probe=config.has_light_probe,
-    )
+    # --- light-space march ------------------------------------------------
+    if config.light_mode == "sweep":
+        from multivolumes_tpu.render import lightsweep
+
+        light_maps = lightsweep.ray_march_light_sweep(
+            state.volumes,
+            state.vol_tex_ids,
+            per_object,
+            cull,
+            shadow_map,
+            shadow_vp,
+            state.light_pos,
+            state.light_color,
+            state.ambient,
+            state.sh_coeffs,
+            config.light_grid_size,
+            config.max_light_samples,
+            has_light_probe=config.has_light_probe,
+        ).astype(state.light_maps.dtype)
+    else:
+        # reference semantics: gather march, one volume per frame
+        light_maps = lightmarch.ray_march_light(
+            state.volumes,
+            state.vol_tex_ids,
+            state.light_maps,
+            per_object,
+            cull,
+            state.frame_idx,
+            shadow_map,
+            shadow_vp,
+            state.light_pos,
+            state.light_color,
+            state.ambient,
+            state.sh_coeffs,
+            config.max_light_samples,
+            has_light_probe=config.has_light_probe,
+        )
 
     # --- view-space cube-map march ---------------------------------------
     if config.march_mode == "sweep":
         from multivolumes_tpu.render import sweep as sweep_lib
 
         dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
+        # the sweep marches every visible volume at full resolution; the
+        # adaptive per-pixel scheme is unnecessary (and would cost a 4M-ray
+        # gather march), so all volumes ride the cube-map path — the
+        # reference's non-adaptive mode (`CSVolumeCull.hlsl:69`).
+        cull_for_composite = cull._replace(
+            mip_level=jnp.zeros_like(cull.mip_level),
+            use_cube_map=cull.visible,
+        )
+        use_raycast = False
         vol_or = sweep_lib.orient_volumes(state.volumes.astype(dtype))
         lm_or = sweep_lib.orient_volumes(light_maps.astype(dtype))
         cube_maps = sweep_lib.ray_march_view_sweep(
@@ -120,16 +149,12 @@ def render_frame(
             state.vol_tex_ids,
             lm_or,
             per_object,
-            cull,
+            cull_for_composite,
             eye,
             depth_map,
             config.cube_map_size,
             num_planes=config.sweep_planes,
             dtype=dtype,
-        )
-        # the sweep writes full-resolution maps: composite at mip 0
-        cull_for_composite = cull._replace(
-            mip_level=jnp.zeros_like(cull.mip_level)
         )
     else:
         cube_maps = raymarch.ray_march_view(
@@ -145,6 +170,7 @@ def render_frame(
             adaptive=config.adaptive_raymarch,
         )
         cull_for_composite = cull
+        use_raycast = True
 
     # --- background: sky behind mesh -------------------------------------
     sky_r, sky_g, sky_b = postprocess.render_environment(
@@ -175,6 +201,7 @@ def render_frame(
         config.max_ray_samples,
         num_layers=config.oit_layers,
         adaptive=config.adaptive_raymarch,
+        use_raycast=use_raycast,
     )
     t = 1.0 - va
     sc_r = vr + t * bg_r

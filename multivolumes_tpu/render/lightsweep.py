@@ -1,0 +1,341 @@
+"""Sweep-based light maps: shear-warp transmittance propagation.
+
+TPU-native replacement for the gather-based light march
+(`render/lightmarch.py`, the port of `CSRayMarchL.hlsl` + `CastLightRay`):
+instead of marching a ray from every light-grid voxel toward the light
+through every volume (L^3 x N x samples dependent gathers — the N^2
+coupling), propagate transmittance slice by slice along the light
+direction's dominant axis:
+
+    T_k(u, v) = T_{k-1}(u - du, v - dv) * (1 - ABSORPTION*rho_{k-1})^f
+
+The per-slice lateral shift (du, dv) is constant, so the recurrence is two
+constant interp-matrix multiplies (MXU) and elementwise math per slice —
+zero gathers, O(L^3) total per volume. This computes every voxel's
+transmittance at once (the classic shear-warp shadow propagation), so all
+N light maps can refresh every frame instead of the reference's
+1-volume-per-frame amortization.
+
+Inter-volume shadowing: each volume's outgoing 2D opacity footprint is
+composited into a shared lateral occlusion map processed in light order
+(volumes sorted by their center's projection onto the light direction);
+each volume's boundary slice starts from that map — chains of occluders
+compose exactly as in the reference's through-all-volumes march, up to the
+slice discretization.
+
+Deviations from the reference (documented, tolerance-tested):
+- continuous opacity-corrected extinction instead of per-sample updates
+  (same model as render/sweep.py; equal at dt == stepScale);
+- ambient occlusion uses a short fixed-tap march along the density
+  gradient instead of a full per-volume AO ray fan (`CSRayMarchL.hlsl:
+  99-108`); inter-volume AO coupling approximated by the light-direction
+  occlusion map.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multivolumes_tpu.config import SharedConsts
+from multivolumes_tpu.ops.trilinear import indexed_trilinear_soa
+from multivolumes_tpu.render.cull import CullResult
+from multivolumes_tpu.render.lightmarch import shadow_test_soa
+from multivolumes_tpu.render.perframe import PerObject
+from multivolumes_tpu.core import sh as sh_lib
+
+ABSORPTION = SharedConsts.ABSORPTION
+ZERO_THRESHOLD = SharedConsts.ZERO_THRESHOLD
+MAX_DIST = SharedConsts.MAX_DIST
+
+
+def _interp_matrix_shift(n: int, shift, dtype=jnp.float32):
+    """(n, n) linear-resample matrix for a constant index shift.
+
+    out[i] = in[i - shift] with linear interpolation and clamp addressing;
+    shift is a traced scalar (fraction of a voxel per slice step).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.float32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (n, n), 1)
+    src = jnp.clip(rows - shift, 0.0, n - 1.0)
+    return jnp.maximum(1.0 - jnp.abs(src - cols), 0.0).astype(dtype)
+
+
+def _resample_matrix(n_out: int, n_in: int, scale, offset, dtype=jnp.float32):
+    """(n_out, n_in) linear resample: src coord = i*scale + offset."""
+    rows = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_in), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_in), 1)
+    src = jnp.clip(rows * scale + offset, 0.0, n_in - 1.0)
+    return jnp.maximum(1.0 - jnp.abs(src - cols), 0.0).astype(dtype)
+
+
+def densities_at_light_grid(volumes, l: int):
+    """Resample each source's density channel to the light grid:
+    (N_src, D, H, W, 4) -> (N_src, L, L, L). Separable matmuls."""
+    n_src, d, h, w = volumes.shape[:4]
+    rho = volumes[..., 3]  # (N_src, D, H, W)
+
+    def axis_mat(nn):
+        # light-grid voxel centers -> source texel coords
+        return _resample_matrix(l, nn, nn / l, 0.5 * nn / l - 0.5)
+
+    mz, my, mx = axis_mat(d), axis_mat(h), axis_mat(w)
+    out = jnp.einsum("ad,sdhw->sahw", mz, rho)
+    out = jnp.einsum("bh,sahw->sabw", my, out)
+    out = jnp.einsum("cw,sabw->sabc", mx, out)
+    return out  # (N_src, L, L, L) indexed [z, y, x]
+
+
+def _sweep_one_axis(rho_o, t_in, shift_u, shift_v, f_corr):
+    """Propagate transmittance through an oriented density grid.
+
+    rho_o: (L, Lv, Lu) slices along the sweep axis, slice 0 nearest the
+    light; t_in: (Lv, Lu) incoming transmittance; returns
+    (T field (L, Lv, Lu) — transmittance from the light to each voxel —
+    and the outgoing map (Lv, Lu))."""
+    l, lv, lu = rho_o.shape
+    mu = _interp_matrix_shift(lu, shift_u)
+    mv = _interp_matrix_shift(lv, shift_v)
+
+    def body(t_prev, rho_k):
+        # shift laterally (ray advection), then attenuate through slab k
+        shifted = mv @ t_prev @ mu.T
+        atten = jnp.exp2(
+            f_corr * jnp.log2(jnp.maximum(1.0 - rho_k * ABSORPTION, 1e-7))
+        )
+        t_here = shifted  # transmittance arriving AT slice k
+        t_next = shifted * atten
+        return t_next, t_here
+
+    t_out, t_field = jax.lax.scan(body, t_in, rho_o)
+    return t_field, t_out
+
+
+def light_transmittance(
+    rho_light,       # (N, L, L, L) density at each volume's light grid
+    per_object: PerObject,
+    light_dir_world,  # (3,) unit, pointing TOWARD the light
+    step_scale: float,
+):
+    """Per-volume transmittance fields toward the light, with inter-volume
+    occlusion chained through a shared lateral map.
+
+    Returns (N, L, L, L) transmittance (light -> voxel), the continuous
+    counterpart of the product of `CastLightRay` transmittances over all
+    volumes. Propagation between volumes is taken parallel to the sweep
+    axis (shadows between distant volumes land up to (l_lat/l_w * gap)
+    off-axis — a documented approximation).
+    """
+    n, l = rho_light.shape[0], rho_light.shape[1]
+    g = 2 * l  # global lateral occlusion map resolution
+
+    # Local light direction (volumes here are scale+translate, so the
+    # local direction equals the world direction for every volume).
+    wi = per_object.world_i
+    lx = (light_dir_world[0] * wi[:, 0, 0] + light_dir_world[1] * wi[:, 1, 0]
+          + light_dir_world[2] * wi[:, 2, 0])
+    ly = (light_dir_world[0] * wi[:, 0, 1] + light_dir_world[1] * wi[:, 1, 1]
+          + light_dir_world[2] * wi[:, 2, 1])
+    lz = (light_dir_world[0] * wi[:, 0, 2] + light_dir_world[1] * wi[:, 1, 2]
+          + light_dir_world[2] * wi[:, 2, 2])
+    norm = jax.lax.rsqrt(jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-20))
+    lx, ly, lz = lx * norm, ly * norm, lz * norm
+
+    ax, ay, az = jnp.abs(lx[0]), jnp.abs(ly[0]), jnp.abs(lz[0])
+    axis = jnp.where((az >= ax) & (az >= ay), 2, jnp.where(ay >= ax, 1, 0))
+
+    centers = per_object.world[:, 3, :3]
+    scales = per_object.world[:, 0, 0]  # uniform scale per volume
+    proj = (centers[:, 0] * light_dir_world[0]
+            + centers[:, 1] * light_dir_world[1]
+            + centers[:, 2] * light_dir_world[2])
+    order = jnp.argsort(-proj)  # closest to the light first
+
+    def sweep_all(axis_idx):
+        # orient: sweep axis leading as dim 1, lateral (v, u) = dims 2, 3
+        if axis_idx == 0:     # sweep x; lateral (v=y, u=z)
+            rho_a = jnp.transpose(rho_light, (0, 3, 2, 1))  # (N, x, y, z)
+            lu, lv, lw = lz, ly, lx
+            cu, cv = centers[:, 2], centers[:, 1]
+        elif axis_idx == 1:   # sweep y; lateral (v=z, u=x)
+            rho_a = jnp.transpose(rho_light, (0, 2, 1, 3))  # (N, y, z, x)
+            lu, lv, lw = lx, lz, ly
+            cu, cv = centers[:, 0], centers[:, 2]
+        else:                 # sweep z; lateral (v=y, u=x)
+            rho_a = rho_light
+            lu, lv, lw = lx, ly, lz
+            cu, cv = centers[:, 0], centers[:, 1]
+
+        # propagation direction d = -light_dir; orient grids so d_w > 0
+        dwc = -lw
+        flip = dwc < 0.0
+        rho_o = jnp.where(flip[:, None, None, None],
+                          jnp.flip(rho_a, axis=1), rho_a)
+        dw_abs = jnp.maximum(jnp.abs(dwc), 1e-6)
+        du = (-lu) / dw_abs   # voxels of lateral motion per slice
+        dv = (-lv) / dw_abs
+        dt_local = (2.0 / l) / dw_abs         # local arclength per slice
+        # arclength in the reference's units: local * world scale relative
+        # to the unit-cube march (reference marches in local units too)
+        f_corr = dt_local / step_scale        # (N,)
+
+        # global lateral window covering all volumes (world units)
+        lo_u = jnp.min(cu - scales); hi_u = jnp.max(cu + scales)
+        lo_v = jnp.min(cv - scales); hi_v = jnp.max(cv + scales)
+        span_u = jnp.maximum(hi_u - lo_u, 1e-3)
+        span_v = jnp.maximum(hi_v - lo_v, 1e-3)
+
+        def one_volume(k, carry):
+            t_fields, g_map = carry
+            vid = order[k]
+
+            # resample the global map into this volume's lateral frame:
+            # volume voxel i -> world = cu - s + (i+.5)/L*2s
+            #               -> global coord = (world - lo)/span * G - 0.5
+            su = (2.0 * scales[vid] / l) * (g / span_u)
+            ou = ((cu[vid] - scales[vid] - lo_u) / span_u) * g - 0.5 + 0.5 * su
+            sv = (2.0 * scales[vid] / l) * (g / span_v)
+            ov = ((cv[vid] - scales[vid] - lo_v) / span_v) * g - 0.5 + 0.5 * sv
+            mu_in = _resample_matrix(l, g, su, ou)
+            mv_in = _resample_matrix(l, g, sv, ov)
+            t_in = mv_in @ g_map @ mu_in.T           # (L, L)
+
+            t_field, t_out = _sweep_one_axis(
+                rho_o[vid], t_in, du[vid], dv[vid], f_corr[vid]
+            )
+            # volume-only opacity for the global compose
+            o_only = t_out / jnp.maximum(t_in, 1e-6)
+
+            # scatter multiplicatively back into the global frame:
+            # global texel j -> volume coord; rows outside the window get
+            # weight-sum 0 and stay 1.
+            su_b = 1.0 / su
+            ou_b = -ou / su
+            sv_b = 1.0 / sv
+            ov_b = -ov / sv
+            gu_rows = jax.lax.broadcasted_iota(jnp.float32, (g, l), 0)
+            gu_cols = jax.lax.broadcasted_iota(jnp.float32, (g, l), 1)
+            wu = jnp.maximum(1.0 - jnp.abs(gu_rows * su_b + ou_b - gu_cols), 0.0)
+            wv = jnp.maximum(1.0 - jnp.abs(gu_rows * sv_b + ov_b - gu_cols), 0.0)
+            o_big = wv @ o_only @ wu.T               # (G, G)
+            cover = (wv.sum(1)[:, None]) * (wu.sum(1)[None, :])
+            cover = jnp.clip(cover, 0.0, 1.0)
+            g_map = g_map * (o_big + (1.0 - cover))
+
+            # back to grid orientation
+            t_field = jnp.where(flip[vid], jnp.flip(t_field, axis=0), t_field)
+            t_fields = t_fields.at[vid].set(t_field)
+            return t_fields, g_map
+
+        init = (jnp.ones((n, l, l, l), jnp.float32),
+                jnp.ones((g, g), jnp.float32))
+        t_fields, _ = jax.lax.fori_loop(0, n, one_volume, init)
+
+        if axis_idx == 0:
+            return jnp.transpose(t_fields, (0, 3, 2, 1))
+        if axis_idx == 1:
+            return jnp.transpose(t_fields, (0, 2, 1, 3))
+        return t_fields
+
+    return jax.lax.switch(axis, [lambda: sweep_all(0),
+                                 lambda: sweep_all(1),
+                                 lambda: sweep_all(2)])
+
+
+def ray_march_light_sweep(
+    volumes, vol_tex_ids, per_object: PerObject, cull: CullResult,
+    shadow_map, shadow_vp, light_pos, light_color, ambient, sh_coeffs,
+    light_grid_size: int, max_light_samples: int,
+    has_light_probe: bool = True, ao_taps: int = 8,
+):
+    """All N light maps in one pass: -> (N, L, L, L, 3).
+
+    Same output contract as `lightmarch.ray_march_light` but refreshes
+    every volume every frame (the sweep is cheap enough)."""
+    n = vol_tex_ids.shape[0]
+    l = light_grid_size
+    step_scale = MAX_DIST / float(max_light_samples)
+
+    rho_src = densities_at_light_grid(volumes, l)     # (N_src, L, L, L)
+    rho = rho_src[vol_tex_ids]                        # (N, L, L, L)
+
+    light_dir = light_pos[:3] / jnp.linalg.norm(light_pos[:3])
+    t_light = light_transmittance(rho, per_object, light_dir, step_scale)
+
+    # voxel world positions (for the mesh shadow-map test)
+    ts = (jnp.arange(l, dtype=jnp.float32) + 0.5) / l * 2.0 - 1.0
+    vz, vy, vx = jnp.meshgrid(ts, ts, ts, indexing="ij")
+    w = per_object.world  # (N,4,4)
+    wx = (vx[None] * w[:, 0, 0, None, None, None]
+          + vy[None] * w[:, 1, 0, None, None, None]
+          + vz[None] * w[:, 2, 0, None, None, None]
+          + w[:, 3, 0, None, None, None])
+    wy = (vx[None] * w[:, 0, 1, None, None, None]
+          + vy[None] * w[:, 1, 1, None, None, None]
+          + vz[None] * w[:, 2, 1, None, None, None]
+          + w[:, 3, 1, None, None, None])
+    wz = (vx[None] * w[:, 0, 2, None, None, None]
+          + vy[None] * w[:, 1, 2, None, None, None]
+          + vz[None] * w[:, 2, 2, None, None, None]
+          + w[:, 3, 2, None, None, None])
+    mesh_shadow = shadow_test_soa(wx, wy, wz, shadow_map, shadow_vp)
+
+    shadow = mesh_shadow * t_light                     # (N, L, L, L)
+
+    # Ambient: SH irradiance along -grad(density), attenuated by a short
+    # fixed-tap AO march (approximation of `CSRayMarkL.hlsl:99-108`).
+    has_density = rho >= ZERO_THRESHOLD
+    if has_light_probe:
+        tex_idx = jnp.broadcast_to(
+            vol_tex_ids[:, None, None, None], rho.shape
+        ).astype(jnp.int32)
+        u = jnp.broadcast_to((vx * 0.5 + 0.5)[None], rho.shape)
+        v = jnp.broadcast_to((vy * 0.5 + 0.5)[None], rho.shape)
+        wcoord = jnp.broadcast_to((vz * 0.5 + 0.5)[None], rho.shape)
+
+        def dens(du_, dv_, dw_):
+            return indexed_trilinear_soa(
+                volumes, tex_idx, u + du_, v + dv_, wcoord + dw_
+            )[3]
+
+        eps = 1.0 / l
+        gx = dens(eps, 0, 0) - dens(-eps, 0, 0)
+        gy = dens(0, eps, 0) - dens(0, -eps, 0)
+        gz = dens(0, 0, eps) - dens(0, 0, -eps)
+        zero_g = (jnp.abs(gx) + jnp.abs(gy) + jnp.abs(gz)) <= 0.0
+        ax_ = jnp.where(zero_g, vx[None], -gx)
+        ay_ = jnp.where(zero_g, vy[None], -gy)
+        az_ = jnp.where(zero_g, vz[None], -gz)
+        ginv = jax.lax.rsqrt(jnp.maximum(ax_ * ax_ + ay_ * ay_ + az_ * az_, 1e-20))
+        ax_, ay_, az_ = ax_ * ginv, ay_ * ginv, az_ * ginv
+
+        # short AO march in uvw space (self-volume only)
+        ao_step = 2.0 * 0.5 / ao_taps  # cover half the box
+        transm = jnp.ones_like(rho)
+        for k in range(1, ao_taps + 1):
+            s = k * ao_step * 0.5  # uvw units
+            dk = dens(ax_ * s, ay_ * s, az_ * s)
+            f = (ao_step * MAX_DIST / 2.0) / step_scale
+            transm = transm * jnp.exp2(
+                f * jnp.log2(jnp.maximum(1.0 - dk * ABSORPTION, 1e-7))
+            )
+        ao = transm
+
+        # world-space gradient dir for SH eval (rotation = scale here)
+        nrm = jnp.stack([ax_, ay_, az_], -1)
+        irr = sh_lib.eval_irradiance(sh_coeffs, nrm)   # (N,L,L,L,3)
+        amb_r = jnp.where(has_density, ao * irr[..., 0], 0.0)
+        amb_g = jnp.where(has_density, ao * irr[..., 1], 0.0)
+        amb_b = jnp.where(has_density, ao * irr[..., 2], 0.0)
+    else:
+        amb = ambient[:3] * ambient[3]
+        amb_r = jnp.full_like(shadow, amb[0])
+        amb_g = jnp.full_like(shadow, amb[1])
+        amb_b = jnp.full_like(shadow, amb[2])
+
+    lcol = light_color[:3] * light_color[3]
+    return jnp.stack(
+        [shadow * lcol[0] + amb_r, shadow * lcol[1] + amb_g,
+         shadow * lcol[2] + amb_b],
+        axis=-1,
+    )

@@ -15,16 +15,33 @@ from typing import Callable
 import jax
 
 
-def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 5,
+def sync(tree) -> float:
+    """True device sync: fetch a scalar reduced from every output leaf.
+
+    `block_until_ready` is NOT a reliable sync on tunneled runtimes (axon
+    returns once the work is enqueued); only a device->host readback
+    proves execution finished.
+    """
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    total = 0.0
+    for leaf in leaves:
+        if hasattr(leaf, "ravel") and leaf.size:
+            total += float(np.asarray(leaf.ravel()[0]))
+    return total
+
+
+def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3,
             **kwargs) -> float:
-    """Median wall-clock ms of `fn(*args)` after warmup; blocks on outputs."""
+    """Median wall-clock ms of `fn(*args)` after warmup; readback-synced."""
     jitted = jax.jit(fn) if not hasattr(fn, "lower") else fn
     for _ in range(warmup):
-        jax.block_until_ready(jitted(*args, **kwargs))
+        sync(jitted(*args, **kwargs))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(jitted(*args, **kwargs))
+        sync(jitted(*args, **kwargs))
         times.append((time.perf_counter() - t0) * 1000.0)
     times.sort()
     return times[len(times) // 2]
@@ -74,16 +91,17 @@ def profile_frame(state, camera, config, iters: int = 3) -> dict:
     shadow_vp = mesh_lib.shadow_view_proj(state)
     depth_map = jnp.ones((config.height, config.width), jnp.float32)
 
-    def light_fn(lm):
+    def light_fn(vols, lm):
         return lightmarch.ray_march_light(
-            state.volumes, state.vol_tex_ids, lm, po, cull,
+            vols, state.vol_tex_ids, lm, po, cull,
             state.frame_idx, shadow_map, shadow_vp, state.light_pos,
             state.light_color, state.ambient, state.sh_coeffs,
             config.max_light_samples, config.has_light_probe,
         )
 
-    results["light_march"] = time_fn(light_fn, state.light_maps, iters=iters)
-    light_maps = jax.jit(light_fn)(state.light_maps)
+    results["light_march"] = time_fn(light_fn, state.volumes,
+                                     state.light_maps, iters=iters)
+    light_maps = jax.jit(light_fn)(state.volumes, state.light_maps)
 
     if config.march_mode == "sweep":
         from multivolumes_tpu.render import sweep as sweep_lib
@@ -111,18 +129,21 @@ def profile_frame(state, camera, config, iters: int = 3) -> dict:
                                         iters=iters)
         cube_maps = jax.jit(march_fn)(state.volumes, light_maps)
 
-    def comp_fn(cm_color, cm_depth):
+    def comp_fn(vols, lm, cm_color, cm_depth):
         cm = raymarch.CubeMaps(cm_color, cm_depth)
         return composite.composite_oit(
-            cm, state.volumes, state.vol_tex_ids, light_maps, po, cull,
+            cm, vols, state.vol_tex_ids, lm, po, cull,
             camera.eye, camera.screen_to_world, depth_map,
             config.width, config.height, config.max_ray_samples,
             num_layers=config.oit_layers,
         )
 
-    results["oit_composite"] = time_fn(comp_fn, cube_maps.color,
-                                       cube_maps.depth, iters=iters)
-    vol_rgba = jax.jit(comp_fn)(cube_maps.color, cube_maps.depth)
+    results["oit_composite"] = time_fn(
+        comp_fn, state.volumes, light_maps, cube_maps.color,
+        cube_maps.depth, iters=iters,
+    )
+    vol_rgba = jax.jit(comp_fn)(state.volumes, light_maps,
+                                cube_maps.color, cube_maps.depth)
 
     def sky_fn():
         return postprocess.render_environment(

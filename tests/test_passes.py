@@ -1,0 +1,118 @@
+"""Pass-level invariants: TAA convergence, mesh rasterizer, OIT ordering."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multivolumes_tpu.render import taa as taa_lib
+from multivolumes_tpu.render import mesh as mesh_lib
+from multivolumes_tpu.render import composite
+
+
+# --- TAA -------------------------------------------------------------------
+
+def test_taa_static_scene_converges():
+    h, w = 32, 48
+    # smooth signal: TAA's neighborhood filter is ~identity on it, so the
+    # resolve must converge to the input (noise would be smoothed by design)
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    img = jnp.asarray((0.2 + 0.5 * xx + 0.25 * yy).astype(np.float32))
+    cur = (img, img * 0.5, img * 0.2, jnp.ones((h, w)))
+    vel = (jnp.zeros((h, w)), jnp.zeros((h, w)))
+    history = jnp.zeros((4, h, w), jnp.float32)
+
+    step = jax.jit(lambda hist: taa_lib.temporal_aa(cur, hist, vel))
+    for _ in range(12):
+        (r, g, b), history = step(history)
+    # converged output equals the input signal
+    np.testing.assert_allclose(np.asarray(r), np.asarray(img), atol=5e-2)
+    # history confidence saturates
+    assert float(history[3].min()) > 0.5
+
+
+def test_taa_rejects_stale_history():
+    h, w = 16, 16
+    cur = (jnp.ones((h, w)), jnp.ones((h, w)), jnp.ones((h, w)),
+           jnp.ones((h, w)))
+    vel = (jnp.zeros((h, w)), jnp.zeros((h, w)))
+    # history holds a wildly different color with full confidence
+    history = jnp.stack([
+        jnp.zeros((h, w)), jnp.zeros((h, w)), jnp.zeros((h, w)),
+        jnp.ones((h, w)),
+    ])
+    (r, _g, _b), _ = jax.jit(
+        lambda: taa_lib.temporal_aa(cur, history, vel)
+    )()
+    # neighborhood clamp must pull the history toward the current color
+    assert float(np.asarray(r).mean()) > 0.5
+
+
+def test_taa_tm_itm_roundtrip():
+    rng = np.random.RandomState(1)
+    r, g, b = [jnp.asarray(rng.rand(8, 8).astype(np.float32)) * 5 for _ in range(3)]
+    y, co, cg = taa_lib.tm(r, g, b)
+    r2, g2, b2 = taa_lib.itm(y, co, cg)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+# --- mesh rasterizer ---------------------------------------------------------
+
+def test_rasterize_single_triangle():
+    # clip-space triangle covering the image center, w = 1 (no perspective)
+    verts = jnp.array(
+        [
+            [-0.5, -0.5, 0.5, 1.0],
+            [0.5, -0.5, 0.5, 1.0],
+            [0.0, 0.6, 0.5, 1.0],
+        ],
+        jnp.float32,
+    )
+    idx = jnp.array([[0, 1, 2]], jnp.int32)
+    depth, tri = jax.jit(
+        lambda: mesh_lib.rasterize(verts, idx, 32, 32, k=32)
+    )()
+    depth, tri = np.asarray(depth), np.asarray(tri)
+    assert tri[16, 16] == 0            # center covered
+    assert abs(depth[16, 16] - 0.5) < 1e-3
+    assert tri[1, 1] == -1             # corners empty
+    assert depth[1, 1] == 1.0
+
+
+def test_rasterize_depth_test():
+    # two overlapping triangles; nearer one must win
+    verts = jnp.array(
+        [
+            [-0.9, -0.9, 0.8, 1.0], [0.9, -0.9, 0.8, 1.0], [0.0, 0.9, 0.8, 1.0],
+            [-0.9, -0.9, 0.3, 1.0], [0.9, -0.9, 0.3, 1.0], [0.0, 0.9, 0.3, 1.0],
+        ],
+        jnp.float32,
+    )
+    idx = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    depth, tri = jax.jit(
+        lambda: mesh_lib.rasterize(verts, idx, 16, 16, k=16)
+    )()
+    assert np.asarray(tri)[8, 8] == 1
+    assert abs(float(np.asarray(depth)[8, 8]) - 0.3) < 1e-3
+
+
+# --- OIT layer selection ------------------------------------------------------
+
+def test_select_layers_orders_by_depth():
+    key = jnp.asarray(
+        np.array(
+            [
+                np.full((2, 2), 0.7),
+                np.full((2, 2), 0.2),
+                np.full((2, 2), 3.4e38),   # invalid
+                np.full((2, 2), 0.5),
+            ],
+            np.float32,
+        )
+    )
+    z, idx = jax.jit(lambda: composite._select_layers(key, 3))()
+    z, idx = np.asarray(z), np.asarray(idx)
+    assert (idx[0] == 1).all() and (idx[1] == 3).all() and (idx[2] == 0).all()
+    np.testing.assert_allclose(z[:, 0, 0], [0.2, 0.5, 0.7])
