@@ -38,16 +38,24 @@ class MultiRayCaster:
         """R32F density grid -> volume source i (`LoadVolumeData`,
         `MultiRayCaster.cpp:168-209`)."""
         vol = volume_lib.r32f_to_rgba(density, self.state.volumes.dtype)
-        self.state = dataclasses.replace(
-            self.state, volumes=self.state.volumes.at[i].set(vol)
-        )
+        self._set_volume(i, vol)
 
     def init_volume_data(self, i: int) -> None:
         """Procedural volume (`InitVolumeData`, `MultiRayCaster.cpp:243-264`)."""
         vol = volume_lib.init_grid_data(self.config.grid_size,
                                         self.state.volumes.dtype)
+        self._set_volume(i, vol)
+
+    def _set_volume(self, i: int, vol) -> None:
+        from multivolumes_tpu.render import lightsweep
+
+        volumes = self.state.volumes.at[i].set(vol)
+        rho, ao, gd = jax.jit(
+            lightsweep.precompute_static, static_argnums=(1, 2)
+        )(volumes, self.config.light_grid_size, self.config.max_light_samples)
         self.state = dataclasses.replace(
-            self.state, volumes=self.state.volumes.at[i].set(vol)
+            self.state, volumes=volumes, rho_light=rho, ao_static=ao,
+            grad_dir=gd,
         )
 
     def set_volumes_world(self, size: float, center) -> None:

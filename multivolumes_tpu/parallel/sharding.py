@@ -66,6 +66,9 @@ def state_shardings(mesh: Mesh, state: SceneState) -> SceneState:
         mesh_world=rep,
         mesh_prev_wvp=rep,
         scene_size=rep,
+        rho_light=rep,
+        ao_static=rep,
+        grad_dir=rep,
     )
 
 

@@ -95,7 +95,9 @@ def render_frame(
         from multivolumes_tpu.render import lightsweep
 
         light_maps = lightsweep.ray_march_light_sweep(
-            state.volumes,
+            state.rho_light,
+            state.ao_static,
+            state.grad_dir,
             state.vol_tex_ids,
             per_object,
             cull,
@@ -105,7 +107,6 @@ def render_frame(
             state.light_color,
             state.ambient,
             state.sh_coeffs,
-            config.light_grid_size,
             config.max_light_samples,
             has_light_probe=config.has_light_probe,
         ).astype(state.light_maps.dtype)

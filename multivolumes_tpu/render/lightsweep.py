@@ -242,22 +242,79 @@ def light_transmittance(
                                  lambda: sweep_all(2)])
 
 
+def precompute_static(volumes, light_grid_size: int,
+                      max_light_samples: int, ao_taps: int = 8):
+    """Static per-source lighting fields (density-only functions, computed
+    once at scene build / volume upload, NOT per frame):
+
+    - rho_light: (N_src, L, L, L) density resampled to the light grid
+    - ao: (N_src, L, L, L) transmittance along the negated density
+      gradient (short fixed-tap march — the self-volume part of
+      `CSRayMarchL.hlsl:99-108`)
+    - grad_dir: (N_src, 3, L, L, L) unit AO ray directions (channel-mid)
+    """
+    l = light_grid_size
+    n_src = volumes.shape[0]
+    step_scale = MAX_DIST / float(max_light_samples)
+
+    rho_light = densities_at_light_grid(volumes, l)
+
+    ts = (jnp.arange(l, dtype=jnp.float32) + 0.5) / l * 2.0 - 1.0
+    vz, vy, vx = jnp.meshgrid(ts, ts, ts, indexing="ij")
+    shape = (n_src, l, l, l)
+    tex_idx = jnp.broadcast_to(
+        jnp.arange(n_src, dtype=jnp.int32)[:, None, None, None], shape
+    )
+    u = jnp.broadcast_to((vx * 0.5 + 0.5)[None], shape)
+    v = jnp.broadcast_to((vy * 0.5 + 0.5)[None], shape)
+    w = jnp.broadcast_to((vz * 0.5 + 0.5)[None], shape)
+
+    def dens(du_, dv_, dw_):
+        return indexed_trilinear_soa(volumes, tex_idx, u + du_, v + dv_, w + dw_)[3]
+
+    eps = 1.0 / l
+    gx = dens(eps, 0, 0) - dens(-eps, 0, 0)
+    gy = dens(0, eps, 0) - dens(0, -eps, 0)
+    gz = dens(0, 0, eps) - dens(0, 0, -eps)
+    zero_g = (jnp.abs(gx) + jnp.abs(gy) + jnp.abs(gz)) <= 0.0
+    ax_ = jnp.where(zero_g, vx[None], -gx)
+    ay_ = jnp.where(zero_g, vy[None], -gy)
+    az_ = jnp.where(zero_g, vz[None], -gz)
+    ginv = jax.lax.rsqrt(jnp.maximum(ax_ * ax_ + ay_ * ay_ + az_ * az_, 1e-20))
+    ax_, ay_, az_ = ax_ * ginv, ay_ * ginv, az_ * ginv
+
+    ao_step = 1.0 / ao_taps  # uvw step; covers half the box
+    transm = jnp.ones(shape, jnp.float32)
+    for k in range(1, ao_taps + 1):
+        s = k * ao_step * 0.5
+        dk = dens(ax_ * s, ay_ * s, az_ * s)
+        f = (ao_step * 0.5 * MAX_DIST) / step_scale
+        transm = transm * jnp.exp2(
+            f * jnp.log2(jnp.maximum(1.0 - dk * ABSORPTION, 1e-7))
+        )
+
+    grad_dir = jnp.stack([ax_, ay_, az_], axis=1)  # (N_src, 3, L, L, L)
+    return rho_light, transm, grad_dir
+
+
 def ray_march_light_sweep(
-    volumes, vol_tex_ids, per_object: PerObject, cull: CullResult,
+    rho_light_src,    # (N_src, L, L, L) from precompute_static
+    ao_src,           # (N_src, L, L, L)
+    grad_dir_src,     # (N_src, 3, L, L, L)
+    vol_tex_ids, per_object: PerObject, cull: CullResult,
     shadow_map, shadow_vp, light_pos, light_color, ambient, sh_coeffs,
-    light_grid_size: int, max_light_samples: int,
-    has_light_probe: bool = True, ao_taps: int = 8,
+    max_light_samples: int, has_light_probe: bool = True,
 ):
     """All N light maps in one pass: -> (N, L, L, L, 3).
 
     Same output contract as `lightmarch.ray_march_light` but refreshes
-    every volume every frame (the sweep is cheap enough)."""
+    every volume every frame (the sweep is cheap enough). All
+    density-derived fields come precomputed (zero per-frame gathers)."""
     n = vol_tex_ids.shape[0]
-    l = light_grid_size
+    l = rho_light_src.shape[1]
     step_scale = MAX_DIST / float(max_light_samples)
 
-    rho_src = densities_at_light_grid(volumes, l)     # (N_src, L, L, L)
-    rho = rho_src[vol_tex_ids]                        # (N, L, L, L)
+    rho = rho_light_src[vol_tex_ids]                  # (N, L, L, L)
 
     light_dir = light_pos[:3] / jnp.linalg.norm(light_pos[:3])
     t_light = light_transmittance(rho, per_object, light_dir, step_scale)
@@ -282,48 +339,13 @@ def ray_march_light_sweep(
 
     shadow = mesh_shadow * t_light                     # (N, L, L, L)
 
-    # Ambient: SH irradiance along -grad(density), attenuated by a short
-    # fixed-tap AO march (approximation of `CSRayMarkL.hlsl:99-108`).
     has_density = rho >= ZERO_THRESHOLD
     if has_light_probe:
-        tex_idx = jnp.broadcast_to(
-            vol_tex_ids[:, None, None, None], rho.shape
-        ).astype(jnp.int32)
-        u = jnp.broadcast_to((vx * 0.5 + 0.5)[None], rho.shape)
-        v = jnp.broadcast_to((vy * 0.5 + 0.5)[None], rho.shape)
-        wcoord = jnp.broadcast_to((vz * 0.5 + 0.5)[None], rho.shape)
-
-        def dens(du_, dv_, dw_):
-            return indexed_trilinear_soa(
-                volumes, tex_idx, u + du_, v + dv_, wcoord + dw_
-            )[3]
-
-        eps = 1.0 / l
-        gx = dens(eps, 0, 0) - dens(-eps, 0, 0)
-        gy = dens(0, eps, 0) - dens(0, -eps, 0)
-        gz = dens(0, 0, eps) - dens(0, 0, -eps)
-        zero_g = (jnp.abs(gx) + jnp.abs(gy) + jnp.abs(gz)) <= 0.0
-        ax_ = jnp.where(zero_g, vx[None], -gx)
-        ay_ = jnp.where(zero_g, vy[None], -gy)
-        az_ = jnp.where(zero_g, vz[None], -gz)
-        ginv = jax.lax.rsqrt(jnp.maximum(ax_ * ax_ + ay_ * ay_ + az_ * az_, 1e-20))
-        ax_, ay_, az_ = ax_ * ginv, ay_ * ginv, az_ * ginv
-
-        # short AO march in uvw space (self-volume only)
-        ao_step = 2.0 * 0.5 / ao_taps  # cover half the box
-        transm = jnp.ones_like(rho)
-        for k in range(1, ao_taps + 1):
-            s = k * ao_step * 0.5  # uvw units
-            dk = dens(ax_ * s, ay_ * s, az_ * s)
-            f = (ao_step * MAX_DIST / 2.0) / step_scale
-            transm = transm * jnp.exp2(
-                f * jnp.log2(jnp.maximum(1.0 - dk * ABSORPTION, 1e-7))
-            )
-        ao = transm
-
-        # world-space gradient dir for SH eval (rotation = scale here)
-        nrm = jnp.stack([ax_, ay_, az_], -1)
-        irr = sh_lib.eval_irradiance(sh_coeffs, nrm)   # (N,L,L,L,3)
+        ao = ao_src[vol_tex_ids]
+        gd = grad_dir_src[vol_tex_ids]                 # (N, 3, L, L, L)
+        # rotation-free worlds: local gradient dir == world dir
+        nrm = jnp.moveaxis(gd, 1, -1)
+        irr = sh_lib.eval_irradiance(sh_coeffs, nrm)   # (N, L, L, L, 3)
         amb_r = jnp.where(has_density, ao * irr[..., 0], 0.0)
         amb_g = jnp.where(has_density, ao * irr[..., 1], 0.0)
         amb_b = jnp.where(has_density, ao * irr[..., 2], 0.0)

@@ -51,23 +51,27 @@ FLT_MAX = 3.402823466e38
 
 
 def orient_volumes(vol):
-    """(..., D, H, W, C) -> (..., 6, D, H, W, C) face-frame orientations.
+    """(..., D, H, W, C) -> (..., 6, C, D, H, W) face-frame orientations.
 
-    O_f[iw, iv, iu] = vol at the local position GetLocalPos-style
-    (pu, pv, pw) for face f, so every face sweeps "+w toward the face".
-    Derivation in module docstring; all six are transpose+flip (XLA
-    copies, precomputed once per source texture).
+    O_f[c, iw, iv, iu] = channel c of vol at the local position
+    GetLocalPos-style (pu, pv, pw) for face f, so every face sweeps
+    "+w toward the face". Derivation in module docstring; all six are
+    transpose+flip (XLA copies, precomputed once per source texture).
+
+    Channel-mid output: a trailing C in a multi-GB stack would be padded
+    32x by TPU tiling (see raymarch.py layout note).
     """
-    zyx = vol  # [z, y, x]
-    t_zx = jnp.swapaxes(vol, -4, -2)   # [x, y, z]
-    t_zy = jnp.swapaxes(vol, -4, -3)   # [y, z, x]
+    vol = jnp.moveaxis(vol, -1, -4)    # (..., C, D, H, W) = [c, z, y, x]
+    zyx = vol
+    t_zx = jnp.swapaxes(vol, -3, -1)   # [c, x, y, z]
+    t_zy = jnp.swapaxes(vol, -3, -2)   # [c, y, z, x]
     faces = [
-        jnp.flip(t_zx, axis=-2),             # f0 +X: vol[D-1-iu, iv, iw]
-        jnp.flip(t_zx, axis=-4),             # f1 -X: vol[iu, iv, W-1-iw]
-        jnp.flip(t_zy, axis=-3),             # f2 +Y: vol[D-1-iv, iw, iu]
-        jnp.flip(t_zy, axis=-4),             # f3 -Y: vol[iv, H-1-iw, iu]
+        jnp.flip(t_zx, axis=-1),             # f0 +X: vol[D-1-iu, iv, iw]
+        jnp.flip(t_zx, axis=-3),             # f1 -X: vol[iu, iv, W-1-iw]
+        jnp.flip(t_zy, axis=-2),             # f2 +Y: vol[D-1-iv, iw, iu]
+        jnp.flip(t_zy, axis=-3),             # f3 -Y: vol[iv, H-1-iw, iu]
         zyx,                                 # f4 +Z
-        jnp.flip(jnp.flip(zyx, axis=-4), axis=-2),  # f5 -Z
+        jnp.flip(jnp.flip(zyx, axis=-3), axis=-1),  # f5 -Z
     ]
     return jnp.stack(faces, axis=-5)
 
@@ -143,8 +147,8 @@ def face_ray_params(eye_f, u, v, s_max=None):
 
 
 def sweep_batched(
-    volumes_oriented,   # (N_src, 6, D, H, W, 4)
-    light_oriented,     # (N, 6, Dl, Hl, Wl, 3)
+    volumes_oriented,   # (N_src, 6, 4, D, H, W) channel-mid
+    light_oriented,     # (N, 6, 3, Dl, Hl, Wl) channel-mid
     vol_tex_ids,        # (N,)
     eye_faces,          # (N, 6, 3)
     params: SweepParams,  # fields (N, 6, S, S)
@@ -162,8 +166,8 @@ def sweep_batched(
     """
     n = vol_tex_ids.shape[0]
     b = n * 6
-    d, h, w = volumes_oriented.shape[2:5]
-    dl, hl, wl = light_oriented.shape[2:5]
+    d, h, w = volumes_oriented.shape[3:6]
+    dl, hl, wl = light_oriented.shape[3:6]
 
     eye_b = eye_faces.reshape(b, 3)
     eu, ev, ew = eye_b[:, 0], eye_b[:, 1], eye_b[:, 2]
@@ -197,15 +201,14 @@ def sweep_batched(
 
     def slab_at(stack, idx0, w_k, dd, n_ch):
         """Lerp two adjacent slices per batch element, channel-first:
-        -> (B, C, H', W'). Per-channel gathers keep every buffer's minor
-        dims spatial (see raymarch.py layout note)."""
+        -> (B, C, H', W'). stack is channel-mid (N, 6, C, D, H, W)."""
         zc = (w_k * 0.5 + 0.5) * dd - 0.5
         z0 = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, dd - 1)
         z1 = jnp.clip(z0 + 1, 0, dd - 1)
         fz = jnp.clip(zc - jnp.floor(zc), 0.0, 1.0).astype(dtype)
         outs = []
         for ci in range(n_ch):
-            ch = stack[..., ci]
+            ch = stack[:, :, ci]
             s0 = ch[idx0, face_b, z0]
             s1 = ch[idx0, face_b, z1]
             outs.append(s0 * (1 - fz[:, None, None]) + s1 * fz[:, None, None])
@@ -263,9 +266,9 @@ def sweep_batched(
 
 
 def ray_march_view_sweep(
-    volumes_oriented,     # (N_src, 6, D, H, W, 4)
+    volumes_oriented,     # (N_src, 6, 4, D, H, W) channel-mid
     vol_tex_ids,          # (N,)
-    light_maps_oriented,  # (N, 6, Dl, Hl, Wl, 3)
+    light_maps_oriented,  # (N, 6, 3, Dl, Hl, Wl) channel-mid
     per_object: PerObject,
     cull: CullResult,
     eye,

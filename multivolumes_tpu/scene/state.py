@@ -43,6 +43,9 @@ from multivolumes_tpu.scene import volume as volume_lib
         "mesh_world",
         "mesh_prev_wvp",
         "scene_size",
+        "rho_light",
+        "ao_static",
+        "grad_dir",
     ],
     meta_fields=[],
 )
@@ -75,6 +78,12 @@ class SceneState:
     scene_size: jnp.ndarray       # () max mesh extent * scale
                                   # (`ObjectRenderer.cpp:76`; drives the
                                   # shadow ortho size)
+
+    # Static per-source lighting fields (precomputed from the density
+    # fields at scene build / volume upload — see lightsweep.precompute_static)
+    rho_light: jnp.ndarray        # (N_src, L, L, L)
+    ao_static: jnp.ndarray        # (N_src, L, L, L)
+    grad_dir: jnp.ndarray         # (N_src, 3, L, L, L)
 
     @property
     def num_volumes(self) -> int:
@@ -142,6 +151,12 @@ def create_scene(config: RenderConfig,
     mx, my, mz, ms = config.mesh_pos_scale
     mesh_world = math3d.scaling(ms) @ math3d.translation(jnp.array([mx, my, mz]))
 
+    from multivolumes_tpu.render import lightsweep
+
+    rho_light, ao_static, grad_dir = jax.jit(
+        lightsweep.precompute_static, static_argnums=(1, 2)
+    )(vols, lgs, config.max_light_samples)
+
     # Light defaults from `MultiVolumes::OnUpdate` (`MultiVolumes.cpp:340-346`)
     light_pos = jnp.array([75.0, 75.0, -75.0, 1.0], jnp.float32)
     light_color = jnp.array([1.0, 0.7, 0.3, 3.0 * np.pi], jnp.float32)
@@ -164,6 +179,9 @@ def create_scene(config: RenderConfig,
         mesh_world=mesh_world,
         mesh_prev_wvp=jnp.eye(4, dtype=jnp.float32),
         scene_size=jnp.asarray(scene_size, jnp.float32),
+        rho_light=rho_light,
+        ao_static=ao_static,
+        grad_dir=grad_dir,
     )
 
 
