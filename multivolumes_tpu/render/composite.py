@@ -127,19 +127,26 @@ def unproject_z(depth):
 
 
 def cube_cast_soa(cube_color, cube_depth, vol_id, n_eff,
-                  px, py, pz, dx, dy, dz, scene_depth):
+                  px, py, pz, dx, dy, dz, scene_depth,
+                  has_depth: bool = True):
     """The depth-aware seam-free cube-map filter (`CubeCast`,
     `PSCube.hlsli:51-108`). All ray quantities are scalar fields;
     cube_color is (N, 6, 4, S, S) channel-mid.
+
+    Gather budget per ray: 4 positions x 4 channels (+4 depth taps when a
+    scene depth map exists). The plain-bilinear fallback (`PSCube.hlsli:
+    105`) is reconstructed from the same 16 color taps — the reference's
+    separate `Sample` costs nothing on a GPU texture unit but would double
+    our gather bill. Without a mesh (has_depth=False) every depth weight
+    is 1 and the filter reduces exactly to bilinear with the domain clamp,
+    so the depth taps are skipped statically.
 
     Returns (r, g, b, a) tuple.
     """
     size = cube_color.shape[-1]
     face, u, v = dir_to_face_uv_soa(px, py, pz)
-    x0, x1, _fx = _face_axis_coords(u, n_eff, size)
-    y0, y1, _fy = _face_axis_coords(v, n_eff, size)
-
-    fallback = sample_cube_soa(cube_color, vol_id, px, py, pz, n_eff)
+    x0, x1, fx = _face_axis_coords(u, n_eff, size)
+    y0, y1, fy = _face_axis_coords(v, n_eff, size)
 
     # Gather component order (x,y,z,w) = (x0,y1),(x1,y1),(x1,y0),(x0,y0)
     taps = ((x0, y1), (x1, y1), (x1, y0), (x0, y0))
@@ -163,23 +170,40 @@ def cube_cast_soa(cube_color, cube_depth, vol_id, n_eff,
                    jnp.where(jnp.minimum(vp, neff_f - 0.5) < 0.5, 1.0, 0.0), dv)
 
     wb = ((1 - du) * dv, du * dv, du * (1 - dv), (1 - du) * (1 - dv))
+    # plain-bilinear weights in the same tap order (for the fallback)
+    wf = ((1 - fx) * fy, fx * fy, fx * (1 - fy), (1 - fx) * (1 - fy))
 
-    depth_v = unproject_z(scene_depth)
-    dch = cube_depth
+    samples = []  # per tap: [r, g, b, a]
+    for (xi, yi) in taps:
+        samples.append([
+            cube_color[:, :, ci][vol_id, face, yi, xi] for ci in range(4)
+        ])
 
-    acc = [jnp.zeros_like(u) for _ in range(4)]  # r,g,b,a
+    if has_depth:
+        depth_v = unproject_z(scene_depth)
+        w_taps = []
+        for (xi, yi), wbi in zip(taps, wb):
+            zi = cube_depth[vol_id, face, yi, xi]
+            w_taps.append(
+                jnp.maximum(1.0 - 0.5 * jnp.abs(depth_v - unproject_z(zi)), 0.0)
+                * wbi
+            )
+    else:
+        w_taps = list(wb)
+
+    acc = [jnp.zeros_like(u) for _ in range(4)]
+    fb = [jnp.zeros_like(u) for _ in range(4)]
     ws = jnp.zeros_like(u)
-    for (xi, yi), wbi in zip(taps, wb):
-        zi = dch[vol_id, face, yi, xi]
-        w = jnp.maximum(1.0 - 0.5 * jnp.abs(depth_v - unproject_z(zi)), 0.0) * wbi
+    for s, w, wfi in zip(samples, w_taps, wf):
         for ci in range(4):
-            acc[ci] = acc[ci] + cube_color[:, :, ci][vol_id, face, yi, xi] * w
+            acc[ci] = acc[ci] + s[ci] * w
+            fb[ci] = fb[ci] + s[ci] * wfi
         ws = ws + w
 
     inv = 1.0 / jnp.maximum(ws, 1e-20)
     ok = ws > 0.0
     return tuple(
-        jnp.where(ok, acc[ci] * inv, fallback[ci]) for ci in range(4)
+        jnp.where(ok, acc[ci] * inv, fb[ci]) for ci in range(4)
     )
 
 
@@ -261,6 +285,7 @@ def composite_oit(
     num_layers: int = SharedConsts.NUM_OIT_LAYERS,
     adaptive: bool = True,
     use_raycast: bool = True,
+    has_depth: bool = True,
 ):
     """Full OIT composite -> (r, g, b, a) premultiplied scene-space volume
     color fields, alpha clamped to 0.9997 (`PSResolveOIT.hlsl:23`)."""
@@ -270,59 +295,73 @@ def composite_oit(
 
     (xg, yg), (dwx, dwy, dwz) = screen_rays(width, height, screen_to_world, eye)
 
-    # Local-space rays per volume — (N, H, W) scalar fields.
     eye_local = math3d.transform_point3(eye, per_object.world_i)  # (N,3)
     wi = per_object.world_i  # (N,4,4)
-
-    def rot(cx, cy, cz, col):
-        return (
-            dwx[None] * wi[:, None, None, 0, col]
-            + dwy[None] * wi[:, None, None, 1, col]
-            + dwz[None] * wi[:, None, None, 2, col]
-        )
-
-    dlx = rot(dwx, dwy, dwz, 0)
-    dly = rot(dwx, dwy, dwz, 1)
-    dlz = rot(dwx, dwy, dwz, 2)
-    olx = jnp.broadcast_to(eye_local[:, 0, None, None], dlx.shape)
-    oly = jnp.broadcast_to(eye_local[:, 1, None, None], dlx.shape)
-    olz = jnp.broadcast_to(eye_local[:, 2, None, None], dlx.shape)
-
-    hit, t_exit = _ray_box_exit_soa(olx, oly, olz, dlx, dly, dlz)
-    qx = olx + dlx * t_exit
-    qy = oly + dly * t_exit
-    qz = olz + dlz * t_exit
-
-    # Fragment depth = clip z of the exit (interior-face) point, matching
-    # the rasterized `VSCubeDP` fragments.
-    wvp = per_object.world_view_proj[:, None, None]
-    hx, hy, hz, hw = raymarch._transform_point_soa(qx, qy, qz, wvp)
-    exit_z = hz / jnp.maximum(hw, 1e-20)
-    in_front = hw > 0.0
-
     scene_z = depth_map if depth_map is not None else jnp.ones(
         (height, width), jnp.float32
     )
-    valid = (
-        hit
-        & in_front
-        & cull.visible[:, None, None]
-        & (exit_z <= scene_z[None])
-        & (exit_z > 0.0)
-    )
 
-    # Nearest num_layers fragments per pixel (replaces the k-buffer peel).
-    key = jnp.where(valid, exit_z, FLT_MAX)       # (N, H, W)
-    layer_z, layer_vol = _select_layers(key, num_layers)  # (K, H, W)
+    # Streaming nearest-K selection over volumes (replaces the k-buffer
+    # peel): memory stays O(K * H * W) regardless of N — the naive
+    # (N, H, W) ray setup is ~15 fields x N x screen, which OOMs at N=64.
+    def exit_key(vid):
+        m = wi[vid]
+        dlx = dwx * m[0, 0] + dwy * m[1, 0] + dwz * m[2, 0]
+        dly = dwx * m[0, 1] + dwy * m[1, 1] + dwz * m[2, 1]
+        dlz = dwx * m[0, 2] + dwy * m[1, 2] + dwz * m[2, 2]
+        ox = jnp.broadcast_to(eye_local[vid, 0], dlx.shape)
+        oy = jnp.broadcast_to(eye_local[vid, 1], dlx.shape)
+        oz = jnp.broadcast_to(eye_local[vid, 2], dlx.shape)
+        hit, t_exit = _ray_box_exit_soa(ox, oy, oz, dlx, dly, dlz)
+        qx = ox + dlx * t_exit
+        qy = oy + dly * t_exit
+        qz = oz + dlz * t_exit
+        wvp = per_object.world_view_proj[vid]
+        hx, hy, hz, hw = raymarch._transform_point_soa(qx, qy, qz, wvp)
+        exit_z = hz / jnp.maximum(hw, 1e-20)
+        valid = (
+            hit & (hw > 0.0) & cull.visible[vid]
+            & (exit_z <= scene_z) & (exit_z > 0.0)
+        )
+        return jnp.where(valid, exit_z, FLT_MAX)
+
+    def insert(carry, vid):
+        z_top, id_top = carry  # (K, H, W) sorted ascending
+        z_new = exit_key(vid)
+        id_new = jnp.broadcast_to(vid, z_new.shape).astype(jnp.int32)
+        for k in range(num_layers):
+            take = z_new < z_top[k]
+            z_k, id_k = z_top[k], id_top[k]
+            z_top = z_top.at[k].set(jnp.where(take, z_new, z_k))
+            id_top = id_top.at[k].set(jnp.where(take, id_new, id_k))
+            z_new = jnp.where(take, z_k, z_new)
+            id_new = jnp.where(take, id_k, id_new)
+        return (z_top, id_top), None
+
+    init = (
+        jnp.full((num_layers, height, width), FLT_MAX, jnp.float32),
+        jnp.zeros((num_layers, height, width), jnp.int32),
+    )
+    (layer_z, layer_vol), _ = jax.lax.scan(
+        insert, init, jnp.arange(n, dtype=jnp.int32)
+    )
     layer_valid = layer_z < FLT_MAX * 0.5
 
-    # Gather per-layer ray fields by volume id — all (K, H, W).
-    def gv(a):  # (N, H, W) -> (K, H, W)
-        return jnp.take_along_axis(a, layer_vol, axis=0)
-
-    l_qx, l_qy, l_qz = gv(qx), gv(qy), gv(qz)
-    l_dx, l_dy, l_dz = gv(dlx), gv(dly), gv(dlz)
-    l_ox, l_oy, l_oz = gv(olx), gv(oly), gv(olz)
+    # Recompute per-layer ray fields from the selected volume ids
+    # (cheap arithmetic; avoids carrying (N, H, W) fields).
+    l_dx = (dwx[None] * wi[layer_vol, 0, 0] + dwy[None] * wi[layer_vol, 1, 0]
+            + dwz[None] * wi[layer_vol, 2, 0])
+    l_dy = (dwx[None] * wi[layer_vol, 0, 1] + dwy[None] * wi[layer_vol, 1, 1]
+            + dwz[None] * wi[layer_vol, 2, 1])
+    l_dz = (dwx[None] * wi[layer_vol, 0, 2] + dwy[None] * wi[layer_vol, 1, 2]
+            + dwz[None] * wi[layer_vol, 2, 2])
+    l_ox = eye_local[layer_vol, 0]
+    l_oy = eye_local[layer_vol, 1]
+    l_oz = eye_local[layer_vol, 2]
+    _hit_l, l_texit = _ray_box_exit_soa(l_ox, l_oy, l_oz, l_dx, l_dy, l_dz)
+    l_qx = l_ox + l_dx * l_texit
+    l_qy = l_oy + l_dy * l_texit
+    l_qz = l_oz + l_dz * l_texit
 
     n_eff = (s >> jnp.minimum(cull.mip_level, 31)).astype(jnp.int32)  # (N,)
     l_neff = n_eff[layer_vol]
@@ -334,6 +373,7 @@ def composite_oit(
     cc = cube_cast_soa(
         cube_maps.color, cube_maps.depth, layer_vol, l_neff,
         l_qx, l_qy, l_qz, l_dx, l_dy, l_dz, scene_b,
+        has_depth=has_depth,
     )
 
     if not use_raycast:
@@ -350,26 +390,25 @@ def composite_oit(
         la = jnp.where(store_ok, la, zero)
         return _underblend(lr, lg, lb, la, num_layers, height, width)
 
-    # Per-pixel march fallback: pre-compute clipped origins and occlusion
-    # bounds at the (N, H, W) level (broadcast matrices, no per-pixel 4x4
-    # gathers), then gather scalar fields per layer.
-    inv_dl = jax.lax.rsqrt(jnp.maximum(dlx * dlx + dly * dly + dlz * dlz, 1e-20))
-    ndx, ndy, ndz = dlx * inv_dl, dly * inv_dl, dlz * inv_dl
-    ocx, ocy, ocz, oc_hit = raymarch.compute_ray_origin_soa(
-        olx, oly, olz, ndx, ndy, ndz
+    # Per-pixel march fallback over the selected layers.
+    inv_dl = jax.lax.rsqrt(
+        jnp.maximum(l_dx * l_dx + l_dy * l_dy + l_dz * l_dz, 1e-20)
     )
-    t_max_n = raymarch.get_t_max_soa(
+    ndx, ndy, ndz = l_dx * inv_dl, l_dy * inv_dl, l_dz * inv_dl
+    ocx, ocy, ocz, oc_hit = raymarch.compute_ray_origin_soa(
+        l_ox, l_oy, l_oz, ndx, ndy, ndz
+    )
+    t_max_l = raymarch.get_t_max_soa(
         jnp.broadcast_to(xg[None], ocx.shape),
         jnp.broadcast_to(yg[None], ocx.shape),
         jnp.broadcast_to(scene_z[None], ocx.shape),
         ocx, ocy, ocz, ndx, ndy, ndz,
-        per_object.world_view_proj_i[:, None, None],
+        per_object.world_view_proj_i[layer_vol],
     )
     rc = _ray_cast_layers(
         volumes, l_tex, light_maps, layer_vol,
-        (gv(ocx), gv(ocy), gv(ocz)),
-        (gv(ndx), gv(ndy), gv(ndz)),
-        gv(t_max_n), gv(oc_hit.astype(jnp.float32)) > 0.5,
+        (ocx, ocy, ocz), (ndx, ndy, ndz),
+        t_max_l, oc_hit,
         l_smp, max_steps,
         active=layer_valid & ~l_use_cube, adaptive=adaptive,
     )

@@ -58,7 +58,8 @@ def render_frame(
     per_object = build_per_object(state.volume_worlds, view_proj)
 
     # --- opaque mesh: shadow + depth + base pass -------------------------
-    if show_mesh and state.mesh_indices.shape[0] > 1:
+    has_mesh = bool(show_mesh and state.mesh_indices.shape[0] > 1)
+    if has_mesh:
         mesh_out = mesh_lib.render_mesh(state, camera, config)
         depth_map = mesh_out.depth
         shadow_map = mesh_out.shadow
@@ -68,10 +69,8 @@ def render_frame(
         velocity = mesh_out.velocity
         new_prev_wvp = mesh_out.new_prev_wvp
     else:
-        depth_map = jnp.ones((height, width), jnp.float32)
-        shadow_map = jnp.ones(
-            (config.shadow_map_size, config.shadow_map_size), jnp.float32
-        )
+        depth_map = None  # statically skips every occlusion/shadow tap
+        shadow_map = None
         shadow_vp = mesh_lib.shadow_view_proj(state)
         mesh_rgb = None
         mesh_valid = None
@@ -203,6 +202,7 @@ def render_frame(
         num_layers=config.oit_layers,
         adaptive=config.adaptive_raymarch,
         use_raycast=use_raycast,
+        has_depth=has_mesh,
     )
     t = 1.0 - va
     sc_r = vr + t * bg_r

@@ -178,7 +178,10 @@ def ray_march_light(
     wy = lx * world[0, 1] + ly_ * world[1, 1] + lz * world[2, 1] + world[3, 1]
     wz = lx * world[0, 2] + ly_ * world[1, 2] + lz * world[2, 2] + world[3, 2]
 
-    shadow = shadow_test_soa(wx, wy, wz, shadow_map, shadow_vp)
+    if shadow_map is not None:
+        shadow = shadow_test_soa(wx, wy, wz, shadow_map, shadow_vp)
+    else:
+        shadow = jnp.ones((l, l, l), jnp.float32)
 
     # SH ambient: AO ray along the negated density gradient
     # (`CSRayMarchL.hlsl:61-75`).

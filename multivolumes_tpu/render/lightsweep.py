@@ -319,25 +319,27 @@ def ray_march_light_sweep(
     light_dir = light_pos[:3] / jnp.linalg.norm(light_pos[:3])
     t_light = light_transmittance(rho, per_object, light_dir, step_scale)
 
-    # voxel world positions (for the mesh shadow-map test)
-    ts = (jnp.arange(l, dtype=jnp.float32) + 0.5) / l * 2.0 - 1.0
-    vz, vy, vx = jnp.meshgrid(ts, ts, ts, indexing="ij")
-    w = per_object.world  # (N,4,4)
-    wx = (vx[None] * w[:, 0, 0, None, None, None]
-          + vy[None] * w[:, 1, 0, None, None, None]
-          + vz[None] * w[:, 2, 0, None, None, None]
-          + w[:, 3, 0, None, None, None])
-    wy = (vx[None] * w[:, 0, 1, None, None, None]
-          + vy[None] * w[:, 1, 1, None, None, None]
-          + vz[None] * w[:, 2, 1, None, None, None]
-          + w[:, 3, 1, None, None, None])
-    wz = (vx[None] * w[:, 0, 2, None, None, None]
-          + vy[None] * w[:, 1, 2, None, None, None]
-          + vz[None] * w[:, 2, 2, None, None, None]
-          + w[:, 3, 2, None, None, None])
-    mesh_shadow = shadow_test_soa(wx, wy, wz, shadow_map, shadow_vp)
-
-    shadow = mesh_shadow * t_light                     # (N, L, L, L)
+    if shadow_map is not None:
+        # voxel world positions (for the mesh shadow-map test)
+        ts = (jnp.arange(l, dtype=jnp.float32) + 0.5) / l * 2.0 - 1.0
+        vz, vy, vx = jnp.meshgrid(ts, ts, ts, indexing="ij")
+        w = per_object.world  # (N,4,4)
+        wx = (vx[None] * w[:, 0, 0, None, None, None]
+              + vy[None] * w[:, 1, 0, None, None, None]
+              + vz[None] * w[:, 2, 0, None, None, None]
+              + w[:, 3, 0, None, None, None])
+        wy = (vx[None] * w[:, 0, 1, None, None, None]
+              + vy[None] * w[:, 1, 1, None, None, None]
+              + vz[None] * w[:, 2, 1, None, None, None]
+              + w[:, 3, 1, None, None, None])
+        wz = (vx[None] * w[:, 0, 2, None, None, None]
+              + vy[None] * w[:, 1, 2, None, None, None]
+              + vz[None] * w[:, 2, 2, None, None, None]
+              + w[:, 3, 2, None, None, None])
+        mesh_shadow = shadow_test_soa(wx, wy, wz, shadow_map, shadow_vp)
+        shadow = mesh_shadow * t_light                 # (N, L, L, L)
+    else:
+        shadow = t_light
 
     has_density = rho >= ZERO_THRESHOLD
     if has_light_probe:
