@@ -38,7 +38,6 @@ def main() -> None:
             max_ray_samples=256, max_light_samples=96,
             num_volumes=64, num_volume_srcs=10,
             cube_map_size=128, shadow_map_size=1024,
-            march_mode="reference",
         )
         frames = 8
     else:
@@ -47,7 +46,6 @@ def main() -> None:
             max_ray_samples=64, max_light_samples=16,
             num_volumes=4, num_volume_srcs=2,
             cube_map_size=32, shadow_map_size=64,
-            march_mode="reference",
         )
         frames = 3
 

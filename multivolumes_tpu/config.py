@@ -85,6 +85,9 @@ class RenderConfig:
     # all N maps per frame (render/lightsweep.py); "reference" =
     # gather-march, 1 volume/frame (render/lightmarch.py).
     light_mode: str = "sweep"
+    # Pack cube-map RGBA as f16 pairs before compositing (halves the
+    # dominant per-pixel gather cost; ~3-digit precision).
+    packed_composite: bool = True
 
     @property
     def viewport(self) -> tuple[int, int]:

@@ -37,6 +37,43 @@ FLT_MAX = 3.402823466e38
 
 
 # ---------------------------------------------------------------------------
+# f16-pair packing: halve the per-tap gather count
+# ---------------------------------------------------------------------------
+
+def pack_cube_f16(cube_color):
+    """(N, 6, 4, S, S) f32 -> (N, 6, 2, S, S) f32 with (r,g) and (b,a)
+    packed as f16 pairs in each f32's bits. Gathers move >=4 bytes per tap
+    regardless of dtype, so packing two channels per tap halves the
+    dominant composite cost. f16 keeps ~3 decimal digits — well inside the
+    1e-2 fidelity budget.
+
+    Integer packing (no trailing-2 stacks: those would tile-pad 64x).
+    """
+
+    def pack(a, b):
+        a16 = jax.lax.bitcast_convert_type(a.astype(jnp.float16), jnp.uint16)
+        b16 = jax.lax.bitcast_convert_type(b.astype(jnp.float16), jnp.uint16)
+        u = a16.astype(jnp.uint32) | (b16.astype(jnp.uint32) << 16)
+        return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+    rg = pack(cube_color[:, :, 0], cube_color[:, :, 1])
+    ba = pack(cube_color[:, :, 2], cube_color[:, :, 3])
+    return jnp.stack([rg, ba], axis=2)
+
+
+def _unpack_f16(v):
+    """packed f32 -> (lo, hi) f32 channel values."""
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        (u & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (u >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
 # Cube-map addressing (SoA)
 # ---------------------------------------------------------------------------
 
@@ -173,11 +210,19 @@ def cube_cast_soa(cube_color, cube_depth, vol_id, n_eff,
     # plain-bilinear weights in the same tap order (for the fallback)
     wf = ((1 - fx) * fy, fx * fy, fx * (1 - fy), (1 - fx) * (1 - fy))
 
+    packed = cube_color.shape[2] == 2
     samples = []  # per tap: [r, g, b, a]
     for (xi, yi) in taps:
-        samples.append([
-            cube_color[:, :, ci][vol_id, face, yi, xi] for ci in range(4)
-        ])
+        if packed:
+            rg = cube_color[:, :, 0][vol_id, face, yi, xi]
+            ba = cube_color[:, :, 1][vol_id, face, yi, xi]
+            r_, g_ = _unpack_f16(rg)
+            b_, a_ = _unpack_f16(ba)
+            samples.append([r_, g_, b_, a_])
+        else:
+            samples.append([
+                cube_color[:, :, ci][vol_id, face, yi, xi] for ci in range(4)
+            ])
 
     if has_depth:
         depth_v = unproject_z(scene_depth)
@@ -292,6 +337,7 @@ def composite_oit(
     n = per_object.world.shape[0]
     s = cube_maps.color.shape[-1]
     num_layers = min(num_layers, n)
+    # cube_maps.color may be (N,6,4,S,S) raw or (N,6,2,S,S) f16-packed
 
     (xg, yg), (dwx, dwy, dwz) = screen_rays(width, height, screen_to_world, eye)
 

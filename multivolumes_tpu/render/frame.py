@@ -143,7 +143,7 @@ def render_frame(
         )
         use_raycast = False
         vol_or = sweep_lib.orient_volumes(state.volumes.astype(dtype))
-        lm_or = sweep_lib.orient_volumes(light_maps.astype(dtype))
+        lm_or = sweep_lib.orient_volumes_cf(light_maps.astype(dtype))
         cube_maps = sweep_lib.ray_march_view_sweep(
             vol_or,
             state.vol_tex_ids,
@@ -156,11 +156,15 @@ def render_frame(
             num_planes=config.sweep_planes,
             dtype=dtype,
         )
+        if config.packed_composite:
+            cube_maps = cube_maps._replace(
+                color=composite.pack_cube_f16(cube_maps.color)
+            )
     else:
         cube_maps = raymarch.ray_march_view(
             state.volumes,
             state.vol_tex_ids,
-            light_maps,
+            jnp.moveaxis(light_maps, 1, -1),  # golden path: channel-last
             per_object,
             cull,
             eye,
@@ -190,7 +194,7 @@ def render_frame(
         cube_maps,
         state.volumes,
         state.vol_tex_ids,
-        light_maps,
+        jnp.moveaxis(light_maps, 1, -1) if use_raycast else light_maps,
         per_object,
         cull_for_composite,
         eye,

@@ -156,9 +156,10 @@ def ray_march_light(
     max_light_samples: int,
     has_light_probe: bool = True,
 ) -> jnp.ndarray:
-    """Refresh one volume's light map; returns the updated (N, L^3) stack."""
+    """Refresh one volume's light map; returns the updated channel-mid
+    (N, 3, L, L, L) stack."""
     n = vol_tex_ids.shape[0]
-    l = light_maps.shape[1]
+    l = light_maps.shape[-1]
     vid = select_update_volume(cull.visible, frame_idx)
 
     step_scale = MAX_DIST / float(max_light_samples)
@@ -291,6 +292,6 @@ def ray_march_light(
             shadow * lcol[1] + amb_g,
             shadow * lcol[2] + amb_b,
         ],
-        axis=-1,
+        axis=0,
     )
     return light_maps.at[vid].set(new_map.astype(light_maps.dtype))

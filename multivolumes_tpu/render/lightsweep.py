@@ -305,7 +305,7 @@ def ray_march_light_sweep(
     shadow_map, shadow_vp, light_pos, light_color, ambient, sh_coeffs,
     max_light_samples: int, has_light_probe: bool = True,
 ):
-    """All N light maps in one pass: -> (N, L, L, L, 3).
+    """All N light maps in one pass: -> (N, 3, L, L, L) channel-mid.
 
     Same output contract as `lightmarch.ray_march_light` but refreshes
     every volume every frame (the sweep is cheap enough). All
@@ -361,5 +361,5 @@ def ray_march_light_sweep(
     return jnp.stack(
         [shadow * lcol[0] + amb_r, shadow * lcol[1] + amb_g,
          shadow * lcol[2] + amb_b],
-        axis=-1,
+        axis=1,
     )

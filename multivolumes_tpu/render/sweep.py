@@ -76,6 +76,22 @@ def orient_volumes(vol):
     return jnp.stack(faces, axis=-5)
 
 
+def orient_volumes_cf(vol_cf):
+    """Channel-first variant: (..., C, D, H, W) -> (..., 6, C, D, H, W)."""
+    zyx = vol_cf
+    t_zx = jnp.swapaxes(vol_cf, -3, -1)
+    t_zy = jnp.swapaxes(vol_cf, -3, -2)
+    faces = [
+        jnp.flip(t_zx, axis=-1),
+        jnp.flip(t_zx, axis=-3),
+        jnp.flip(t_zy, axis=-2),
+        jnp.flip(t_zy, axis=-3),
+        zyx,
+        jnp.flip(jnp.flip(zyx, axis=-3), axis=-1),
+    ]
+    return jnp.stack(faces, axis=-5)
+
+
 def eye_to_face_frames(eye_local):
     """(..., 3) local eye -> (..., 6, 3) (eu, ev, ew) per face."""
     ex, ey, ez = eye_local[..., 0], eye_local[..., 1], eye_local[..., 2]

@@ -57,7 +57,8 @@ class SceneState:
     volumes: jnp.ndarray          # (N_src, D, H, W, 4) density sources
     vol_tex_ids: jnp.ndarray      # (N,) int32 source id per volume
     volume_worlds: jnp.ndarray    # (N, 4, 4) world transforms (row-vector)
-    light_maps: jnp.ndarray       # (N, L, L, L, 3) R11G11B10F equivalent
+    light_maps: jnp.ndarray       # (N, 3, L, L, L) channel-mid (trailing
+                                  # 3 would be tile-padded 32x at rest)
 
     # Lighting — `LightProbe` + cbPerFrame light params
     sh_coeffs: jnp.ndarray        # (9, 3) SH-projected radiance
@@ -138,7 +139,7 @@ def create_scene(config: RenderConfig,
     worlds = jnp.asarray(volume_grid_worlds(n, size, (cx, cy, cz)))
 
     lgs = config.light_grid_size
-    light_maps = jnp.ones((n, lgs, lgs, lgs, 3), dtype)
+    light_maps = jnp.ones((n, 3, lgs, lgs, lgs), dtype)
 
     if radiance is None:
         radiance = default_radiance(64)

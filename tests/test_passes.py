@@ -116,3 +116,27 @@ def test_select_layers_orders_by_depth():
     z, idx = np.asarray(z), np.asarray(idx)
     assert (idx[0] == 1).all() and (idx[1] == 3).all() and (idx[2] == 0).all()
     np.testing.assert_allclose(z[:, 0, 0], [0.2, 0.5, 0.7])
+
+
+def test_packed_composite_matches_unpacked():
+    import jax
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.render import frame as frame_lib
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
+                       max_ray_samples=16, max_light_samples=8,
+                       num_volumes=2, num_volume_srcs=2,
+                       cube_map_size=16, shadow_map_size=32)
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.default_camera(cfg.aspect_ratio)
+    out_p = jax.jit(lambda s: frame_lib.render_frame(
+        s, cam, cfg, use_taa=False))(st)
+    cfg_u = cfg.with_(packed_composite=False)
+    out_u = jax.jit(lambda s: frame_lib.render_frame(
+        s, cam, cfg_u, use_taa=False))(st)
+    np.testing.assert_allclose(
+        np.asarray(out_p.image), np.asarray(out_u.image), atol=2e-3
+    )

@@ -53,14 +53,15 @@ def test_sweep_matches_reference_march():
                                  32, 16, 5, adaptive=False)
     depth = jnp.ones((120, 160), jnp.float32)
 
+    lm_last = jnp.moveaxis(st.light_maps, 1, -1)  # channel-last for golden
     ref = jax.jit(
         lambda: raymarch.ray_march_view(
-            st.volumes, st.vol_tex_ids, st.light_maps, po, cull, cam.eye,
+            st.volumes, st.vol_tex_ids, lm_last, po, cull, cam.eye,
             depth, 16, 32, adaptive=False,
         )
     )()
     vol_or = sweep.orient_volumes(st.volumes)
-    lm_or = sweep.orient_volumes(st.light_maps)
+    lm_or = sweep.orient_volumes_cf(st.light_maps)
     sw = jax.jit(
         lambda: sweep.ray_march_view_sweep(
             vol_or, st.vol_tex_ids, lm_or, po, cull, cam.eye, depth, 16,
