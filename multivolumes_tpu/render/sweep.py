@@ -209,73 +209,95 @@ def sweep_batched(
     ds = delta * inv_gz                                     # (B,)
     f_corr = (ds[:, None, None] * ray_len) / step_scale[:, None, None]
 
-    def interp_b(coords, nn):
-        """(B, S) continuous coords -> (B, S, nn) interp matrices."""
-        t = jax.lax.broadcasted_iota(jnp.float32, (1, size, nn), 2)
-        c = jnp.clip(coords, 0.0, nn - 1.0)[..., None]
-        return jnp.maximum(1.0 - jnp.abs(c - t), 0.0).astype(dtype)
+    # Plane blocking: TPU scan steps on tiny batched matmuls are
+    # dispatch-bound, so process P planes per step and resolve the
+    # front-to-back recurrence with an exclusive cumulative product over
+    # the block (associative, exact):
+    #   T_k = T_carry * prod_{j<k} A_j;  scatter += C_k*(1-A_k)*T_k
+    p_block = 8
+    while num_planes % p_block != 0 and p_block > 1:
+        p_block //= 2
+    n_blocks = num_planes // p_block
 
-    def slab_at(stack, idx0, w_k, dd, n_ch):
-        """Lerp two adjacent slices per batch element, channel-first:
-        -> (B, C, H', W'). stack is channel-mid (N, 6, C, D, H, W)."""
-        zc = (w_k * 0.5 + 0.5) * dd - 0.5
+    def slab_block(stack, idx0, w_ks, dd, n_ch):
+        """P planes of slabs: -> (B, P, C, H', W')."""
+        zc = (w_ks * 0.5 + 0.5) * dd - 0.5            # (B,P)
         z0 = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, dd - 1)
         z1 = jnp.clip(z0 + 1, 0, dd - 1)
         fz = jnp.clip(zc - jnp.floor(zc), 0.0, 1.0).astype(dtype)
+        idx_bp = jnp.broadcast_to(idx0[:, None], z0.shape)
+        face_bp = jnp.broadcast_to(face_b[:, None], z0.shape)
         outs = []
         for ci in range(n_ch):
             ch = stack[:, :, ci]
-            s0 = ch[idx0, face_b, z0]
-            s1 = ch[idx0, face_b, z1]
-            outs.append(s0 * (1 - fz[:, None, None]) + s1 * fz[:, None, None])
-        return jnp.stack(outs, 1)  # (B, C, H, W)
+            s0 = ch[idx_bp, face_bp, z0]               # (B,P,H,W)
+            s1 = ch[idx_bp, face_bp, z1]
+            outs.append(s0 * (1 - fz[..., None, None]) + s1 * fz[..., None, None])
+        return jnp.stack(outs, 2)  # (B,P,C,H,W)
 
-    def body(carry, k):
+    def interp_bp(coords, nn):
+        """(B, P, S) coords -> (B, P, S, nn) interp matrices."""
+        t = jax.lax.broadcasted_iota(jnp.float32, (1, 1, size, nn), 3)
+        c = jnp.clip(coords, 0.0, nn - 1.0)[..., None]
+        return jnp.maximum(1.0 - jnp.abs(c - t), 0.0).astype(dtype)
+
+    def body(carry, blk):
         transm, sr, sg, sb, sa = carry
-        w_k = ew_c + (k.astype(jnp.float32) + 0.5) * delta      # (B,)
-        s_k = (w_k - ew) * inv_gz                               # (B,)
+        ks = blk * p_block + jnp.arange(p_block, dtype=jnp.int32)  # (P,)
+        w_ks = ew_c[:, None] + (ks[None].astype(jnp.float32) + 0.5) * delta[:, None]
+        s_ks = (w_ks - ew[:, None]) * inv_gz[:, None]              # (B,P)
 
-        pu = eu[:, None] + s_k[:, None] * (u[None, :] - eu[:, None])  # (B,S)
-        pv = ev[:, None] + s_k[:, None] * (v[None, :] - ev[:, None])
+        pu = eu[:, None, None] + s_ks[..., None] * (u[None, None, :] - eu[:, None, None])
+        pv = ev[:, None, None] + s_ks[..., None] * (v[None, None, :] - ev[:, None, None])
 
-        slab = slab_at(volumes_oriented, tex_b, w_k, d, 4)      # (B,4,H,W)
-        wx = interp_b((pu * 0.5 + 0.5) * w - 0.5, w)            # (B,S,W)
-        wy = interp_b((pv * 0.5 + 0.5) * h - 0.5, h)            # (B,S,H)
-        tmp = jnp.einsum("bjw,bchw->bchj", wx, slab.astype(dtype),
+        slab = slab_block(volumes_oriented, tex_b, w_ks, d, 4)     # (B,P,4,H,W)
+        wx = interp_bp((pu * 0.5 + 0.5) * w - 0.5, w)              # (B,P,S,W)
+        wy = interp_bp((pv * 0.5 + 0.5) * h - 0.5, h)
+        tmp = jnp.einsum("bpjw,bpchw->bpchj", wx, slab.astype(dtype),
                          preferred_element_type=jnp.float32)
-        plane = jnp.einsum("bih,bchj->bcij", wy, tmp.astype(dtype),
-                           preferred_element_type=jnp.float32)  # (B,4,S,S)
+        plane = jnp.einsum("bpih,bpchj->bpcij", wy, tmp.astype(dtype),
+                           preferred_element_type=jnp.float32)     # (B,P,4,S,S)
 
-        lslab = slab_at(light_oriented, lm_b, w_k, dl, 3)
-        wxl = interp_b((pu * 0.5 + 0.5) * wl - 0.5, wl)
-        wyl = interp_b((pv * 0.5 + 0.5) * hl - 0.5, hl)
-        tmpl = jnp.einsum("bjw,bchw->bchj", wxl, lslab.astype(dtype),
+        lslab = slab_block(light_oriented, lm_b, w_ks, dl, 3)
+        wxl = interp_bp((pu * 0.5 + 0.5) * wl - 0.5, wl)
+        wyl = interp_bp((pv * 0.5 + 0.5) * hl - 0.5, hl)
+        tmpl = jnp.einsum("bpjw,bpchw->bpchj", wxl, lslab.astype(dtype),
                           preferred_element_type=jnp.float32)
-        light = jnp.einsum("bih,bchj->bcij", wyl, tmpl.astype(dtype),
-                           preferred_element_type=jnp.float32)  # (B,3,S,S)
+        light = jnp.einsum("bpih,bpchj->bpcij", wyl, tmpl.astype(dtype),
+                           preferred_element_type=jnp.float32)     # (B,P,3,S,S)
 
-        rho = jnp.clip(plane[:, 3], 0.0, 1.0)                   # (B,S,S)
-        sk = s_k[:, None, None]
-        live = (rho > ZERO_THRESHOLD) & (sk >= s_in) & (sk <= s_end) & ray_ok
-
-        t_mult = jnp.exp2(
-            f_corr * jnp.log2(jnp.maximum(1.0 - rho * ABSORPTION, 1e-7))
+        rho = jnp.clip(plane[:, :, 3], 0.0, 1.0)                   # (B,P,S,S)
+        sk = s_ks[..., None, None]
+        live = (
+            (rho > ZERO_THRESHOLD)
+            & (sk >= s_in[:, None]) & (sk <= s_end[:, None])
+            & ray_ok[:, None]
         )
-        t_mult = jnp.where(live, t_mult, 1.0)
 
-        amt = transm * (1.0 - t_mult)                           # (B,S,S)
-        zero = jnp.zeros_like(amt)
-        sr = sr + jnp.where(live, plane[:, 0] * light[:, 0] * amt, zero)
-        sg = sg + jnp.where(live, plane[:, 1] * light[:, 1] * amt, zero)
-        sb = sb + jnp.where(live, plane[:, 2] * light[:, 2] * amt, zero)
-        sa = sa + jnp.where(live, amt, zero)
-        transm = transm * t_mult
+        a_mult = jnp.exp2(
+            f_corr[:, None] * jnp.log2(jnp.maximum(1.0 - rho * ABSORPTION, 1e-7))
+        )
+        a_mult = jnp.where(live, a_mult, 1.0)
+
+        # exclusive prefix product along the plane axis
+        prefix = jnp.cumprod(a_mult, axis=1)
+        excl = jnp.concatenate(
+            [jnp.ones_like(prefix[:, :1]), prefix[:, :-1]], axis=1
+        )
+        t_k = transm[:, None] * excl                               # (B,P,S,S)
+        amt = t_k * (1.0 - a_mult)
+        amt = jnp.where(live, amt, 0.0)
+        sr = sr + jnp.sum(plane[:, :, 0] * light[:, :, 0] * amt, axis=1)
+        sg = sg + jnp.sum(plane[:, :, 1] * light[:, :, 1] * amt, axis=1)
+        sb = sb + jnp.sum(plane[:, :, 2] * light[:, :, 2] * amt, axis=1)
+        sa = sa + jnp.sum(amt, axis=1)
+        transm = transm * prefix[:, -1]
         return (transm, sr, sg, sb, sa), None
 
     z0_ = jnp.zeros((b, size, size), jnp.float32)
     init = (jnp.ones((b, size, size), jnp.float32), z0_, z0_, z0_, z0_)
     (_t, sr, sg, sb, sa), _ = jax.lax.scan(
-        body, init, jnp.arange(num_planes, dtype=jnp.int32)
+        body, init, jnp.arange(n_blocks, dtype=jnp.int32)
     )
     scatter = jnp.stack([sr, sg, sb, sa], 1)  # (B,4,S,S)
     return scatter.reshape(n, 6, 4, size, size)
