@@ -88,6 +88,10 @@ class RenderConfig:
     # Pack cube-map RGBA as f16 pairs before compositing (halves the
     # dominant per-pixel gather cost; ~3-digit precision).
     packed_composite: bool = True
+    # LOD bucket capacities for the sweep (volumes sorted by projected
+    # mip; bucket i sweeps at cube_map_size >> i). None disables LOD
+    # bucketing (all volumes at full resolution).
+    lod_bucket_caps: tuple | None = (8, 24, 1 << 30)
 
     @property
     def viewport(self) -> tuple[int, int]:

@@ -144,19 +144,40 @@ def render_frame(
         use_raycast = False
         vol_or = sweep_lib.orient_volumes(state.volumes.astype(dtype))
         lm_or = sweep_lib.orient_volumes_cf(light_maps.astype(dtype))
-        cube_maps = sweep_lib.ray_march_view_sweep(
-            vol_or,
-            state.vol_tex_ids,
-            lm_or,
-            per_object,
-            cull_for_composite,
-            eye,
-            depth_map,
-            config.cube_map_size,
-            num_planes=config.sweep_planes,
-            dtype=dtype,
-        )
-        if config.packed_composite:
+        if config.lod_bucket_caps is not None and config.adaptive_raymarch:
+            # bucket assignment needs the real projected mips; the sweep
+            # itself marches every visible face (use_cube_map forced on
+            # via run_mask from visibility)
+            lod_cull = cull._replace(use_cube_map=cull.visible)
+            cube_maps, sweep_mips = sweep_lib.ray_march_view_sweep_lod(
+                vol_or,
+                state.vol_tex_ids,
+                lm_or,
+                per_object,
+                lod_cull,
+                eye,
+                depth_map,
+                config.cube_map_size,
+                dtype=dtype,
+                bucket_caps=config.lod_bucket_caps,
+            )
+            cull_for_composite = cull_for_composite._replace(
+                mip_level=sweep_mips
+            )
+        else:
+            cube_maps = sweep_lib.ray_march_view_sweep(
+                vol_or,
+                state.vol_tex_ids,
+                lm_or,
+                per_object,
+                cull_for_composite,
+                eye,
+                depth_map,
+                config.cube_map_size,
+                num_planes=config.sweep_planes,
+                dtype=dtype,
+            )
+        if config.packed_composite and cube_maps.color.shape[2] == 4:
             cube_maps = cube_maps._replace(
                 color=composite.pack_cube_f16(cube_maps.color)
             )

@@ -214,9 +214,12 @@ def sweep_batched(
     # front-to-back recurrence with an exclusive cumulative product over
     # the block (associative, exact):
     #   T_k = T_carry * prod_{j<k} A_j;  scatter += C_k*(1-A_k)*T_k
-    p_block = 8
+    # Block size adapts to the face batch: slab transients scale with
+    # B * P * C * H * W, so cap B*P (~1k faces-planes keeps transients
+    # under ~1 GB at 128^3 volumes).
+    p_block = max(1, min(8, 1024 // max(b, 1)))
     while num_planes % p_block != 0 and p_block > 1:
-        p_block //= 2
+        p_block -= 1
     n_blocks = num_planes // p_block
 
     def slab_block(stack, idx0, w_ks, dd, n_ch):
@@ -417,3 +420,110 @@ def _occlusion_s_max(per_object, eye_local, eye_faces, depth_map, s):
     s_max = (t0 + jnp.minimum(t_max, FLT_MAX)) / jnp.maximum(L, 1e-12)
     s_max = jnp.where(t_max >= FLT_MAX * 0.5, FLT_MAX, s_max)
     return s_max, z
+
+
+def ray_march_view_sweep_lod(
+    volumes_oriented,     # (N_src, 6, 4, D, H, W) channel-mid
+    vol_tex_ids,          # (N,)
+    light_maps_oriented,  # (N, 6, 3, Dl, Hl, Wl) channel-mid
+    per_object: PerObject,
+    cull: CullResult,
+    eye,
+    depth_map,
+    cube_map_size: int,
+    dtype=jnp.float32,
+    bucket_caps=(8, 24, 1 << 30),
+):
+    """LOD-bucketed sweep: the honest work-graph equivalent.
+
+    The reference sizes each volume's cube-map dispatch by its projected
+    LOD through GPU-driven ExecuteIndirect / work graphs
+    (`LibRayMarch.hlsl:39-134`). Static XLA shapes cannot dispatch
+    dynamically, so volumes are *sorted by mip* and assigned to fixed-
+    capacity resolution buckets (S, S/2, S/4): the largest-on-screen
+    volumes sweep at full resolution, the rest at halved ones — per-face
+    cost scales with S_b^2, a ~4x cut at 64 volumes. Capacity overflow
+    degrades a volume one LOD step (never drops it).
+
+    Outputs are f16-pair packed (N, 6, 2, S, S); each volume's map
+    occupies the top-left (S>>mip)^2 corner and the returned mips feed the
+    composite's n_eff.
+    """
+    n = vol_tex_ids.shape[0]
+    s = cube_map_size
+
+    eye_local = math3d.transform_point3(eye, per_object.world_i)
+    eye_faces = eye_to_face_frames(eye_local)
+
+    if depth_map is not None:
+        s_max_full, cube_depth = _occlusion_s_max(
+            per_object, eye_local, eye_faces, depth_map, s
+        )
+    else:
+        s_max_full = None
+        cube_depth = jnp.ones((n, 6, s, s), jnp.float32)
+
+    run_mask_full = cull.face_mask & cull.visible[:, None]
+
+    # sort volumes by mip (ascending = most detailed first); invisible
+    # volumes sort last so capacity goes to visible ones
+    sort_key = jnp.where(cull.visible, cull.mip_level, 1 << 20)
+    order = jnp.argsort(sort_key)
+
+    # static bucket layout from N and capacities
+    buckets = []
+    start = 0
+    mip = 0
+    for cap in bucket_caps:
+        size_b = max(s >> mip, 8)
+        count = min(cap, n - start)
+        if count > 0:
+            buckets.append((start, count, size_b, mip))
+            start += count
+        mip += 1
+        if start >= n:
+            break
+    while start < n:  # leftover beyond the last cap: smallest bucket
+        _s0, c0, size_b, mip_b = buckets[-1]
+        buckets[-1] = (_s0, c0 + (n - start), size_b, mip_b)
+        start = n
+
+    # packed f16-pair storage: (N, 6, 2, S, S) — half the footprint, and
+    # the composite consumes packed maps natively
+    from multivolumes_tpu.render.composite import pack_cube_f16
+
+    color = jnp.zeros((n, 6, 2, s, s), jnp.float32)
+    mips = jnp.zeros((n,), jnp.int32)
+
+    for (b0, count, size_b, mip_b) in buckets:
+        ids = jax.lax.dynamic_slice_in_dim(order, b0, count)  # (count,)
+        u = (jnp.arange(size_b, dtype=jnp.float32) + 0.5) / size_b * 2.0 - 1.0
+        v = -u
+
+        eye_f_b = eye_faces[ids]
+        if s_max_full is not None:
+            # subsample the occlusion bound to the bucket resolution
+            stride = s // size_b
+            s_max_b = s_max_full[ids][:, :, ::stride, ::stride]
+        else:
+            s_max_b = None
+
+        params = face_ray_params(
+            eye_f_b.reshape(count * 6, 3), u, v,
+            None if s_max_b is None else s_max_b.reshape(count * 6, size_b, size_b),
+        )
+        params = SweepParams(*(x.reshape(count, 6, size_b, size_b) for x in params))
+
+        scatter = sweep_batched(
+            volumes_oriented, light_maps_oriented[ids], vol_tex_ids[ids],
+            eye_f_b, params, cull.smp_count[ids], run_mask_full[ids],
+            size_b, size_b, dtype,
+        )  # (count, 6, 4, size_b, size_b)
+        scatter = scatter.at[:, :, :3].mul(1.0 / (2.0 * math.pi))
+        scatter = scatter * run_mask_full[ids][:, :, None, None, None]
+
+        packed = pack_cube_f16(scatter)  # (count, 6, 2, size_b, size_b)
+        color = color.at[ids, :, :, 0:size_b, 0:size_b].set(packed)
+        mips = mips.at[ids].set(mip_b)
+
+    return CubeMaps(color=color, depth=cube_depth), mips

@@ -78,3 +78,43 @@ def test_sweep_matches_reference_march():
     # analytic spot check: a face-center ray through the blob center must
     # accumulate nearly full opacity in both
     assert r[0, 4, 3, 8, 8] > 0.9 and s[0, 4, 3, 8, 8] > 0.9
+
+
+def test_lod_bucketed_sweep():
+    """Buckets assign sorted-by-mip volumes; maps land in mip corners."""
+    cfg = RenderConfig(width=160, height=120, grid_size=16,
+                       light_grid_size=8, max_ray_samples=32,
+                       num_volumes=4, num_volume_srcs=2, cube_map_size=16)
+    st = state_lib.create_scene(cfg)
+    # two volumes near (big on screen), two far (small)
+    worlds = np.array(st.volume_worlds)
+    worlds[2, 3, 2] += 400.0
+    worlds[3, 3, 2] += 400.0
+    st = __import__("dataclasses").replace(
+        st, volume_worlds=jnp.asarray(worlds))
+    cam = cam_lib.make_camera(jnp.array([2.0, 10.0, -40.0]), jnp.zeros(3),
+                              160 / 120)
+    po = build_per_object(st.volume_worlds, cam.view_proj)
+    cull = cull_lib.cull_volumes(po, cam.eye, jnp.array([160.0, 120.0]),
+                                 32, 16, 5)
+    cull = cull._replace(use_cube_map=cull.visible)
+
+    vol_or = sweep.orient_volumes(st.volumes)
+    lm_or = sweep.orient_volumes_cf(st.light_maps)
+    cm, mips = jax.jit(
+        lambda: sweep.ray_march_view_sweep_lod(
+            vol_or, st.vol_tex_ids, lm_or, po, cull, cam.eye, None, 16,
+            bucket_caps=(2, 2, 99),
+        )
+    )()
+    mips = np.asarray(mips)
+    cull_mips = np.asarray(cull.mip_level)
+    # near volumes (smaller projected mip) got the full-res bucket
+    near = np.argsort(np.where(np.asarray(cull.visible), cull_mips, 99))[:2]
+    assert set(np.where(mips == 0)[0]) == set(near.tolist())
+    # bucket-1 volumes store content only in the 8x8 corner
+    col = np.asarray(cm.color)
+    for vid in range(4):
+        if mips[vid] == 1 and bool(cull.visible[vid]):
+            assert np.abs(col[vid, :, :, 8:, :]).max() == 0.0
+            assert np.abs(col[vid, :, :, :, 8:]).max() == 0.0
