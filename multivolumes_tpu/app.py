@@ -44,8 +44,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--animate", action="store_true",
                    help="orbit camera ([A] hotkey)")
     p.add_argument("--no-taa", action="store_true")
-    p.add_argument("--march", choices=["sweep", "reference"], default="reference",
+    p.add_argument("--march", choices=["sweep", "reference"], default="sweep",
                    help="view-march algorithm (see render/sweep.py)")
+    p.add_argument("--warp", action="store_true",
+                   help="force the CPU backend (the reference's -warp "
+                        "software-adapter flag, MultiVolumes.cpp:110-128)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 sweep compute (TPU fast path)")
     p.add_argument("--stats", action="store_true",
                    help="print per-frame cull/LOD stats (F1-style overlay)")
     p.add_argument("--out", type=str, default="frame.png")
@@ -53,10 +58,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    args = build_arg_parser().parse_args(argv)
+
     from multivolumes_tpu.utils.platform import configure_for_host
 
-    configure_for_host()
-    args = build_arg_parser().parse_args(argv)
+    configure_for_host(force_cpu=args.warp)
 
     cfg = RenderConfig(
         width=args.width,
@@ -70,6 +76,7 @@ def main(argv=None) -> None:
         vol_pos_scale=tuple(args.volume),
         mesh_pos_scale=tuple(args.meshPos),
         march_mode=args.march,
+        use_bf16=args.bf16,
     )
     engine = MultiRayCaster(cfg)
     if args.mesh:

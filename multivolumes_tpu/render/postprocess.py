@@ -32,14 +32,38 @@ def tone_map_ch(r, g, b):
     return f(r), f(g), f(b)
 
 
-def render_environment(radiance, screen_to_world, eye, width: int, height: int):
-    """Sky color for every pixel: (6, R, R, 3) cube -> 3 x (H, W) fields."""
-    _xy, (dx, dy, dz) = composite.screen_rays(width, height, screen_to_world, eye)
+def _upsample_matrix(n_out: int, n_in: int):
+    """(n_out, n_in) bilinear upsample matrix (texel-center aligned)."""
+    import jax
+
+    rows = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_in), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_in), 1)
+    src = jnp.clip((rows + 0.5) * (n_in / n_out) - 0.5, 0.0, n_in - 1.0)
+    return jnp.maximum(1.0 - jnp.abs(src - cols), 0.0)
+
+
+def render_environment(radiance, screen_to_world, eye, width: int, height: int,
+                       scale: int = 2):
+    """Sky color for every pixel: (6, R, R, 3) cube -> 3 x (H, W) fields.
+
+    Sampled at 1/scale resolution (the sky is low-frequency; per-pixel
+    cube taps are gather-bound) and upsampled with two separable matmuls.
+    """
+    if scale > 1 and width % scale == 0 and height % scale == 0:
+        wl, hl = width // scale, height // scale
+    else:
+        wl, hl = width, height
+    _xy, (dx, dy, dz) = composite.screen_rays(wl, hl, screen_to_world, eye)
     n = radiance.shape[1]
     vol_id = jnp.zeros(dx.shape, jnp.int32)
     n_eff = jnp.full(dx.shape, n, jnp.int32)
     rad = jnp.moveaxis(radiance, -1, 1)[None]  # (1, 6, 3, R, R)
-    return composite.sample_cube_soa(rad, vol_id, dx, dy, dz, n_eff)
+    low = composite.sample_cube_soa(rad, vol_id, dx, dy, dz, n_eff)
+    if (wl, hl) == (width, height):
+        return low
+    mu = _upsample_matrix(width, wl)
+    mv = _upsample_matrix(height, hl)
+    return tuple(mv @ c @ mu.T for c in low)
 
 
 def srgb_encode(c):

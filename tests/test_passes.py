@@ -140,3 +140,27 @@ def test_packed_composite_matches_unpacked():
     np.testing.assert_allclose(
         np.asarray(out_p.image), np.asarray(out_u.image), atol=2e-3
     )
+
+
+def test_bf16_sweep_close_to_f32():
+    import jax
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.render import frame as frame_lib
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
+                       max_ray_samples=16, max_light_samples=8,
+                       num_volumes=2, num_volume_srcs=2,
+                       cube_map_size=16, shadow_map_size=32)
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.default_camera(cfg.aspect_ratio)
+    out32 = jax.jit(lambda s: frame_lib.render_frame(
+        s, cam, cfg, use_taa=False))(st)
+    cfg16 = cfg.with_(use_bf16=True)
+    out16 = jax.jit(lambda s: frame_lib.render_frame(
+        s, cam, cfg16, use_taa=False))(st)
+    diff = np.abs(np.asarray(out32.image) - np.asarray(out16.image))
+    assert diff.mean() < 5e-3, diff.mean()
+    assert diff.max() < 6e-2, diff.max()
