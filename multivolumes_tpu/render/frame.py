@@ -211,6 +211,11 @@ def render_frame(
         bg_a = jnp.zeros((height, width), jnp.float32)
 
     # --- OIT composite over background -----------------------------------
+    cs = config.composite_scale if not has_mesh else 1
+    if cs > 1 and width % cs == 0 and height % cs == 0:
+        cw, ch = width // cs, height // cs
+    else:
+        cw, ch = width, height
     vr, vg, vb, va = composite.composite_oit(
         cube_maps,
         state.volumes,
@@ -221,14 +226,18 @@ def render_frame(
         eye,
         screen_to_world,
         depth_map,
-        width,
-        height,
+        cw,
+        ch,
         config.max_ray_samples,
         num_layers=config.oit_layers,
         adaptive=config.adaptive_raymarch,
         use_raycast=use_raycast,
         has_depth=has_mesh,
     )
+    if (cw, ch) != (width, height):
+        mu = postprocess._upsample_matrix(width, cw)
+        mv = postprocess._upsample_matrix(height, ch)
+        vr, vg, vb, va = (mv @ c @ mu.T for c in (vr, vg, vb, va))
     t = 1.0 - va
     sc_r = vr + t * bg_r
     sc_g = vg + t * bg_g
