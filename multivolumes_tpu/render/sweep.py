@@ -39,7 +39,6 @@ import jax.numpy as jnp
 
 from multivolumes_tpu.config import SharedConsts
 from multivolumes_tpu.core import math3d
-from multivolumes_tpu.ops import trilinear
 from multivolumes_tpu.render.cull import CullResult
 from multivolumes_tpu.render.perframe import PerObject
 from multivolumes_tpu.render.raymarch import CubeMaps
