@@ -122,9 +122,10 @@ def light_transmittance(
 
     Returns (N, L, L, L) transmittance (light -> voxel), the continuous
     counterpart of the product of `CastLightRay` transmittances over all
-    volumes. Propagation between volumes is taken parallel to the sweep
-    axis (shadows between distant volumes land up to (l_lat/l_w * gap)
-    off-axis — a documented approximation).
+    volumes. Directional-light rays are parallel, so the shared lateral
+    map is anchored on the w=0 reference plane: reads/writes shift by
+    slope * face-depth, making inter-volume shadow placement exact up to
+    resampling.
     """
     n, l = rho_light.shape[0], rho_light.shape[1]
     g = 2 * l  # global lateral occlusion map resolution
@@ -179,9 +180,37 @@ def light_transmittance(
         # to the unit-cube march (reference marches in local units too)
         f_corr = dt_local / step_scale        # (N,)
 
-        # global lateral window covering all volumes (world units)
-        lo_u = jnp.min(cu - scales); hi_u = jnp.max(cu + scales)
-        lo_v = jnp.min(cv - scales); hi_v = jnp.max(cv + scales)
+        # Reference-plane anchoring: ray x(w) = x_ref + slope*w with
+        # slope = d_lat/d_w (parallel rays). Reads happen at the entry
+        # face's depth, writes at the exit face's.
+        if axis_idx == 0:
+            cw_axis = centers[:, 0]
+        elif axis_idx == 1:
+            cw_axis = centers[:, 1]
+        else:
+            cw_axis = centers[:, 2]
+        dw_world = -lw  # world propagation component along the sweep axis
+        dw_safe = jnp.where(jnp.abs(dw_world) > 1e-6, dw_world,
+                            jnp.where(dw_world >= 0, 1e-6, -1e-6))
+        slope_u = (-lu) / dw_safe   # lateral world units per world w unit
+        slope_v = (-lv) / dw_safe
+        sgn = jnp.sign(dw_safe)
+        w_in = cw_axis - sgn * scales    # face where the light enters
+        w_out = cw_axis + sgn * scales
+
+        # global lateral window covering all shifted volume footprints
+        cu_ref_in = cu - slope_u * w_in
+        cv_ref_in = cv - slope_v * w_in
+        cu_ref_out = cu - slope_u * w_out
+        cv_ref_out = cv - slope_v * w_out
+        lo_u = jnp.minimum(jnp.min(cu_ref_in - scales),
+                           jnp.min(cu_ref_out - scales))
+        hi_u = jnp.maximum(jnp.max(cu_ref_in + scales),
+                           jnp.max(cu_ref_out + scales))
+        lo_v = jnp.minimum(jnp.min(cv_ref_in - scales),
+                           jnp.min(cv_ref_out - scales))
+        hi_v = jnp.maximum(jnp.max(cv_ref_in + scales),
+                           jnp.max(cv_ref_out + scales))
         span_u = jnp.maximum(hi_u - lo_u, 1e-3)
         span_v = jnp.maximum(hi_v - lo_v, 1e-3)
 
@@ -189,13 +218,13 @@ def light_transmittance(
             t_fields, g_map = carry
             vid = order[k]
 
-            # resample the global map into this volume's lateral frame:
-            # volume voxel i -> world = cu - s + (i+.5)/L*2s
-            #               -> global coord = (world - lo)/span * G - 0.5
+            # resample the global map into this volume's lateral frame at
+            # the ENTRY depth: volume voxel i -> world lateral
+            # cu - s + (i+.5)/L*2s, shifted to the reference plane
             su = (2.0 * scales[vid] / l) * (g / span_u)
-            ou = ((cu[vid] - scales[vid] - lo_u) / span_u) * g - 0.5 + 0.5 * su
+            ou = ((cu_ref_in[vid] - scales[vid] - lo_u) / span_u) * g - 0.5 + 0.5 * su
             sv = (2.0 * scales[vid] / l) * (g / span_v)
-            ov = ((cv[vid] - scales[vid] - lo_v) / span_v) * g - 0.5 + 0.5 * sv
+            ov = ((cv_ref_in[vid] - scales[vid] - lo_v) / span_v) * g - 0.5 + 0.5 * sv
             mu_in = _resample_matrix(l, g, su, ou)
             mv_in = _resample_matrix(l, g, sv, ov)
             t_in = mv_in @ g_map @ mu_in.T           # (L, L)
@@ -206,13 +235,17 @@ def light_transmittance(
             # volume-only opacity for the global compose
             o_only = t_out / jnp.maximum(t_in, 1e-6)
 
-            # scatter multiplicatively back into the global frame:
-            # global texel j -> volume coord; rows outside the window get
-            # weight-sum 0 and stay 1.
-            su_b = 1.0 / su
-            ou_b = -ou / su
-            sv_b = 1.0 / sv
-            ov_b = -ov / sv
+            # scatter multiplicatively back into the global frame at the
+            # EXIT depth: global texel j -> volume coord; rows outside the
+            # window get weight-sum 0 and stay 1.
+            su_o = (2.0 * scales[vid] / l) * (g / span_u)
+            ou_o = ((cu_ref_out[vid] - scales[vid] - lo_u) / span_u) * g - 0.5 + 0.5 * su_o
+            sv_o = (2.0 * scales[vid] / l) * (g / span_v)
+            ov_o = ((cv_ref_out[vid] - scales[vid] - lo_v) / span_v) * g - 0.5 + 0.5 * sv_o
+            su_b = 1.0 / su_o
+            ou_b = -ou_o / su_o
+            sv_b = 1.0 / sv_o
+            ov_b = -ov_o / sv_o
             gu_rows = jax.lax.broadcasted_iota(jnp.float32, (g, l), 0)
             gu_cols = jax.lax.broadcasted_iota(jnp.float32, (g, l), 1)
             wu = jnp.maximum(1.0 - jnp.abs(gu_rows * su_b + ou_b - gu_cols), 0.0)
