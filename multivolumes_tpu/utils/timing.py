@@ -91,23 +91,41 @@ def profile_frame(state, camera, config, iters: int = 3) -> dict:
     shadow_vp = mesh_lib.shadow_view_proj(state)
     depth_map = jnp.ones((config.height, config.width), jnp.float32)
 
-    def light_fn(vols, lm):
-        return lightmarch.ray_march_light(
-            vols, state.vol_tex_ids, lm, po, cull,
-            state.frame_idx, shadow_map, shadow_vp, state.light_pos,
-            state.light_color, state.ambient, state.sh_coeffs,
-            config.max_light_samples, config.has_light_probe,
-        )
+    if config.light_mode == "sweep":
+        from multivolumes_tpu.render import lightsweep
 
-    results["light_march"] = time_fn(light_fn, state.volumes,
-                                     state.light_maps, iters=iters)
-    light_maps = jax.jit(light_fn)(state.volumes, state.light_maps)
+        def light_fn(rho, ao, gd):
+            return lightsweep.ray_march_light_sweep(
+                rho, ao, gd, state.vol_tex_ids, po, cull,
+                shadow_map, shadow_vp, state.light_pos, state.light_color,
+                state.ambient, state.sh_coeffs, config.max_light_samples,
+                config.has_light_probe,
+            )
+
+        results["light_sweep"] = time_fn(
+            light_fn, state.rho_light, state.ao_static, state.grad_dir,
+            iters=iters,
+        )
+        light_maps = jax.jit(light_fn)(state.rho_light, state.ao_static,
+                                       state.grad_dir)
+    else:
+        def light_fn(vols, lm):
+            return lightmarch.ray_march_light(
+                vols, state.vol_tex_ids, lm, po, cull,
+                state.frame_idx, shadow_map, shadow_vp, state.light_pos,
+                state.light_color, state.ambient, state.sh_coeffs,
+                config.max_light_samples, config.has_light_probe,
+            )
+
+        results["light_march"] = time_fn(light_fn, state.volumes,
+                                         state.light_maps, iters=iters)
+        light_maps = jax.jit(light_fn)(state.volumes, state.light_maps)
 
     if config.march_mode == "sweep":
         from multivolumes_tpu.render import sweep as sweep_lib
 
         vol_or = sweep_lib.orient_volumes(state.volumes)
-        lm_or = sweep_lib.orient_volumes(light_maps)
+        lm_or = sweep_lib.orient_volumes_cf(light_maps)
 
         def march_fn(v, l):
             return sweep_lib.ray_march_view_sweep(
@@ -120,8 +138,10 @@ def profile_frame(state, camera, config, iters: int = 3) -> dict:
         cube_maps = jax.jit(march_fn)(vol_or, lm_or)
     else:
         def march_fn(v, l):
+            # golden path wants channel-last light maps
             return raymarch.ray_march_view(
-                v, state.vol_tex_ids, l, po, cull, camera.eye, depth_map,
+                v, state.vol_tex_ids, jnp.moveaxis(l, 1, -1), po, cull,
+                camera.eye, depth_map,
                 config.cube_map_size, config.max_ray_samples,
             )
 
@@ -132,7 +152,7 @@ def profile_frame(state, camera, config, iters: int = 3) -> dict:
     def comp_fn(vols, lm, cm_color, cm_depth):
         cm = raymarch.CubeMaps(cm_color, cm_depth)
         return composite.composite_oit(
-            cm, vols, state.vol_tex_ids, lm, po, cull,
+            cm, vols, state.vol_tex_ids, jnp.moveaxis(lm, 1, -1), po, cull,
             camera.eye, camera.screen_to_world, depth_map,
             config.width, config.height, config.max_ray_samples,
             num_layers=config.oit_layers,
