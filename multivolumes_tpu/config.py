@@ -94,6 +94,17 @@ class RenderConfig:
     # mip; bucket i sweeps at cube_map_size >> i). None disables LOD
     # bucketing (all volumes at full resolution).
     lod_bucket_caps: tuple | None = (8, 24, 1 << 30)
+    # Screen composite algorithm: "warp" = per-volume separable projective
+    # warps on the MXU (render/warp.py, zero gathers); "gather" = per-pixel
+    # CubeCast gathers (render/composite.py, reference-exact filter);
+    # "auto" = warp whenever the sweep path is active (cube maps shade
+    # everything), gather otherwise.
+    composite_mode: str = "auto"
+    # Static per-volume screen tile (pixels) for the warp composite; a
+    # volume's footprint is clipped to its tile (the 8 largest projected
+    # volumes get a 3x tile). None -> auto from num_volumes (512 for <=8
+    # volumes, 384 beyond).
+    warp_tile: int | None = None
     # Composite the volume layers at 1/composite_scale screen resolution
     # and upsample (the cube maps carry the detail — the screen pass is a
     # filter, per the paper's viewport-resolution-independence thesis).

@@ -61,6 +61,15 @@ def pack_cube_f16(cube_color):
     return jnp.stack([rg, ba], axis=2)
 
 
+def unpack_cube_f16(packed, dtype=jnp.float32):
+    """(N, 6, 2, S, S) f16-pair-packed -> (N, 6, 4, S, S) plain channels.
+    Inverse of `pack_cube_f16`; used by the warp composite, whose matmuls
+    need real (not bit-packed) channel values."""
+    r, g = _unpack_f16(packed[:, :, 0])
+    b, a = _unpack_f16(packed[:, :, 1])
+    return jnp.stack([r, g, b, a], axis=2).astype(dtype)
+
+
 def _unpack_f16(v):
     """packed f32 -> (lo, hi) f32 channel values."""
     u = jax.lax.bitcast_convert_type(v, jnp.uint32)

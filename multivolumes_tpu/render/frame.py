@@ -177,11 +177,20 @@ def render_frame(
                 num_planes=config.sweep_planes,
                 dtype=dtype,
             )
-        if config.packed_composite and cube_maps.color.shape[2] == 4:
+        use_warp = config.composite_mode in ("auto", "warp")
+        if (config.packed_composite and not use_warp
+                and cube_maps.color.shape[2] == 4):
             cube_maps = cube_maps._replace(
                 color=composite.pack_cube_f16(cube_maps.color)
             )
+        if use_warp and cube_maps.color.shape[2] == 2:
+            # the LOD sweep emits f16-pair-packed maps; the warp's matmuls
+            # need plain channels
+            cube_maps = cube_maps._replace(
+                color=composite.unpack_cube_f16(cube_maps.color, dtype)
+            )
     else:
+        use_warp = False  # the raycast fallback needs the gather composite
         cube_maps = raymarch.ray_march_view(
             state.volumes,
             state.vol_tex_ids,
@@ -216,24 +225,43 @@ def render_frame(
         cw, ch = width // cs, height // cs
     else:
         cw, ch = width, height
-    vr, vg, vb, va = composite.composite_oit(
-        cube_maps,
-        state.volumes,
-        state.vol_tex_ids,
-        jnp.moveaxis(light_maps, 1, -1) if use_raycast else light_maps,
-        per_object,
-        cull_for_composite,
-        eye,
-        screen_to_world,
-        depth_map,
-        cw,
-        ch,
-        config.max_ray_samples,
-        num_layers=config.oit_layers,
-        adaptive=config.adaptive_raymarch,
-        use_raycast=use_raycast,
-        has_depth=has_mesh,
-    )
+    if use_warp:
+        from multivolumes_tpu.render import warp as warp_lib
+
+        tile = config.warp_tile
+        if tile is None:
+            tile = 512 if config.num_volumes <= 8 else 384
+        vr, vg, vb, va = warp_lib.composite_oit_warp(
+            cube_maps,
+            per_object,
+            cull_for_composite,
+            eye,
+            screen_to_world,
+            depth_map,
+            cw,
+            ch,
+            num_layers=config.oit_layers,
+            tile=tile,
+        )
+    else:
+        vr, vg, vb, va = composite.composite_oit(
+            cube_maps,
+            state.volumes,
+            state.vol_tex_ids,
+            jnp.moveaxis(light_maps, 1, -1) if use_raycast else light_maps,
+            per_object,
+            cull_for_composite,
+            eye,
+            screen_to_world,
+            depth_map,
+            cw,
+            ch,
+            config.max_ray_samples,
+            num_layers=config.oit_layers,
+            adaptive=config.adaptive_raymarch,
+            use_raycast=use_raycast,
+            has_depth=has_mesh,
+        )
     if (cw, ch) != (width, height):
         mu = postprocess._upsample_matrix(width, cw)
         mv = postprocess._upsample_matrix(height, ch)

@@ -1,0 +1,398 @@
+"""MXU warp composite: cube-map resampling as separable projective warps.
+
+Replaces the per-pixel cube-map *gathers* of `composite.composite_oit`
+(the reference's `PSCube.hlsl` + `PSResolveOIT.hlsl` path) with pure
+matmul work. The observation: for one volume and one cube-map exit face,
+the map from screen NDC ``q = [x, y, 1]`` to face coordinates is a
+homography —
+
+* the local-space ray direction is *linear* in ``q``: ``d_local = q @ B``
+  (the unprojected point is homogeneous-linear in screen coords, and the
+  un-normalised direction ``P_h.xyz - eye * P_h.w`` keeps that linearity);
+* the ray-box exit coordinate on face ``(axis a, sign s)`` is
+  ``e_b = (o_b * d_a + (s - o_a) * d_b) / d_a`` — a ratio of two linear
+  forms of ``q``;
+* each face's ``(u, v)`` is affine in two exit components
+  (`GetLocalPos`, `CSRayMarch.hlsl:28-53`).
+
+So ``u = (nu . q)/(den . q)`` and ``v = (nv . q)/(den . q)``: bilinear
+cube sampling over a screen tile is a projective image warp. A projective
+warp decomposes (Catmull-Smith) into two 1-D resamples, and each 1-D
+resample with a 2-tap tent kernel is an interpolation-*matrix* product —
+measured at ~55 Gtaps/s on the v5e MXU vs ~65 Mtaps/s for the equivalent
+HBM gathers (docs/ROADMAP.md). Zero gathers on the hot path.
+
+Per volume, all work is confined to a static screen tile around the
+volume's projected centre (`dynamic_slice` placement), so cost scales
+with footprint, not screen x volume count. The per-pixel exit-face
+select, validity and the streaming nearest-K OIT insertion (see
+composite.py) run on the tile only.
+
+Documented deviations from the gather path (tested within tolerance by
+tests/test_warp.py):
+
+* the two-pass tent resample is the projectively-correct filter; it
+  differs from point-bilinear by sub-texel amounts under perspective;
+* `CubeCast`'s depth-aware tap weights (`PSCube.hlsli:51-108`) reduce to
+  plain bilinear whenever the four taps agree — the warp path always
+  behaves like that uniform case (mesh intersections lose the per-tap
+  seam softening; hard `exit_z <= scene_z` occlusion is kept);
+* `GetDomain`'s exterior-edge snap becomes clamp-to-edge;
+* a volume's footprint is clipped to its tile (tile size auto-scales
+  with volume count in `frame.py`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multivolumes_tpu.core import math3d
+from multivolumes_tpu.render import raymarch
+from multivolumes_tpu.render.composite import (
+    FLT_MAX,
+    _ray_box_exit_soa,
+    _underblend,
+    dir_to_face_uv_soa,
+)
+from multivolumes_tpu.render.cull import CullResult
+from multivolumes_tpu.render.perframe import PerObject
+
+# Face table matching `dir_to_face_uv_soa` / `GetLocalPos`
+# (`CSRayMarch.hlsl:28-53`): face -> (axis, sign, (u axis, u coeff),
+# (v axis, v coeff)); u = 0.5 + cu * e[bu], v = 0.5 + cv * e[bv].
+_FACES = (
+    (0, +1.0, (2, -0.5), (1, -0.5)),   # +X
+    (0, -1.0, (2, +0.5), (1, -0.5)),   # -X
+    (1, +1.0, (0, +0.5), (2, +0.5)),   # +Y
+    (1, -1.0, (0, +0.5), (2, -0.5)),   # -Y
+    (2, +1.0, (0, +0.5), (1, -0.5)),   # +Z
+    (2, -1.0, (0, -0.5), (1, -0.5)),   # -Z
+)
+
+_EPS = 1e-12
+
+# Number of volumes promoted to the "big footprint" tile class (whose
+# tile spans the whole screen — near volumes never clip).
+_NUM_BIG = 12
+
+
+def screen_basis(screen_to_world, eye):
+    """(3, 3) matrix A with ``d_world = [x_ndc, y_ndc, 1] @ A``.
+
+    Same unprojection as `composite.screen_rays` (mid-depth point,
+    z = 0.5), but kept homogeneous: the direction to the unprojected
+    point is ``P_h.xyz - eye * P_h.w`` up to a positive scale, which is
+    linear in the screen coordinates.
+    """
+    m = screen_to_world
+    rows = [m[0], m[1], 0.5 * m[2] + m[3]]
+    return jnp.stack([r[:3] - eye * r[3] for r in rows])
+
+
+def face_homography(b_mat, o, face: int):
+    """Homography coefficient 3-vectors (nu, nv, den) for one exit face:
+    ``u = (nu.q)/(den.q)``, ``v = (nv.q)/(den.q)`` with u, v in [0, 1].
+
+    b_mat: (3, 3) with d_local = q @ b_mat; o: (3,) local eye.
+    """
+    a, s, (bu, cu), (bv, cv) = _FACES[face]
+    den = b_mat[:, a]
+
+    def exit_num(comp):
+        # e_comp numerator: o_comp * d_a + (s - o_a) * d_comp
+        return o[comp] * den + (s - o[a]) * b_mat[:, comp]
+
+    nu = 0.5 * den + cu * exit_num(bu)
+    nv = 0.5 * den + cv * exit_num(bv)
+    return nu, nv, den
+
+
+def _safe(x, eps=_EPS):
+    return jnp.where(jnp.abs(x) > eps, x, jnp.where(x >= 0, eps, -eps))
+
+
+def _tent(pos, n: int, dtype):
+    """2-tap tent interpolation rows: (..., n) with max(0, 1 - |i - pos|).
+
+    For pos clipped to [0, n-1] the rows sum to 1 and reproduce linear
+    interpolation with clamp-to-edge.
+    """
+    i = jnp.arange(n, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(i - pos[..., None]))
+    return w.astype(dtype)
+
+
+def warp_face(img, p_u, p_v, den, xg, yg, n_eff):
+    """Two-pass separable projective warp of one face image to a tile.
+
+    img: (C, S, S) indexed [v, u]; p_u/p_v/den: homography 3-vectors in
+    *texel* space (u_texel = (p_u.q)/(den.q), already n_eff-scaled);
+    xg (Wt,), yg (Ht,) tile NDC coords; n_eff traced mip size.
+    Returns (C, Ht, Wt) = img[v(y,x), u(y,x)] with clamp-to-edge.
+    """
+    s = img.shape[-1]
+    dt = img.dtype
+    hi = n_eff.astype(jnp.float32) - 1.0
+
+    # Pass 1: for each face row r, resample img[:, r, :] along u at the
+    # screen-x positions where v(x, y) == r. Solve (p_v - r*den).q = 0
+    # for y given x (Catmull-Smith auxiliary).
+    r = jnp.arange(s, dtype=jnp.float32)
+    k0 = p_v[0] - r * den[0]               # (S,)
+    k1 = p_v[1] - r * den[1]
+    k2 = p_v[2] - r * den[2]
+    y1 = -(k0[:, None] * xg[None, :] + k2[:, None]) / _safe(k1)[:, None]
+    dq1 = den[0] * xg[None, :] + den[1] * y1 + den[2]
+    ut = (p_u[0] * xg[None, :] + p_u[1] * y1 + p_u[2]) / _safe(dq1)
+    ut = jnp.clip(jnp.nan_to_num(ut, nan=0.0, posinf=0.0, neginf=0.0),
+                  0.0, hi)
+    w1 = _tent(ut, s, dt)                  # (S, Wt, S_u)
+    tmp = jnp.einsum("cvu,vxu->cvx", img, w1,
+                     preferred_element_type=jnp.float32).astype(dt)
+
+    # Pass 2: per pixel, interpolate along the face rows at v(y, x).
+    dq = den[0] * xg[None, :] + den[1] * yg[:, None] + den[2]
+    vt = (p_v[0] * xg[None, :] + p_v[1] * yg[:, None] + p_v[2]) / _safe(dq)
+    vt = jnp.clip(jnp.nan_to_num(vt, nan=0.0, posinf=0.0, neginf=0.0),
+                  0.0, hi)
+    w2 = _tent(vt, s, dt)                  # (Ht, Wt, S_v)
+    out = jnp.einsum("cvx,yxv->cyx", tmp, w2,
+                     preferred_element_type=jnp.float32)
+    return out
+
+
+def composite_oit_warp(
+    cube_maps: raymarch.CubeMaps,   # color (N, 6, 4, S, S) UNPACKED
+    per_object: PerObject,
+    cull: CullResult,
+    eye,
+    screen_to_world,
+    depth_map,                      # (H, W) scene clip depth or None
+    width: int,
+    height: int,
+    num_layers: int,
+    tile: int,
+):
+    """Full OIT composite via per-volume tile warps -> premultiplied
+    (r, g, b, a) screen fields. Semantics mirror
+    `composite.composite_oit(use_raycast=False)`.
+
+    Volumes are split into two footprint classes by projected edge length
+    (`cull.max_edge_px`): the `_NUM_BIG` largest get a 3x tile, the rest
+    the base tile — near volumes would otherwise clip at the tile edge.
+    """
+    color = cube_maps.color
+    assert color.shape[2] == 4, "warp composite needs unpacked cube maps"
+    n = per_object.world.shape[0]
+    s = color.shape[-1]
+    num_layers = min(num_layers, n)
+
+    a_mat = screen_basis(screen_to_world, eye)          # (3, 3)
+    eye_local = math3d.transform_point3(eye, per_object.world_i)  # (N, 3)
+    wi3 = per_object.world_i[:, :3, :3]                 # (N, 3, 3)
+    scene_z = depth_map if depth_map is not None else jnp.ones(
+        (height, width), jnp.float32
+    )
+    n_eff_all = (s >> jnp.minimum(cull.mip_level, 31)).astype(jnp.float32)
+
+    # Tile anchors: centre of the projected corner bbox (the projected
+    # volume centre is offset from the footprint centre under perspective,
+    # which would clip one side of the tile).
+    corners = jnp.asarray(
+        [[x, y, z] for x in (-1.0, 1.0) for y in (-1.0, 1.0)
+         for z in (-1.0, 1.0)], jnp.float32)                     # (8, 3)
+    ch_ = math3d.transform_point(
+        corners[None], per_object.world_view_proj[:, None])      # (N, 8, 4)
+    cok = ch_[..., 3] > 1e-3                                     # (N, 8)
+    chw = jnp.maximum(ch_[..., 3], 1e-3)
+    px = (ch_[..., 0] / chw * 0.5 + 0.5) * width                 # (N, 8)
+    py = (-ch_[..., 1] / chw * 0.5 + 0.5) * height
+    big = jnp.float32(1e9)
+
+    def _vis_bounds(p, lim):
+        # on-screen extent over valid corners (an off-screen bbox half
+        # must not drag the tile away from the visible pixels;
+        # behind-camera corners project garbage)
+        lo = jnp.clip(jnp.min(jnp.where(cok, p, big), -1), 0, lim)
+        hi = jnp.clip(jnp.max(jnp.where(cok, p, -big), -1), 0, lim)
+        return lo, hi
+
+    vx_lo, vx_hi = _vis_bounds(px, width)
+    vy_lo, vy_hi = _vis_bounds(py, height)
+    # projected volume centre (= clip image of the local origin)
+    c0 = per_object.world_view_proj[:, 3, :]
+    c0w = jnp.maximum(c0[:, 3], 1e-3)
+    c0x = (c0[:, 0] / c0w * 0.5 + 0.5) * width
+    c0y = (-c0[:, 1] / c0w * 0.5 + 0.5) * height
+
+    def body(carry, xs, ht, wt):
+        z_l, r_l, g_l, b_l, a_l = carry
+        (vid, wi3_v, wvp, o, x0, y0, n_eff, visible) = xs
+
+        def process(layers):
+            z_l, r_l, g_l, b_l, a_l = layers
+            # tile NDC grids
+            xg = ((x0.astype(jnp.float32) + jnp.arange(wt) + 0.5)
+                  / width * 2.0 - 1.0)
+            yg = -((y0.astype(jnp.float32) + jnp.arange(ht) + 0.5)
+                   / height * 2.0 - 1.0)
+
+            b_mat = a_mat @ wi3_v                        # (3, 3)
+            # analytic exit point on the tile (same math as the gather
+            # path's exit_key, restricted to the tile)
+            dlx = b_mat[0, 0] * xg[None, :] + b_mat[1, 0] * yg[:, None] + b_mat[2, 0]
+            dly = b_mat[0, 1] * xg[None, :] + b_mat[1, 1] * yg[:, None] + b_mat[2, 1]
+            dlz = b_mat[0, 2] * xg[None, :] + b_mat[1, 2] * yg[:, None] + b_mat[2, 2]
+            ox = jnp.broadcast_to(o[0], dlx.shape)
+            oy = jnp.broadcast_to(o[1], dlx.shape)
+            oz = jnp.broadcast_to(o[2], dlx.shape)
+            hit, t_exit = _ray_box_exit_soa(ox, oy, oz, dlx, dly, dlz)
+            qx = ox + dlx * t_exit
+            qy = oy + dly * t_exit
+            qz = oz + dlz * t_exit
+            face_id, _, _ = dir_to_face_uv_soa(qx, qy, qz)
+            hx, hy, hz, hw = raymarch._transform_point_soa(qx, qy, qz, wvp)
+            exit_z = hz / jnp.maximum(hw, 1e-20)
+            sz = jax.lax.dynamic_slice(scene_z, (y0, x0), (ht, wt))
+            valid = (hit & (hw > 0.0)
+                     & (exit_z <= sz) & (exit_z > 0.0))
+
+            img_all = color[vid]                         # (6, 4, S, S)
+            rr = jnp.zeros((ht, wt), jnp.float32)
+            gg = jnp.zeros_like(rr)
+            bb = jnp.zeros_like(rr)
+            aa = jnp.zeros_like(rr)
+            for f in range(6):
+                use_f = valid & (face_id == f)
+                nu, nv, den = face_homography(b_mat, o, f)
+                p_u = n_eff * nu - 0.5 * den
+                p_v = n_eff * nv - 0.5 * den
+
+                # Orientation: resample rows along whichever face axis
+                # varies more with screen-y (avoids the Catmull-Smith
+                # bottleneck when a face's v-isolines run vertically).
+                xc = (xg[0] + xg[-1]) * 0.5
+                yc = (yg[0] + yg[-1]) * 0.5
+                dqc = den[0] * xc + den[1] * yc + den[2]
+                vqc = p_v[0] * xc + p_v[1] * yc + p_v[2]
+                uqc = p_u[0] * xc + p_u[1] * yc + p_u[2]
+                dv_dy = p_v[1] * dqc - den[1] * vqc
+                du_dy = p_u[1] * dqc - den[1] * uqc
+                swap = jnp.abs(dv_dy) < jnp.abs(du_dy)
+
+                img_f = img_all[f]
+                img2, pu2, pv2 = jax.lax.cond(
+                    swap,
+                    lambda: (img_f.swapaxes(-1, -2), p_v, p_u),
+                    lambda: (img_f, p_u, p_v),
+                )
+
+                def do_warp(img2=img2, pu2=pu2, pv2=pv2):
+                    return warp_face(img2, pu2, pv2, den, xg, yg, n_eff)
+
+                warped = jax.lax.cond(
+                    jnp.any(use_f),
+                    do_warp,
+                    lambda: jnp.zeros((4, ht, wt), jnp.float32),
+                )
+                rr = jnp.where(use_f, warped[0], rr)
+                gg = jnp.where(use_f, warped[1], gg)
+                bb = jnp.where(use_f, warped[2], bb)
+                aa = jnp.where(use_f, warped[3], aa)
+
+            # `PSCube.hlsl:57`: store only if 0 < w <= 1. The tent weights
+            # round in bf16, so a legitimate alpha==1 sample can overshoot
+            # by ~2^-8 — clamp rather than drop (dropping speckles dense
+            # interiors); anything still > 1 would be garbage, but warped
+            # alpha is a convex combination of in-range taps.
+            aa = jnp.minimum(aa, 1.0)
+            store_ok = (aa > 0.0) & valid
+            zero = jnp.zeros_like(aa)
+            z_new = jnp.where(store_ok, exit_z, FLT_MAX)
+            r_new = jnp.where(store_ok, rr, zero)
+            g_new = jnp.where(store_ok, gg, zero)
+            b_new = jnp.where(store_ok, bb, zero)
+            a_new = jnp.where(store_ok, aa, zero)
+
+            # streaming nearest-K insertion, tile-local
+            def slab(x):
+                return jax.lax.dynamic_slice(
+                    x, (0, y0, x0), (num_layers, ht, wt))
+
+            z_t, r_t, g_t, b_t, a_t = (slab(x)
+                                       for x in (z_l, r_l, g_l, b_l, a_l))
+            for k in range(num_layers):
+                take = z_new < z_t[k]
+
+                def swap_k(top, new):
+                    old = top[k]
+                    return top.at[k].set(jnp.where(take, new, old)), \
+                        jnp.where(take, old, new)
+
+                z_t, z_new = swap_k(z_t, z_new)
+                r_t, r_new = swap_k(r_t, r_new)
+                g_t, g_new = swap_k(g_t, g_new)
+                b_t, b_new = swap_k(b_t, b_new)
+                a_t, a_new = swap_k(a_t, a_new)
+
+            def unslab(x, t):
+                return jax.lax.dynamic_update_slice(x, t, (0, y0, x0))
+
+            return (unslab(z_l, z_t), unslab(r_l, r_t), unslab(g_l, g_t),
+                    unslab(b_l, b_t), unslab(a_l, a_t))
+
+        new_carry = jax.lax.cond(
+            visible, process, lambda layers: layers,
+            (z_l, r_l, g_l, b_l, a_l),
+        )
+        return new_carry, None
+
+    layers = (
+        jnp.full((num_layers, height, width), FLT_MAX, jnp.float32),
+        jnp.zeros((num_layers, height, width), jnp.float32),
+        jnp.zeros((num_layers, height, width), jnp.float32),
+        jnp.zeros((num_layers, height, width), jnp.float32),
+        jnp.zeros((num_layers, height, width), jnp.float32),
+    )
+
+    # footprint classes: biggest projected volumes get the big tile
+    n_big = min(_NUM_BIG, n) if tile < max(width, height) else 0
+    order = jnp.argsort(-cull.max_edge_px)
+
+    def run_group(layers, ids, tile_px):
+        wt = min(tile_px, width)
+        ht = min(tile_px, height)
+        # bbox centre guarantees full coverage whenever the footprint fits
+        # the tile; for oversized footprints, anchoring on the projected
+        # volume centre keeps the clip on the far (thin) side.
+        cx = jnp.where(vx_hi[ids] - vx_lo[ids] <= wt,
+                       (vx_lo[ids] + vx_hi[ids]) * 0.5, c0x[ids])
+        cy = jnp.where(vy_hi[ids] - vy_lo[ids] <= ht,
+                       (vy_lo[ids] + vy_hi[ids]) * 0.5, c0y[ids])
+        x0 = jnp.clip(jnp.round(cx - wt * 0.5), 0, width - wt
+                      ).astype(jnp.int32)
+        y0 = jnp.clip(jnp.round(cy - ht * 0.5), 0, height - ht
+                      ).astype(jnp.int32)
+        xs = (
+            ids.astype(jnp.int32),
+            wi3[ids],
+            per_object.world_view_proj[ids],
+            eye_local[ids],
+            x0,
+            y0,
+            n_eff_all[ids],
+            cull.visible[ids],
+        )
+        layers, _ = jax.lax.scan(
+            lambda c, x: body(c, x, ht, wt), layers, xs)
+        return layers
+
+    if n_big:
+        layers = run_group(layers, order[:n_big], max(width, height))
+        layers = run_group(layers, order[n_big:], tile)
+    else:
+        layers = run_group(layers, jnp.arange(n), tile)
+
+    _z_l, r_l, g_l, b_l, a_l = layers
+    return _underblend(r_l, g_l, b_l, a_l, num_layers, height, width)

@@ -1,0 +1,141 @@
+"""Warp composite: homography exactness and parity with the gather path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multivolumes_tpu.core import camera as cam_lib
+from multivolumes_tpu.core import math3d
+from multivolumes_tpu.render import composite, warp
+from multivolumes_tpu.render.perframe import build_per_object
+
+
+def _world(pos, scale):
+    w = np.eye(4, dtype=np.float32)
+    w[0, 0] = w[1, 1] = w[2, 2] = scale
+    w[3, :3] = pos
+    return jnp.asarray(w[None])
+
+
+def test_face_homography_matches_exit_uv():
+    """u,v from the homography == dir_to_face_uv of the analytic exit
+    point, for every screen point whose exit face matches."""
+    cam = cam_lib.orbit_camera(0.7, 1.25)
+    worlds = _world((3.0, -2.0, 5.0), 6.0)
+    po = build_per_object(worlds, cam.view_proj)
+
+    a_mat = warp.screen_basis(cam.screen_to_world, cam.eye)
+    b_mat = a_mat @ po.world_i[0, :3, :3]
+    o = math3d.transform_point3(cam.eye, po.world_i)[0]
+
+    xs = np.linspace(-0.9, 0.9, 33, dtype=np.float32)
+    xg, yg = np.meshgrid(xs, xs, indexing="xy")
+    dl = np.stack(
+        [xg * np.asarray(b_mat)[0, j] + yg * np.asarray(b_mat)[1, j]
+         + np.asarray(b_mat)[2, j] for j in range(3)]
+    )
+    on = np.asarray(o)
+    hit, t_exit = composite._ray_box_exit_soa(
+        *(jnp.full(xg.shape, c) for c in on), *map(jnp.asarray, dl)
+    )
+    hit, t_exit = np.asarray(hit), np.asarray(t_exit)
+    e = on[:, None, None] + dl * t_exit
+    face, u, v = (np.asarray(t) for t in
+                  composite.dir_to_face_uv_soa(*map(jnp.asarray, e)))
+
+    checked = 0
+    for f in range(6):
+        nu, nv, den = warp.face_homography(b_mat, o, f)
+        nu, nv, den = np.asarray(nu), np.asarray(nv), np.asarray(den)
+        q = lambda c: c[0] * xg + c[1] * yg + c[2]
+        mask = hit & (face == f) & (np.abs(q(den)) > 1e-6)
+        if not mask.any():
+            continue
+        np.testing.assert_allclose(
+            (q(nu) / q(den))[mask], u[mask], atol=2e-4)
+        np.testing.assert_allclose(
+            (q(nv) / q(den))[mask], v[mask], atol=2e-4)
+        checked += mask.sum()
+    assert checked > 100  # the box must actually cover screen points
+
+
+def test_warp_face_matches_bilinear():
+    """warp_face == direct bilinear cube sampling on matching-face pixels."""
+    s = 32
+    cam = cam_lib.default_camera(1.0)
+    worlds = _world((0.0, 0.0, 0.0), 8.0)
+    po = build_per_object(worlds, cam.view_proj)
+
+    rng = np.random.RandomState(3)
+    # smooth per-face images (bilinear and the 2-pass tent agree exactly
+    # only for the same sample positions; smoothness keeps the sub-texel
+    # pass-decomposition difference tiny)
+    base = rng.rand(1, 6, 4, 5, 5).astype(np.float32)
+    color = np.asarray(jax.image.resize(jnp.asarray(base), (1, 6, 4, s, s),
+                                        "cubic"))
+    color_j = jnp.asarray(color)
+
+    a_mat = warp.screen_basis(cam.screen_to_world, cam.eye)
+    b_mat = a_mat @ po.world_i[0, :3, :3]
+    o = math3d.transform_point3(cam.eye, po.world_i)[0]
+
+    ht = wt = 48
+    xg = jnp.linspace(-0.5, 0.5, wt)
+    yg = jnp.linspace(0.5, -0.5, ht)
+    n_eff = jnp.asarray(float(s))
+
+    # analytic exit points on the tile
+    xm, ym = np.meshgrid(np.asarray(xg), np.asarray(yg), indexing="xy")
+    bm = np.asarray(b_mat)
+    dl = np.stack([xm * bm[0, j] + ym * bm[1, j] + bm[2, j]
+                   for j in range(3)])
+    on = np.asarray(o)
+    hit, t_exit = composite._ray_box_exit_soa(
+        *(jnp.full(xm.shape, c) for c in on), *map(jnp.asarray, dl)
+    )
+    e = on[:, None, None] + np.asarray(dl) * np.asarray(t_exit)
+    face = np.asarray(composite.dir_to_face_uv_soa(*map(jnp.asarray, e))[0])
+
+    want = np.stack(composite.sample_cube_soa(
+        color_j, jnp.zeros(xm.shape, jnp.int32),
+        jnp.asarray(e[0]), jnp.asarray(e[1]), jnp.asarray(e[2]),
+        jnp.full(xm.shape, s, jnp.int32),
+    ))
+
+    checked = 0
+    for f in range(6):
+        mask = np.asarray(hit) & (face == f)
+        if not mask.any():
+            continue
+        nu, nv, den = warp.face_homography(b_mat, o, f)
+        p_u = n_eff * nu - 0.5 * den
+        p_v = n_eff * nv - 0.5 * den
+        got = np.asarray(jax.jit(warp.warp_face)(
+            color_j[0, f], p_u, p_v, den, xg, yg, n_eff))
+        diff = np.abs(got - want)[:, mask]
+        assert diff.max() < 5e-3, (f, diff.max())
+        checked += mask.sum()
+    assert checked > 500
+
+
+def test_warp_composite_matches_gather():
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.render import frame as frame_lib
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
+                       max_ray_samples=16, max_light_samples=8,
+                       num_volumes=3, num_volume_srcs=2,
+                       cube_map_size=16, shadow_map_size=32,
+                       use_bf16=False, packed_composite=False,
+                       composite_mode="gather")
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.default_camera(cfg.aspect_ratio)
+    out_g = jax.jit(lambda s: frame_lib.render_frame(
+        s, cam, cfg, use_taa=False))(st)
+    cfg_w = cfg.with_(composite_mode="warp", warp_tile=128)
+    out_w = jax.jit(lambda s: frame_lib.render_frame(
+        s, cam, cfg_w, use_taa=False))(st)
+    diff = np.abs(np.asarray(out_g.image) - np.asarray(out_w.image))
+    assert diff.mean() < 3e-3, diff.mean()
+    assert np.percentile(diff, 99.5) < 3e-2, np.percentile(diff, 99.5)
