@@ -1,0 +1,159 @@
+"""Per-pass profile of the production fast path (sweep + warp composite).
+
+`utils.timing.profile_frame` profiles the golden/gather path; this script
+times the passes the bench config actually runs (LOD sweep, warp
+composite, light sweep, orient, sky, TAA) plus the fused frame, on
+whatever platform is active. Run from the repo root:
+
+    python tools/profile_fast_path.py [--volumes 64] [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+# repo-root import without PYTHONPATH (the env var breaks axon plugin
+# discovery on this host)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--volumes", type=int, default=64)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--mesh", action="store_true")
+    args = ap.parse_args()
+
+    from multivolumes_tpu.utils.platform import configure_for_host
+
+    configure_for_host()
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.render import frame as frame_lib
+    from multivolumes_tpu.render import cull as cull_lib, lightsweep
+    from multivolumes_tpu.render import sweep as sweep_lib, warp as warp_lib
+    from multivolumes_tpu.render import postprocess, taa as taa_lib
+    from multivolumes_tpu.render import mesh as mesh_lib
+    from multivolumes_tpu.render.perframe import build_per_object
+    from multivolumes_tpu.scene import state as state_lib
+    from multivolumes_tpu.utils.timing import sync
+
+    if args.small:
+        cfg = RenderConfig(
+            width=320, height=200, grid_size=32, light_grid_size=16,
+            max_ray_samples=64, max_light_samples=16,
+            num_volumes=args.volumes, num_volume_srcs=2,
+            cube_map_size=32, shadow_map_size=64,
+        )
+    else:
+        cfg = RenderConfig(
+            width=1280, height=800, grid_size=128, light_grid_size=96,
+            max_ray_samples=256, max_light_samples=96,
+            num_volumes=args.volumes, num_volume_srcs=10,
+            cube_map_size=128, shadow_map_size=1024,
+        )
+    if args.mesh:
+        cfg = cfg.with_(show_mesh=True)
+
+    state = state_lib.create_scene(cfg)
+    camera = cam_lib.orbit_camera(0.0, cfg.aspect_ratio)
+    dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+
+    def timed(name, fn, *a):
+        print(f"{name:28s} ...", end="", flush=True)
+        j = jax.jit(fn)
+        out = j(*a)
+        sync(out)
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            r = j(*a)
+            sync(r)
+            del r
+            ts.append((time.perf_counter() - t0) * 1000)
+        ts.sort()
+        print(f"\r{name:28s} {ts[len(ts)//2]:9.1f} ms")
+        return out
+
+    po = build_per_object(state.volume_worlds, camera.view_proj)
+    viewport = jnp.array([cfg.width, cfg.height], jnp.float32)
+    cull = cull_lib.cull_volumes(
+        po, camera.eye, viewport, cfg.max_ray_samples, cfg.cube_map_size,
+        cfg.num_cube_mips, adaptive=cfg.adaptive_raymarch)
+    shadow_vp = mesh_lib.shadow_view_proj(state)
+
+    # light sweep (all N maps)
+    lm = timed("light_sweep", lambda rho, ao, gd: lightsweep.ray_march_light_sweep(
+        rho, ao, gd, state.vol_tex_ids, po, cull, None, shadow_vp,
+        state.light_pos, state.light_color, state.ambient, state.sh_coeffs,
+        cfg.max_light_samples, has_light_probe=cfg.has_light_probe,
+    ).astype(dtype), state.rho_light, state.ao_static, state.grad_dir)
+
+    # orient passes
+    vol_or = timed("orient_volumes", lambda v: sweep_lib.orient_volumes(
+        v.astype(dtype)), state.volumes)
+    lm_or = timed("orient_light", sweep_lib.orient_volumes_cf, lm)
+
+    # LOD sweep
+    lod_cull = cull._replace(use_cube_map=cull.visible)
+
+    def sweep_fn(v, l):
+        return sweep_lib.ray_march_view_sweep_lod(
+            v, state.vol_tex_ids, l, po, lod_cull, camera.eye, None,
+            cfg.cube_map_size, dtype=dtype, bucket_caps=cfg.lod_bucket_caps)
+
+    cube_maps, sweep_mips = timed("sweep_lod", sweep_fn, vol_or, lm_or)
+    del vol_or, lm_or, lm  # free ~3.4 GB before the composite stages
+
+    # warp composite
+    from multivolumes_tpu.render import composite as comp_lib
+    cull_c = cull._replace(
+        mip_level=sweep_mips, use_cube_map=cull.visible)
+    unpacked = jax.jit(
+        lambda c: comp_lib.unpack_cube_f16(c, dtype))(cube_maps.color)
+    cm_unpacked = cube_maps._replace(color=unpacked)
+    tile = cfg.warp_tile or (512 if cfg.num_volumes <= 8 else 384)
+    cs = cfg.composite_scale
+    cw, ch = (cfg.width // cs, cfg.height // cs) if cs > 1 else (cfg.width, cfg.height)
+
+    timed("warp_composite", lambda cm_color: warp_lib.composite_oit_warp(
+        cm_unpacked._replace(color=cm_color), po, cull_c, camera.eye,
+        camera.screen_to_world, None, cw, ch,
+        num_layers=cfg.oit_layers, tile=tile), unpacked)
+
+    timed("unpack_cube_f16", lambda c: comp_lib.unpack_cube_f16(c, dtype),
+          cube_maps.color)
+
+    # sky
+    timed("sky", lambda: postprocess.render_environment(
+        state.radiance, camera.screen_to_world, camera.eye, cfg.width,
+        cfg.height))
+
+    # TAA
+    zero = jnp.zeros((cfg.height, cfg.width), jnp.float32)
+    timed("taa", lambda r, h: taa_lib.temporal_aa(
+        (r, r, r, jnp.minimum(r, 0.9997)), h, (zero, zero)),
+        zero, state.taa_history)
+
+    if args.mesh:
+        timed("mesh(shadow+depth+base)", lambda: mesh_lib.render_mesh(
+            state, camera, cfg))
+
+    # fused frame
+    def step(state, camera):
+        out = frame_lib.render_frame(state, camera, cfg, use_taa=True)
+        return out.image, out.state
+
+    timed("FULL FRAME", step, state, camera)
+
+
+if __name__ == "__main__":
+    main()
