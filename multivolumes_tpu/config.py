@@ -105,6 +105,10 @@ class RenderConfig:
     # volumes get a 3x tile). None -> auto from num_volumes (512 for <=8
     # volumes, 384 beyond).
     warp_tile: int | None = None
+    # Sky (environment) pass resolution divisor: the radiance cube is
+    # low-frequency, so sampling it per output pixel is wasted gathers —
+    # render at 1/sky_scale and bilinear-upsample with two matmuls.
+    sky_scale: int = 4
     # Composite the volume layers at 1/composite_scale screen resolution
     # and upsample (the cube maps carry the detail — the screen pass is a
     # filter, per the paper's viewport-resolution-independence thesis).

@@ -54,8 +54,9 @@ class MultiRayCaster:
             lightsweep.precompute_static, static_argnums=(1, 2)
         )(volumes, self.config.light_grid_size, self.config.max_light_samples)
         self.state = dataclasses.replace(
-            self.state, volumes=volumes, rho_light=rho, ao_static=ao,
-            grad_dir=gd,
+            self.state, volumes=volumes,
+            volumes_oriented=state_lib.orient_sources(volumes, self.config),
+            rho_light=rho, ao_static=ao, grad_dir=gd,
         )
 
     def set_volumes_world(self, size: float, center) -> None:

@@ -52,6 +52,7 @@ def state_shardings(mesh: Mesh, state: SceneState) -> SceneState:
     return SceneState(
         frame_idx=rep,
         volumes=rep,               # source textures replicated (shared reads)
+        volumes_oriented=rep,
         vol_tex_ids=vol,
         volume_worlds=vol,
         light_maps=vol,

@@ -74,8 +74,7 @@ def render_frame(
         shadow_vp = mesh_lib.shadow_view_proj(state)
         mesh_rgb = None
         mesh_valid = None
-        zero_hw = jnp.zeros((height, width), jnp.float32)
-        velocity = (zero_hw, zero_hw)
+        velocity = None  # nothing writes velocity -> TAA skips reprojection
         new_prev_wvp = state.mesh_prev_wvp
 
     # --- volume culling / LOD -------------------------------------------
@@ -142,7 +141,7 @@ def render_frame(
             use_cube_map=cull.visible,
         )
         use_raycast = False
-        vol_or = sweep_lib.orient_volumes(state.volumes.astype(dtype))
+        vol_or = state.volumes_oriented.astype(dtype)
         lm_or = sweep_lib.orient_volumes_cf(light_maps.astype(dtype))
         if config.lod_bucket_caps is not None and config.adaptive_raymarch:
             # bucket assignment needs the real projected mips; the sweep
@@ -208,7 +207,8 @@ def render_frame(
 
     # --- background: sky behind mesh -------------------------------------
     sky_r, sky_g, sky_b = postprocess.render_environment(
-        state.radiance, screen_to_world, eye, width, height
+        state.radiance, screen_to_world, eye, width, height,
+        scale=config.sky_scale,
     )
     if mesh_rgb is not None:
         bg_r = jnp.where(mesh_valid, mesh_rgb[0], sky_r)

@@ -27,11 +27,28 @@ _WEIGHTS = [0.5, 0.5, 0.5, 0.5, 0.25, 0.25, 0.25, 0.25]
 
 
 def _shift(img, dx: int, dy: int):
-    """out[y, x] = img[y + dy, x + dx], edge-clamped. img (H, W)."""
-    h, w = img.shape[-2], img.shape[-1]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[..., ys, :][..., :, xs]
+    """out[y, x] = img[y + dy, x + dx], edge-clamped. img (H, W).
+
+    Built from slices + edge repeats only: index-array shifts lower to
+    per-element gathers on TPU (~65 Mtaps/s), which made the 3x3
+    neighborhood reads the dominant TAA cost."""
+
+    def roll(x, d, axis):
+        if d == 0:
+            return x
+        take = [slice(None)] * x.ndim
+        edge = [slice(None)] * x.ndim
+        if d > 0:
+            take[axis] = slice(d, None)
+            edge[axis] = slice(-1, None)
+            parts = [x[tuple(take)]] + [x[tuple(edge)]] * d
+        else:
+            take[axis] = slice(None, d)
+            edge[axis] = slice(None, 1)
+            parts = [x[tuple(edge)]] * (-d) + [x[tuple(take)]]
+        return jnp.concatenate(parts, axis=axis)
+
+    return roll(roll(img, dy, img.ndim - 2), dx, img.ndim - 1)
 
 
 def rgb_to_ycocg(r, g, b):
@@ -93,22 +110,29 @@ def _sample_bilinear_ch(img, u, v):
 def temporal_aa(current, history, velocity):
     """current: (r, g, b, a) scalar fields ((H, W) each; a <= 0.9997 marks
     transparency); history: (4, H, W) channel-leading previous output +
-    metadata; velocity: (vx, vy) fields. Returns ((r, g, b) resolved,
-    new history (4, H, W))."""
+    metadata; velocity: (vx, vy) fields, or None when the frame has no
+    velocity writers (no mesh — the reference's volumes never write
+    velocity, `PSBasePass.hlsl:107-109`): the history reprojection is then
+    the identity and the 16M-tap bilinear gather is statically skipped.
+    Returns ((r, g, b) resolved, new history (4, H, W))."""
     cr, cg_, cb, ca = current
     h, w = cr.shape
-    vx, vy = velocity
 
-    mvx, mvy = velocity_max(vx, vy)
-    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-    ug, vg = jnp.meshgrid(xs, ys, indexing="xy")
-    ub, vb = ug - mvx, vg - mvy
-    hist = [_sample_bilinear_ch(history[c], ub, vb) for c in range(4)]
+    if velocity is None:
+        hist = [history[c] for c in range(4)]
+        cur_history_blur = jnp.zeros_like(cr)
+    else:
+        vx, vy = velocity
+        mvx, mvy = velocity_max(vx, vy)
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        ug, vg = jnp.meshgrid(xs, ys, indexing="xy")
+        ub, vb = ug - mvx, vg - mvy
+        hist = [_sample_bilinear_ch(history[c], ub, vb) for c in range(4)]
 
-    blur_x = jnp.abs(mvx) * (4.0 * w)
-    blur_y = jnp.abs(mvy) * (4.0 * h)
-    cur_history_blur = blur_x + blur_y
+        blur_x = jnp.abs(mvx) * (4.0 * w)
+        blur_y = jnp.abs(mvy) * (4.0 * h)
+        cur_history_blur = blur_x + blur_y
 
     history_blur = jnp.maximum(1.0 - hist[3], cur_history_blur)
     hist_w = hist[3] * _HISTORY_MAX + 1.0

@@ -29,6 +29,7 @@ from multivolumes_tpu.scene import volume as volume_lib
     data_fields=[
         "frame_idx",
         "volumes",
+        "volumes_oriented",
         "vol_tex_ids",
         "volume_worlds",
         "light_maps",
@@ -55,6 +56,11 @@ class SceneState:
 
     # Volume data — `MultiRayCaster.cpp:99-126`
     volumes: jnp.ndarray          # (N_src, D, H, W, 4) density sources
+    volumes_oriented: jnp.ndarray  # (N_src, 6, 4, D, H, W) face-frame
+                                  # orientations (static per source; the
+                                  # sweep's compute dtype) — precomputed
+                                  # here so the per-frame step never pays
+                                  # the 6-way transpose of a static stack
     vol_tex_ids: jnp.ndarray      # (N,) int32 source id per volume
     volume_worlds: jnp.ndarray    # (N, 4, 4) world transforms (row-vector)
     light_maps: jnp.ndarray       # (N, 3, L, L, L) channel-mid (trailing
@@ -102,7 +108,11 @@ def volume_grid_worlds(num_volumes: int, size: float, center) -> np.ndarray:
         raise ValueError("num_volumes must be >= 1")
     center = np.asarray(center, np.float32)
     row_length = int(np.ceil(np.sqrt(float(num_volumes))))
-    col_length = int(np.ceil(num_volumes // row_length))
+    # true-division ceil so the grid covers every N (the reference's
+    # integer-division colLength leaves leftover worlds untouched for
+    # non-square N; covering the grid is strictly more useful and renders
+    # identically for the demo counts 2/4/16/64)
+    col_length = int(np.ceil(num_volumes / row_length))
     worlds = np.zeros((num_volumes, 4, 4), np.float32)
     half = size * 0.5
 
@@ -119,10 +129,6 @@ def volume_grid_worlds(num_volumes: int, size: float, center) -> np.ndarray:
             idx += 1
             pos_x += size * 1.5
         pos_z += size * 1.5
-    # Volumes past the grid (N not a perfect fit) keep marching the rows.
-    while idx < num_volumes:  # pragma: no cover - layout always covers N
-        worlds[idx] = worlds[idx % max(1, idx)]
-        idx += 1
     return worlds
 
 
@@ -133,6 +139,7 @@ def create_scene(config: RenderConfig,
     n = config.num_volumes
     vols = volume_lib.make_volume_sources(config.num_volume_srcs,
                                           config.grid_size, dtype)
+    vols_oriented = orient_sources(vols, config)
     vol_tex_ids = jnp.asarray(np.arange(n) % config.num_volume_srcs, jnp.int32)
 
     cx, cy, cz, size = config.vol_pos_scale
@@ -166,6 +173,7 @@ def create_scene(config: RenderConfig,
     return SceneState(
         frame_idx=jnp.asarray(0, jnp.int32),
         volumes=vols,
+        volumes_oriented=vols_oriented,
         vol_tex_ids=vol_tex_ids,
         volume_worlds=worlds,
         light_maps=light_maps,
@@ -184,6 +192,17 @@ def create_scene(config: RenderConfig,
         ao_static=ao_static,
         grad_dir=grad_dir,
     )
+
+
+def orient_sources(vols, config: RenderConfig):
+    """(N_src, D, H, W, 4) -> (N_src, 6, 4, D, H, W) sweep orientations in
+    the sweep compute dtype. Recompute whenever a source is uploaded."""
+    from multivolumes_tpu.render import sweep as sweep_lib
+
+    sweep_dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
+    return jax.jit(
+        lambda v: sweep_lib.orient_volumes(v.astype(sweep_dtype))
+    )(vols)
 
 
 def default_radiance(size: int = 64) -> np.ndarray:

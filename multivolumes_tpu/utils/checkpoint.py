@@ -20,11 +20,26 @@ _FIELDS = [f.name for f in dataclasses.fields(SceneState)]
 
 
 def save_scene(path: str, state: SceneState) -> None:
-    arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS}
+    arrays = {}
+    bf16_fields = []
+    for name in _FIELDS:
+        a = np.asarray(getattr(state, name))
+        if a.dtype.kind == "V":  # bfloat16 has no npz representation
+            a = a.astype(np.float32)
+            bf16_fields.append(name)
+        arrays[name] = a
+    arrays["__bf16_fields__"] = np.asarray(bf16_fields, dtype="U64")
     np.savez_compressed(path, **arrays)
 
 
 def load_scene(path: str) -> SceneState:
     with np.load(path) as data:
-        kwargs = {name: jax.numpy.asarray(data[name]) for name in _FIELDS}
+        bf16 = set(data["__bf16_fields__"].tolist()) if "__bf16_fields__" in data else set()
+        kwargs = {
+            name: jax.numpy.asarray(
+                data[name],
+                dtype=jax.numpy.bfloat16 if name in bf16 else None,
+            )
+            for name in _FIELDS
+        }
     return SceneState(**kwargs)

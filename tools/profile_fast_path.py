@@ -97,9 +97,9 @@ def main() -> None:
         cfg.max_light_samples, has_light_probe=cfg.has_light_probe,
     ).astype(dtype), state.rho_light, state.ao_static, state.grad_dir)
 
-    # orient passes
-    vol_or = timed("orient_volumes", lambda v: sweep_lib.orient_volumes(
-        v.astype(dtype)), state.volumes)
+    # orient pass (light maps only; volume orientations are hoisted into
+    # SceneState.volumes_oriented)
+    vol_or = state.volumes_oriented.astype(dtype)
     lm_or = timed("orient_light", sweep_lib.orient_volumes_cf, lm)
 
     # LOD sweep
@@ -135,12 +135,13 @@ def main() -> None:
     # sky
     timed("sky", lambda: postprocess.render_environment(
         state.radiance, camera.screen_to_world, camera.eye, cfg.width,
-        cfg.height))
+        cfg.height, scale=cfg.sky_scale))
 
-    # TAA
+    # TAA (no-velocity path when no mesh, matching frame.py)
     zero = jnp.zeros((cfg.height, cfg.width), jnp.float32)
+    vel = (zero, zero) if args.mesh else None
     timed("taa", lambda r, h: taa_lib.temporal_aa(
-        (r, r, r, jnp.minimum(r, 0.9997)), h, (zero, zero)),
+        (r, r, r, jnp.minimum(r, 0.9997)), h, vel),
         zero, state.taa_history)
 
     if args.mesh:
