@@ -87,7 +87,12 @@ int mv_load_obj(const char* path, int for_dx, float** out_verts,
     std::vector<long> face;
     while (p < end) {
         // line start
-        if (p[0] == 'v' && p + 1 < end && (p[1] == ' ' || p[1] == '\t')) {
+        if (p[0] == 'v' && p + 1 < end && p[1] == 'n') {
+            // vn-bearing files use the reference's split-vertex file-normal
+            // assignment (XUSGObjLoader.cpp:300-335) — handled by the
+            // Python parser; signal the wrapper to fall back.
+            return -6;
+        } else if (p[0] == 'v' && p + 1 < end && (p[1] == ' ' || p[1] == '\t')) {
             const char* q = p + 2;
             Float3 v{};
             if (parse_float(q, end, v.x) && parse_float(q, end, v.y) &&
@@ -125,14 +130,22 @@ int mv_load_obj(const char* path, int for_dx, float** out_verts,
     const int64_t t_count = static_cast<int64_t>(idx.size() / 3);
     if (v_count == 0 || t_count == 0) return -3;
 
-    // area-weighted normal accumulation (ObjLoader::computePerVertexNormals)
+    // unit-face-normal accumulation (ObjLoader::recomputeNormals,
+    // XUSGObjLoader.cpp:337-385 — the reference normalizes each face
+    // normal before accumulating, i.e. NOT area-weighted)
     std::vector<Float3> nrm(pos.size(), Float3{0, 0, 0});
     for (int64_t t = 0; t < t_count; ++t) {
         const int32_t a = idx[3 * t], b = idx[3 * t + 1], c = idx[3 * t + 2];
         if (a < 0 || b < 0 || c < 0 || a >= v_count || b >= v_count ||
             c >= v_count)
             return -4;
-        const Float3 fn = cross(sub(pos[b], pos[a]), sub(pos[c], pos[a]));
+        Float3 fn = cross(sub(pos[b], pos[a]), sub(pos[c], pos[b]));
+        const float fl =
+            std::sqrt(fn.x * fn.x + fn.y * fn.y + fn.z * fn.z);
+        const float fi = fl > 1e-20f ? 1.0f / fl : 0.0f;
+        fn.x *= fi;
+        fn.y *= fi;
+        fn.z *= fi;
         for (int32_t vi : {a, b, c}) {
             nrm[vi].x += fn.x;
             nrm[vi].y += fn.y;

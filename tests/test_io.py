@@ -69,3 +69,78 @@ def test_bunny_loads_if_present():
     assert mesh.vertices.shape[0] == 34835
     assert mesh.indices.shape[0] == 69666
     assert (mesh.indices < mesh.vertices.shape[0]).all()
+
+
+def test_obj_file_normals_split_and_winding(tmp_path):
+    # Two triangles sharing vertices 2,3 but with different vn per face:
+    # the shared vertices must split (computePerVertexNormals,
+    # XUSGObjLoader.cpp:300-335), and for_dx must keep vertex/normal
+    # pairing aligned (normals pair before the winding flip).
+    obj = """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vn 1 0 0
+vn 0 1 0
+vn 0 0 1
+f 1//1 2//2 3//3
+f 1//1 3//1 4//1
+"""
+    path = tmp_path / "split.obj"
+    path.write_text(obj)
+    mesh = io_obj.load_obj(str(path), for_dx=False)
+    # vertex 3 (0-based 2) is referenced with vn 3 then vn 1 -> one split
+    assert mesh.vertices.shape[0] == 5
+    n = mesh.vertices[:, 3:]
+    np.testing.assert_allclose(n[0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(n[1], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(n[2], [0, 0, 1], atol=1e-6)  # first pairing
+    np.testing.assert_allclose(n[3], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(n[4], [1, 0, 0], atol=1e-6)  # split copy of v3
+
+    # for_dx: same normals land on the same positions (pairing unaffected
+    # by the winding flip); z components negate
+    mesh_dx = io_obj.load_obj(str(path), for_dx=True)
+    assert mesh_dx.vertices.shape[0] == 5
+    np.testing.assert_allclose(
+        mesh_dx.vertices[:, 3:] * np.array([1, 1, -1], np.float32),
+        mesh.vertices[:, 3:], atol=1e-6)
+    # winding flipped relative to the non-dx load
+    assert (mesh_dx.indices[:, 1] == mesh.indices[:, 2]).all()
+    assert (mesh_dx.indices[:, 2] == mesh.indices[:, 1]).all()
+
+
+def test_obj_native_matches_python(tmp_path):
+    from multivolumes_tpu import native
+
+    obj = """
+v 0 0 0
+v 2 0 0
+v 2 2 0
+v 0 2 0
+v 0 0 1
+f 1 2 3 4
+f -5 -4 -1
+"""
+    path = tmp_path / "mix.obj"
+    path.write_text(obj)
+    for for_dx in (False, True):
+        py = io_obj.load_obj(str(path), for_dx=for_dx)
+        nat = native.load_obj_native(str(path), for_dx=for_dx)
+        if nat is None:  # no toolchain: python fallback is the contract
+            continue
+        np.testing.assert_allclose(nat.vertices, py.vertices, atol=1e-6)
+        np.testing.assert_array_equal(nat.indices, py.indices)
+        np.testing.assert_allclose(nat.aabb_min, py.aabb_min)
+        np.testing.assert_allclose(nat.aabb_max, py.aabb_max)
+
+
+def test_obj_native_vn_falls_back(tmp_path):
+    from multivolumes_tpu import native
+
+    obj = "v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\nf 1//1 2//1 3//1\n"
+    path = tmp_path / "vn.obj"
+    path.write_text(obj)
+    # vn-bearing files must route to the split-vertex Python parser
+    assert native.load_obj_native(str(path)) is None
