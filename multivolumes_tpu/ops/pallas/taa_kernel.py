@@ -36,7 +36,8 @@ _OFFSETS = [(-1, 0), (1, 0), (0, -1), (0, 1),
             (-1, -1), (1, -1), (1, 1), (-1, 1)]
 _WEIGHTS = [0.5, 0.5, 0.5, 0.5, 0.25, 0.25, 0.25, 0.25]
 
-_TH = 64  # band height (sublane-aligned)
+_TH = 16  # band height (sublane-aligned; small enough that 6 double-buffered
+# (4, _TH, W) f32 blocks + kernel temps fit the ~16 MB VMEM at W=1280)
 
 
 def _rgb_to_ycocg(r, g, b):

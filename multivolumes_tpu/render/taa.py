@@ -107,14 +107,49 @@ def _sample_bilinear_ch(img, u, v):
     return c0 * (1 - fy) + c1 * fy
 
 
-def temporal_aa(current, history, velocity):
+def temporal_aa(current, history, velocity, use_pallas: bool = True):
     """current: (r, g, b, a) scalar fields ((H, W) each; a <= 0.9997 marks
     transparency); history: (4, H, W) channel-leading previous output +
     metadata; velocity: (vx, vy) fields, or None when the frame has no
     velocity writers (no mesh — the reference's volumes never write
     velocity, `PSBasePass.hlsl:107-109`): the history reprojection is then
     the identity and the 16M-tap bilinear gather is statically skipped.
-    Returns ((r, g, b) resolved, new history (4, H, W))."""
+    Returns ((r, g, b) resolved, new history (4, H, W)).
+
+    The production path fuses the whole resolve into one Pallas kernel
+    (`ops/pallas/taa_kernel.py`); only the velocity-dilated history
+    reprojection (a genuine bilinear gather) stays in XLA. This jnp body
+    is the semantics twin, kept for goldens (use_pallas=False)."""
+    if use_pallas:
+        return _temporal_aa_pallas(current, history, velocity)
+    return _temporal_aa_jnp(current, history, velocity)
+
+
+def _temporal_aa_pallas(current, history, velocity):
+    from multivolumes_tpu.ops.pallas import taa_kernel
+
+    cr, cg_, cb, ca = current
+    if velocity is None:
+        hist = history
+        blur = jnp.zeros_like(cr)
+    else:
+        h, w = cr.shape
+        vx, vy = velocity
+        mvx, mvy = velocity_max(vx, vy)
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        ug, vg = jnp.meshgrid(xs, ys, indexing="xy")
+        ub, vb = ug - mvx, vg - mvy
+        hist = jnp.stack(
+            [_sample_bilinear_ch(history[c], ub, vb) for c in range(4)], 0)
+        blur = jnp.abs(mvx) * (4.0 * w) + jnp.abs(mvy) * (4.0 * h)
+
+    new_history = taa_kernel.taa_resolve(
+        jnp.stack([cr, cg_, cb, ca], 0), hist, blur)
+    return (new_history[0], new_history[1], new_history[2]), new_history
+
+
+def _temporal_aa_jnp(current, history, velocity):
     cr, cg_, cb, ca = current
     h, w = cr.shape
 

@@ -16,35 +16,53 @@ import jax
 
 
 def sync(tree) -> float:
-    """True device sync: fetch a scalar reduced from every output leaf.
+    """True device sync: fetch one scalar from the last output leaf.
 
     `block_until_ready` is NOT a reliable sync on tunneled runtimes (axon
     returns once the work is enqueued); only a device->host readback
-    proves execution finished.
+    proves execution finished. One leaf suffices — all outputs of a jitted
+    executable complete together. NOTE: a readback costs ~30 ms of tunnel
+    round-trip latency on this host; timing code must amortize it over
+    many invocations (`time_fn` does) rather than sync per iteration.
     """
     import numpy as np
 
     leaves = jax.tree_util.tree_leaves(tree)
-    total = 0.0
-    for leaf in leaves:
+    for leaf in reversed(leaves):
         if hasattr(leaf, "ravel") and leaf.size:
-            total += float(np.asarray(leaf.ravel()[0]))
-    return total
+            return float(np.asarray(leaf.ravel()[0]))
+    return 0.0
 
 
-def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3,
+def readback_latency(samples: int = 5) -> float:
+    """Measured ms of one tiny device->host readback (tunnel round trip)."""
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1,), jnp.float32)
+    sync(x)
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        sync(x)
+    return (time.perf_counter() - t0) / samples * 1000.0
+
+
+def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 8,
             **kwargs) -> float:
-    """Median wall-clock ms of `fn(*args)` after warmup; readback-synced."""
+    """Mean wall-clock ms of `fn(*args)`: `iters` asynchronously dispatched
+    invocations bracketed by one readback sync, with the measured readback
+    latency subtracted. Robust to the ~30 ms tunnel round trip."""
     jitted = jax.jit(fn) if not hasattr(fn, "lower") else fn
-    for _ in range(warmup):
-        sync(jitted(*args, **kwargs))
-    times = []
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = jitted(*args, **kwargs)
+    sync(out)
+    lat = readback_latency()
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
-        sync(jitted(*args, **kwargs))
-        times.append((time.perf_counter() - t0) * 1000.0)
-    times.sort()
-    return times[len(times) // 2]
+        out = jitted(*args, **kwargs)
+    sync(out)
+    total = (time.perf_counter() - t0) * 1000.0
+    return max(total - lat, 0.0) / iters
 
 
 @contextlib.contextmanager

@@ -27,7 +27,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--volumes", type=int, default=64)
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--mesh", action="store_true")
     args = ap.parse_args()
 
@@ -67,20 +67,26 @@ def main() -> None:
     camera = cam_lib.orbit_camera(0.0, cfg.aspect_ratio)
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
 
+    from multivolumes_tpu.utils.timing import readback_latency
+
+    lat = [None]
+
     def timed(name, fn, *a):
+        # dispatch `iters` calls asynchronously, sync once, subtract the
+        # measured ~30 ms tunnel readback latency (see utils/timing.py)
         print(f"{name:28s} ...", end="", flush=True)
         j = jax.jit(fn)
         out = j(*a)
         sync(out)
-        ts = []
+        if lat[0] is None:
+            lat[0] = readback_latency()
+        t0 = time.perf_counter()
         for _ in range(args.iters):
-            t0 = time.perf_counter()
             r = j(*a)
-            sync(r)
-            del r
-            ts.append((time.perf_counter() - t0) * 1000)
-        ts.sort()
-        print(f"\r{name:28s} {ts[len(ts)//2]:9.1f} ms")
+        sync(r)
+        total = (time.perf_counter() - t0) * 1000 - lat[0]
+        del r
+        print(f"\r{name:28s} {max(total, 0.0) / args.iters:9.1f} ms")
         return out
 
     po = build_per_object(state.volume_worlds, camera.view_proj)
