@@ -1,0 +1,355 @@
+"""Pallas plane-sweep view-march kernel — the engine's hottest loop.
+
+Semantics twin: `render/sweep.py::sweep_batched` (reference hot loop:
+`CSRayMarch.hlsl:117-153`). One grid step per (volume, face); inside,
+the march over K planes runs in blocks of P planes:
+
+  HBM -> VMEM DMA of the contiguous slab window [z_start, z_start+SPAN)
+  of the slab-major oriented volume (and light map), then per plane two
+  MXU matmuls (slab x u-interp, v-interp x result) and the front-to-back
+  compositing update, with the (transmittance, scatter) carry resident
+  in VMEM for the whole face.
+
+The XLA formulation materializes every (B, P, C, H, W) slab gather and
+einsum operand through HBM (~100 GB of traffic at n=64); here a slab
+slice is read once. Three skip levels drop dead work entirely:
+  * face skip: culled/back faces (run flag) never DMA or compute;
+  * block skip: plane blocks outside the face's [s_min, s_max] ray
+    interval (the volume occupies a sub-range of the sweep);
+  * early exit: once every ray's transmittance < 0.01 (the reference's
+    termination test), remaining blocks are skipped.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multivolumes_tpu.config import SharedConsts
+from multivolumes_tpu.ops.pallas import interpret_default
+
+ABSORPTION = SharedConsts.ABSORPTION
+ZERO_THRESHOLD = SharedConsts.ZERO_THRESHOLD
+MAX_DIST = SharedConsts.MAX_DIST
+FLT_MAX = 3.402823466e38
+
+
+def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
+                 span_v, span_l, n_blocks, w_p=None, wl_p=None):
+    """Bind the static geometry; returns the kernel body."""
+
+    def kernel(int_sc, flt_sc, vol_hbm, light_hbm, s_in_ref, s_end_ref,
+               f_corr_ref, out_ref, vol_scr, light_scr, transm_scr,
+               scat_scr, state_smem, sem):
+        b = pl.program_id(0)
+        src = int_sc[b, 0]
+        lm = int_sc[b, 1]
+        run = int_sc[b, 2]
+
+        eu = flt_sc[b, 0]
+        ev = flt_sc[b, 1]
+        ew = flt_sc[b, 2]
+        ew_c = flt_sc[b, 3]
+        delta = flt_sc[b, 4]
+        inv_gz = flt_sc[b, 5]
+        s_min_b = flt_sc[b, 6]
+        s_max_b = flt_sc[b, 7]
+
+        transm_scr[:] = jnp.ones((size, size), jnp.float32)
+        scat_scr[:] = jnp.zeros((4, size, size), jnp.float32)
+        state_smem[0] = 1.0  # running max transmittance (early-exit test)
+
+        # face-frame texel centers (rows of the interp matrices)
+        def fiota(shape, dim):
+            # Mosaic iota must be integer-typed; cast after
+            return jax.lax.broadcasted_iota(jnp.int32, shape, dim
+                                            ).astype(jnp.float32)
+
+        u_col = (fiota((size, 1), 0) + 0.5) / size * 2.0 - 1.0
+        v_col = -u_col
+        tw = fiota((size, w_p or w), 1)
+        th = fiota((size, h), 1)
+        twl = fiota((size, wl_p or wl), 1)
+        thl = fiota((size, hl), 1)
+
+        s_in = s_in_ref[0]
+        s_end = s_end_ref[0]
+        f_corr = f_corr_ref[0]
+        cdtype = vol_scr.dtype
+
+        def w_of_k(kf):
+            return ew_c + (kf + 0.5) * delta
+
+        def s_of_k(kf):
+            return (w_of_k(kf) - ew) * inv_gz
+
+        def zc_of_w(wk, dd):
+            return (wk * 0.5 + 0.5) * dd - 0.5
+
+        def block_body(blk, _):
+            k0f = (blk * p_block).astype(jnp.float32)
+            klf = k0f + (p_block - 1)
+            s_lo = jnp.minimum(s_of_k(k0f), s_of_k(klf))
+            s_hi = jnp.maximum(s_of_k(k0f), s_of_k(klf))
+            alive = state_smem[0] >= 0.01
+            inside = (s_hi >= s_min_b) & (s_lo <= s_max_b)
+
+            @pl.when(alive & inside)
+            def _():
+                # slab windows (volume + light), one contiguous DMA each
+                zc0 = zc_of_w(w_of_k(k0f), d)
+                z_start = jnp.clip(
+                    jnp.floor(zc0).astype(jnp.int32), 0, d - span_v)
+                zl0 = zc_of_w(w_of_k(k0f), dl)
+                zl_start = jnp.clip(
+                    jnp.floor(zl0).astype(jnp.int32), 0, dl - span_l)
+                cp_v = pltpu.make_async_copy(
+                    vol_hbm.at[src, pl.ds(z_start, span_v)],
+                    vol_scr, sem.at[0])
+                cp_l = pltpu.make_async_copy(
+                    light_hbm.at[lm, pl.ds(zl_start, span_l)],
+                    light_scr, sem.at[1])
+                cp_v.start()
+                cp_l.start()
+                cp_v.wait()
+                cp_l.wait()
+
+                transm = transm_scr[:]
+                sr = scat_scr[0]
+                sg = scat_scr[1]
+                sb = scat_scr[2]
+                sa = scat_scr[3]
+
+                for p in range(p_block):
+                    kf = k0f + p
+                    wk = w_of_k(kf)
+                    sk = s_of_k(kf)
+
+                    # z interpolation (scalar per plane)
+                    # scalar plane math stays f32 (Mosaic has no scalar
+                    # bf16 ALU); cast via (1, 1) vectors at the broadcast
+                    def lerp_w(a0, a1, frac):
+                        f1 = jnp.full((1, 1), frac, jnp.float32
+                                      ).astype(cdtype)
+                        f0 = jnp.full((1, 1), 1.0 - frac, jnp.float32
+                                      ).astype(cdtype)
+                        return a0 * f0 + a1 * f1
+
+                    zc = zc_of_w(wk, d)
+                    z0g = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, d - 1)
+                    z1g = jnp.minimum(z0g + 1, d - 1)
+                    fz = jnp.clip(zc - jnp.floor(zc), 0.0, 1.0)
+                    slab = lerp_w(vol_scr[z0g - z_start],
+                                  vol_scr[z1g - z_start], fz)   # (4, H, W)
+
+                    zcl = zc_of_w(wk, dl)
+                    zl0g = jnp.clip(jnp.floor(zcl).astype(jnp.int32), 0,
+                                    dl - 1)
+                    zl1g = jnp.minimum(zl0g + 1, dl - 1)
+                    fzl = jnp.clip(zcl - jnp.floor(zcl), 0.0, 1.0)
+                    lslab = lerp_w(light_scr[zl0g - zl_start],
+                                   light_scr[zl1g - zl_start],
+                                   fzl)                          # (3, Hl, Wl)
+
+                    # interp matrices: rows = texels, cols = source axis
+                    pu = eu + sk * (u_col - eu)                 # (S, 1)
+                    pv = ev + sk * (v_col - ev)
+                    cu = jnp.clip((pu * 0.5 + 0.5) * w - 0.5, 0.0, w - 1.0)
+                    cv = jnp.clip((pv * 0.5 + 0.5) * h - 0.5, 0.0, h - 1.0)
+                    wx = jnp.maximum(1.0 - jnp.abs(cu - tw), 0.0
+                                     ).astype(cdtype)           # (S, W)
+                    wy = jnp.maximum(1.0 - jnp.abs(cv - th), 0.0
+                                     ).astype(cdtype)           # (S, H)
+                    cul = jnp.clip((pu * 0.5 + 0.5) * wl - 0.5, 0.0, wl - 1.0)
+                    cvl = jnp.clip((pv * 0.5 + 0.5) * hl - 0.5, 0.0, hl - 1.0)
+                    wxl = jnp.maximum(1.0 - jnp.abs(cul - twl), 0.0
+                                      ).astype(cdtype)          # (S, Wl)
+                    wyl = jnp.maximum(1.0 - jnp.abs(cvl - thl), 0.0
+                                      ).astype(cdtype)          # (S, Hl)
+
+                    # pass 1: contract W across all channels at once
+                    a_mat = slab.reshape(4 * h, w_p or w)
+                    t1 = jax.lax.dot_general(
+                        a_mat, wx, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(4, h, size).astype(cdtype)
+                    al_mat = lslab.reshape(3 * hl, wl_p or wl)
+                    t1l = jax.lax.dot_general(
+                        al_mat, wxl, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(3, hl, size).astype(cdtype)
+
+                    # pass 2: contract H per channel
+                    def p2(wm, tc):
+                        return jax.lax.dot_general(
+                            wm, tc, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+                    pr = p2(wy, t1[0])
+                    pg = p2(wy, t1[1])
+                    pb = p2(wy, t1[2])
+                    rho = p2(wy, t1[3])
+                    lr = p2(wyl, t1l[0])
+                    lg = p2(wyl, t1l[1])
+                    lb = p2(wyl, t1l[2])
+
+                    rho = jnp.clip(rho, 0.0, 1.0)
+                    live = ((rho > ZERO_THRESHOLD)
+                            & (sk >= s_in) & (sk <= s_end))
+                    a_mult = jnp.exp2(
+                        f_corr * jnp.log2(
+                            jnp.maximum(1.0 - rho * ABSORPTION, 1e-7)))
+                    a_mult = jnp.where(live, a_mult, 1.0)
+                    amt = jnp.where(live, transm * (1.0 - a_mult), 0.0)
+                    sr = sr + pr * lr * amt
+                    sg = sg + pg * lg * amt
+                    sb = sb + pb * lb * amt
+                    sa = sa + amt
+                    transm = transm * a_mult
+
+                transm_scr[:] = transm
+                scat_scr[0] = sr
+                scat_scr[1] = sg
+                scat_scr[2] = sb
+                scat_scr[3] = sa
+                state_smem[0] = jnp.max(transm)
+
+            return 0
+
+        @pl.when(run != 0)
+        def _():
+            jax.lax.fori_loop(0, n_blocks, block_body, 0)
+
+        out_ref[0] = scat_scr[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_planes", "size", "dtype", "interpret"),
+)
+def sweep_batched_pallas(
+    volumes_oriented,   # (N_src, 6, D, 4, H, W) slab-major
+    light_oriented,     # (N, 6, Dl, 3, Hl, Wl) slab-major
+    vol_tex_ids,        # (N,)
+    eye_faces,          # (N, 6, 3)
+    params,             # SweepParams, fields (N, 6, S, S)
+    smp_count,          # (N,)
+    run_mask,           # (N, 6)
+    num_planes: int,
+    size: int,
+    dtype=jnp.float32,
+    interpret: bool | None = None,
+):
+    """Drop-in twin of `sweep.sweep_batched`: (N, 6, 4, S, S) scatter."""
+    if interpret is None:
+        interpret = interpret_default()
+    n = vol_tex_ids.shape[0]
+    b = n * 6
+    n_src, _, d, _, h, w = volumes_oriented.shape
+    dl, hl, wl = (light_oriented.shape[2], light_oriented.shape[4],
+                  light_oriented.shape[5])
+
+    eye_b = eye_faces.reshape(b, 3)
+    eu, ev, ew = eye_b[:, 0], eye_b[:, 1], eye_b[:, 2]
+    ew_c = jnp.clip(ew, -1.0, 1.0)
+    delta = (1.0 - ew_c) / num_planes
+    inv_gz = 1.0 / jnp.maximum(1.0 - ew, 1e-6)
+
+    tex_b = jnp.repeat(vol_tex_ids.astype(jnp.int32), 6)
+    face_b = jnp.tile(jnp.arange(6, dtype=jnp.int32), n)
+    src_idx = tex_b * 6 + face_b
+    lm_idx = jnp.arange(b, dtype=jnp.int32)
+
+    s_in = params.s_in.reshape(b, size, size).astype(jnp.float32)
+    ray_ok = params.active.reshape(b, size, size)
+    # fold ray validity into the end bound: dead rays never go live
+    s_end = jnp.where(
+        ray_ok, params.s_end.reshape(b, size, size), -FLT_MAX
+    ).astype(jnp.float32)
+    ray_len = params.ray_len.reshape(b, size, size)
+
+    step_scale = MAX_DIST / jnp.maximum(
+        jnp.repeat(smp_count, 6).astype(jnp.float32), 1.0)
+    ds = delta * inv_gz
+    f_corr = ((ds[:, None, None] * ray_len) / step_scale[:, None, None]
+              ).astype(jnp.float32)
+
+    # per-face live s-interval for block skipping
+    inf = jnp.float32(FLT_MAX)
+    s_min_b = jnp.min(jnp.where(ray_ok, s_in, inf), axis=(1, 2))
+    s_max_b = jnp.max(jnp.where(ray_ok, s_end, -inf), axis=(1, 2))
+
+    run = run_mask.reshape(b).astype(jnp.int32)
+    int_sc = jnp.stack([src_idx, lm_idx, run,
+                        jnp.zeros_like(run)], axis=1)   # (B, 4)
+    flt_sc = jnp.stack([eu, ev, ew, ew_c, delta, inv_gz,
+                        s_min_b, s_max_b], axis=1)       # (B, 8)
+
+    # plane blocking: P planes per DMA window; the window spans
+    # ceil((P-1) * D / K) + 2 slices (z advances <= D/K per plane)
+    p_block = max(1, min(8, (8 * num_planes) // max(d, 1), num_planes))
+    while num_planes % p_block:
+        p_block -= 1
+    n_blocks = num_planes // p_block
+    span_v = min(d, int(math.ceil((p_block - 1) * d / num_planes)) + 2)
+    span_l = min(dl, int(math.ceil((p_block - 1) * dl / num_planes)) + 2)
+
+    vol_flat = volumes_oriented.reshape(n_src * 6, d, 4, h, w).astype(dtype)
+    light_flat = light_oriented.reshape(b, dl, 3, hl, wl).astype(dtype)
+
+    # Mosaic HBM slices must be lane-aligned: pad the minor (u) axis to a
+    # multiple of 128. Padded texels get zero tent weights (coords clip to
+    # the true extent), so results are unaffected; XLA fuses the pad into
+    # the producing orient copy.
+    w_p = -(-w // 128) * 128
+    wl_p = -(-wl // 128) * 128
+    if w_p != w:
+        vol_flat = jnp.pad(vol_flat,
+                           ((0, 0), (0, 0), (0, 0), (0, 0), (0, w_p - w)))
+    if wl_p != wl:
+        light_flat = jnp.pad(light_flat,
+                             ((0, 0), (0, 0), (0, 0), (0, 0), (0, wl_p - wl)))
+
+    kernel = _make_kernel(num_planes, size, d, h, w, dl, hl, wl,
+                          p_block, span_v, span_l, n_blocks,
+                          w_p=w_p, wl_p=wl_p)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # volumes (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # light maps (HBM)
+            pl.BlockSpec((1, size, size), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # s_in
+            pl.BlockSpec((1, size, size), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # s_end
+            pl.BlockSpec((1, size, size), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # f_corr
+        ],
+        out_specs=pl.BlockSpec((1, 4, size, size), lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((span_v, 4, h, w_p), dtype),
+            pltpu.VMEM((span_l, 3, hl, wl_p), dtype),
+            pltpu.VMEM((size, size), jnp.float32),
+            pltpu.VMEM((4, size, size), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    scatter = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 4, size, size), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(int_sc, flt_sc, vol_flat, light_flat, s_in, s_end, f_corr)
+    return scatter.reshape(n, 6, 4, size, size)

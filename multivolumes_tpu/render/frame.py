@@ -141,6 +141,8 @@ def render_frame(
             use_cube_map=cull.visible,
         )
         use_raycast = False
+        use_warp = config.composite_mode in ("auto", "warp")
+        lod_order = lod_buckets = None
         vol_or = state.volumes_oriented.astype(dtype)
         lm_or = sweep_lib.orient_volumes_cf(light_maps.astype(dtype))
         if config.lod_bucket_caps is not None and config.adaptive_raymarch:
@@ -159,9 +161,16 @@ def render_frame(
                 config.cube_map_size,
                 dtype=dtype,
                 bucket_caps=config.lod_bucket_caps,
+                pack=not use_warp,
             )
             cull_for_composite = cull_for_composite._replace(
                 mip_level=sweep_mips
+            )
+            # same pure function the LOD sweep used — the composite's
+            # footprint classes mirror the sweep's buckets
+            lod_order, lod_buckets = sweep_lib.lod_partition(
+                lod_cull, config.num_volumes, config.cube_map_size,
+                config.lod_bucket_caps,
             )
         else:
             cube_maps = sweep_lib.ray_march_view_sweep(
@@ -176,15 +185,14 @@ def render_frame(
                 num_planes=config.sweep_planes,
                 dtype=dtype,
             )
-        use_warp = config.composite_mode in ("auto", "warp")
         if (config.packed_composite and not use_warp
                 and cube_maps.color.shape[2] == 4):
             cube_maps = cube_maps._replace(
                 color=composite.pack_cube_f16(cube_maps.color)
             )
         if use_warp and cube_maps.color.shape[2] == 2:
-            # the LOD sweep emits f16-pair-packed maps; the warp's matmuls
-            # need plain channels
+            # packed maps can only reach the warp from explicit callers;
+            # the warp's matmuls need plain channels
             cube_maps = cube_maps._replace(
                 color=composite.unpack_cube_f16(cube_maps.color, dtype)
             )
@@ -242,6 +250,8 @@ def render_frame(
             ch,
             num_layers=config.oit_layers,
             tile=tile,
+            lod_order=lod_order,
+            lod_buckets=lod_buckets,
         )
     else:
         vr, vg, vb, va = composite.composite_oit(

@@ -50,15 +50,18 @@ FLT_MAX = 3.402823466e38
 
 
 def orient_volumes(vol):
-    """(..., D, H, W, C) -> (..., 6, C, D, H, W) face-frame orientations.
+    """(..., D, H, W, C) -> (..., 6, D, C, H, W) face-frame orientations.
 
-    O_f[c, iw, iv, iu] = channel c of vol at the local position
+    O_f[iw, c, iv, iu] = channel c of vol at the local position
     GetLocalPos-style (pu, pv, pw) for face f, so every face sweeps
     "+w toward the face". Derivation in module docstring; all six are
     transpose+flip (XLA copies, precomputed once per source texture).
 
-    Channel-mid output: a trailing C in a multi-GB stack would be padded
-    32x by TPU tiling (see raymarch.py layout note).
+    Slab-major output [face, z, c, y, x]: one sweep plane's source slab
+    [f, z] is a contiguous (C, H, W) block, so the Pallas march kernel
+    DMAs it with a single stride-free copy; and the lane/sublane axes
+    (W/H) stay dense under TPU tiling (a trailing C would pad 32x — see
+    raymarch.py layout note).
     """
     vol = jnp.moveaxis(vol, -1, -4)    # (..., C, D, H, W) = [c, z, y, x]
     zyx = vol
@@ -72,11 +75,11 @@ def orient_volumes(vol):
         zyx,                                 # f4 +Z
         jnp.flip(jnp.flip(zyx, axis=-3), axis=-1),  # f5 -Z
     ]
-    return jnp.stack(faces, axis=-5)
+    return jnp.stack([jnp.swapaxes(f, -4, -3) for f in faces], axis=-5)
 
 
 def orient_volumes_cf(vol_cf):
-    """Channel-first variant: (..., C, D, H, W) -> (..., 6, C, D, H, W)."""
+    """Channel-first variant: (..., C, D, H, W) -> (..., 6, D, C, H, W)."""
     zyx = vol_cf
     t_zx = jnp.swapaxes(vol_cf, -3, -1)
     t_zy = jnp.swapaxes(vol_cf, -3, -2)
@@ -88,7 +91,7 @@ def orient_volumes_cf(vol_cf):
         zyx,
         jnp.flip(jnp.flip(zyx, axis=-3), axis=-1),
     ]
-    return jnp.stack(faces, axis=-5)
+    return jnp.stack([jnp.swapaxes(f, -4, -3) for f in faces], axis=-5)
 
 
 def eye_to_face_frames(eye_local):
@@ -162,8 +165,8 @@ def face_ray_params(eye_f, u, v, s_max=None):
 
 
 def sweep_batched(
-    volumes_oriented,   # (N_src, 6, 4, D, H, W) channel-mid
-    light_oriented,     # (N, 6, 3, Dl, Hl, Wl) channel-mid
+    volumes_oriented,   # (N_src, 6, D, 4, H, W) slab-major
+    light_oriented,     # (N, 6, Dl, 3, Hl, Wl) slab-major
     vol_tex_ids,        # (N,)
     eye_faces,          # (N, 6, 3)
     params: SweepParams,  # fields (N, 6, S, S)
@@ -181,8 +184,10 @@ def sweep_batched(
     """
     n = vol_tex_ids.shape[0]
     b = n * 6
-    d, h, w = volumes_oriented.shape[3:6]
-    dl, hl, wl = light_oriented.shape[3:6]
+    d, h, w = (volumes_oriented.shape[2], volumes_oriented.shape[4],
+               volumes_oriented.shape[5])
+    dl, hl, wl = (light_oriented.shape[2], light_oriented.shape[4],
+                  light_oriented.shape[5])
 
     eye_b = eye_faces.reshape(b, 3)
     eu, ev, ew = eye_b[:, 0], eye_b[:, 1], eye_b[:, 2]
@@ -222,20 +227,19 @@ def sweep_batched(
     n_blocks = num_planes // p_block
 
     def slab_block(stack, idx0, w_ks, dd, n_ch):
-        """P planes of slabs: -> (B, P, C, H', W')."""
+        """P planes of slabs from the slab-major [src, face, z, c, y, x]
+        stack: -> (B, P, C, H', W')."""
+        del n_ch
         zc = (w_ks * 0.5 + 0.5) * dd - 0.5            # (B,P)
         z0 = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, dd - 1)
         z1 = jnp.clip(z0 + 1, 0, dd - 1)
         fz = jnp.clip(zc - jnp.floor(zc), 0.0, 1.0).astype(dtype)
         idx_bp = jnp.broadcast_to(idx0[:, None], z0.shape)
         face_bp = jnp.broadcast_to(face_b[:, None], z0.shape)
-        outs = []
-        for ci in range(n_ch):
-            ch = stack[:, :, ci]
-            s0 = ch[idx_bp, face_bp, z0]               # (B,P,H,W)
-            s1 = ch[idx_bp, face_bp, z1]
-            outs.append(s0 * (1 - fz[..., None, None]) + s1 * fz[..., None, None])
-        return jnp.stack(outs, 2)  # (B,P,C,H,W)
+        s0 = stack[idx_bp, face_bp, z0]                # (B,P,C,H,W)
+        s1 = stack[idx_bp, face_bp, z1]
+        fz = fz[..., None, None, None]
+        return s0 * (1 - fz) + s1 * fz
 
     def interp_bp(coords, nn):
         """(B, P, S) coords -> (B, P, S, nn) interp matrices."""
@@ -305,10 +309,22 @@ def sweep_batched(
     return scatter.reshape(n, 6, 4, size, size)
 
 
+def _sweep_batched_impl(impl: str):
+    """"pallas" -> the VMEM-resident march kernel (production);
+    "xla" -> the einsum scan above (semantics twin / goldens)."""
+    if impl == "pallas":
+        from multivolumes_tpu.ops.pallas.sweep_kernel import (
+            sweep_batched_pallas,
+        )
+
+        return sweep_batched_pallas
+    return sweep_batched
+
+
 def ray_march_view_sweep(
-    volumes_oriented,     # (N_src, 6, 4, D, H, W) channel-mid
+    volumes_oriented,     # (N_src, 6, D, 4, H, W) slab-major
     vol_tex_ids,          # (N,)
-    light_maps_oriented,  # (N, 6, 3, Dl, Hl, Wl) channel-mid
+    light_maps_oriented,  # (N, 6, Dl, 3, Hl, Wl) slab-major
     per_object: PerObject,
     cull: CullResult,
     eye,
@@ -316,6 +332,7 @@ def ray_march_view_sweep(
     cube_map_size: int,
     num_planes: int | None = None,
     dtype=jnp.float32,
+    impl: str = "pallas",
 ) -> CubeMaps:
     """Sweep-march every (volume, face) cube map. Output contract matches
     `raymarch.ray_march_view` marched at mip 0 (consumers should treat the
@@ -350,7 +367,7 @@ def ray_march_view_sweep(
         & cull.use_cube_map[:, None]
     )
 
-    scatter = sweep_batched(
+    scatter = _sweep_batched_impl(impl)(
         volumes_oriented, light_maps_oriented, vol_tex_ids, eye_faces,
         params, cull.smp_count, run_mask, k, s, dtype,
     )
@@ -421,10 +438,46 @@ def _occlusion_s_max(per_object, eye_local, eye_faces, depth_map, s):
     return s_max, z
 
 
+def lod_partition(cull: CullResult, n: int, cube_map_size: int,
+                  bucket_caps):
+    """Rank volumes for LOD bucketing; shared by the sweep and the warp
+    composite so both agree on each volume's bucket.
+
+    Sort key: mip ascending (the reference's per-volume LOD estimate,
+    `VolumeCull.hlsli:267-294`), ties broken by projected edge length
+    descending, invisible volumes last. Returns (order, buckets) with
+    buckets = [(start, count, size_b, mip_b), ...] — a static layout.
+    """
+    s = cube_map_size
+    edge = jnp.clip(cull.max_edge_px, 0.0, 65535.0).astype(jnp.int32)
+    sort_key = jnp.where(
+        cull.visible, cull.mip_level * (1 << 17) + (65536 - edge), 1 << 30
+    )
+    order = jnp.argsort(sort_key)
+
+    buckets = []
+    start = 0
+    mip = 0
+    for cap in bucket_caps:
+        size_b = max(s >> mip, 8)
+        count = min(cap, n - start)
+        if count > 0:
+            buckets.append((start, count, size_b, mip))
+            start += count
+        mip += 1
+        if start >= n:
+            break
+    while start < n:  # leftover beyond the last cap: smallest bucket
+        _s0, c0, size_b, mip_b = buckets[-1]
+        buckets[-1] = (_s0, c0 + (n - start), size_b, mip_b)
+        start = n
+    return order, buckets
+
+
 def ray_march_view_sweep_lod(
-    volumes_oriented,     # (N_src, 6, 4, D, H, W) channel-mid
+    volumes_oriented,     # (N_src, 6, D, 4, H, W) slab-major
     vol_tex_ids,          # (N,)
-    light_maps_oriented,  # (N, 6, 3, Dl, Hl, Wl) channel-mid
+    light_maps_oriented,  # (N, 6, Dl, 3, Hl, Wl) slab-major
     per_object: PerObject,
     cull: CullResult,
     eye,
@@ -432,6 +485,8 @@ def ray_march_view_sweep_lod(
     cube_map_size: int,
     dtype=jnp.float32,
     bucket_caps=(8, 24, 1 << 30),
+    impl: str = "pallas",
+    pack: bool = True,
 ):
     """LOD-bucketed sweep: the honest work-graph equivalent.
 
@@ -464,34 +519,17 @@ def ray_march_view_sweep_lod(
 
     run_mask_full = cull.face_mask & cull.visible[:, None]
 
-    # sort volumes by mip (ascending = most detailed first); invisible
-    # volumes sort last so capacity goes to visible ones
-    sort_key = jnp.where(cull.visible, cull.mip_level, 1 << 20)
-    order = jnp.argsort(sort_key)
+    order, buckets = lod_partition(cull, n, s, bucket_caps)
 
-    # static bucket layout from N and capacities
-    buckets = []
-    start = 0
-    mip = 0
-    for cap in bucket_caps:
-        size_b = max(s >> mip, 8)
-        count = min(cap, n - start)
-        if count > 0:
-            buckets.append((start, count, size_b, mip))
-            start += count
-        mip += 1
-        if start >= n:
-            break
-    while start < n:  # leftover beyond the last cap: smallest bucket
-        _s0, c0, size_b, mip_b = buckets[-1]
-        buckets[-1] = (_s0, c0 + (n - start), size_b, mip_b)
-        start = n
-
-    # packed f16-pair storage: (N, 6, 2, S, S) — half the footprint, and
-    # the composite consumes packed maps natively
+    # packed f16-pair storage (N, 6, 2, S, S) for the gather composite;
+    # the warp composite consumes plain channels (pack=False) in the
+    # compute dtype
     from multivolumes_tpu.render.composite import pack_cube_f16
 
-    color = jnp.zeros((n, 6, 2, s, s), jnp.float32)
+    if pack:
+        color = jnp.zeros((n, 6, 2, s, s), jnp.float32)
+    else:
+        color = jnp.zeros((n, 6, 4, s, s), dtype)
     mips = jnp.zeros((n,), jnp.int32)
 
     for (b0, count, size_b, mip_b) in buckets:
@@ -513,7 +551,7 @@ def ray_march_view_sweep_lod(
         )
         params = SweepParams(*(x.reshape(count, 6, size_b, size_b) for x in params))
 
-        scatter = sweep_batched(
+        scatter = _sweep_batched_impl(impl)(
             volumes_oriented, light_maps_oriented[ids], vol_tex_ids[ids],
             eye_f_b, params, cull.smp_count[ids], run_mask_full[ids],
             size_b, size_b, dtype,
@@ -521,8 +559,11 @@ def ray_march_view_sweep_lod(
         scatter = scatter.at[:, :, :3].mul(1.0 / (2.0 * math.pi))
         scatter = scatter * run_mask_full[ids][:, :, None, None, None]
 
-        packed = pack_cube_f16(scatter)  # (count, 6, 2, size_b, size_b)
-        color = color.at[ids, :, :, 0:size_b, 0:size_b].set(packed)
+        if pack:
+            out_b = pack_cube_f16(scatter)  # (count, 6, 2, size_b, size_b)
+        else:
+            out_b = scatter.astype(dtype)
+        color = color.at[ids, :, :, 0:size_b, 0:size_b].set(out_b)
         mips = mips.at[ids].set(mip_b)
 
     return CubeMaps(color=color, depth=cube_depth), mips

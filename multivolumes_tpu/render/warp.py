@@ -123,17 +123,20 @@ def _tent(pos, n: int, dtype):
     return w.astype(dtype)
 
 
-def warp_face(img, p_u, p_v, den, xg, yg, n_eff):
+def warp_face(img, p_u, p_v, den, xg, yg):
     """Two-pass separable projective warp of one face image to a tile.
 
-    img: (C, S, S) indexed [v, u]; p_u/p_v/den: homography 3-vectors in
-    *texel* space (u_texel = (p_u.q)/(den.q), already n_eff-scaled);
-    xg (Wt,), yg (Ht,) tile NDC coords; n_eff traced mip size.
+    img: (C, S, S) indexed [v, u], already sliced to the volume's
+    effective mip extent (S == n_eff, static per footprint class — the
+    tent matrices scale with S, which is most of this pass's HBM
+    traffic); p_u/p_v/den: homography 3-vectors in *texel* space
+    (u_texel = (p_u.q)/(den.q), already n_eff-scaled); xg (Wt,), yg (Ht,)
+    tile NDC coords.
     Returns (C, Ht, Wt) = img[v(y,x), u(y,x)] with clamp-to-edge.
     """
     s = img.shape[-1]
     dt = img.dtype
-    hi = n_eff.astype(jnp.float32) - 1.0
+    hi = s - 1.0
 
     # Pass 1: for each face row r, resample img[:, r, :] along u at the
     # screen-x positions where v(x, y) == r. Solve (p_v - r*den).q = 0
@@ -173,14 +176,22 @@ def composite_oit_warp(
     height: int,
     num_layers: int,
     tile: int,
+    lod_order=None,                 # (N,) volume ranking from lod_partition
+    lod_buckets=None,               # [(start, count, size_b, mip_b), ...]
 ):
     """Full OIT composite via per-volume tile warps -> premultiplied
     (r, g, b, a) screen fields. Semantics mirror
     `composite.composite_oit(use_raycast=False)`.
 
-    Volumes are split into two footprint classes by projected edge length
-    (`cull.max_edge_px`): the `_NUM_BIG` largest get a 3x tile, the rest
-    the base tile — near volumes would otherwise clip at the tile edge.
+    Volumes are grouped into footprint classes that mirror the sweep's
+    LOD buckets (`sweep.lod_partition`): a class's cube maps have a
+    *static* effective extent n_eff = size_b and its screen tile scales
+    with it (cube density ~ screen density, the paper's thesis), so both
+    the tent-matrix traffic and the tile area track each volume's actual
+    projected size. The `_NUM_BIG` mip-0 volumes keep a full-screen tile
+    (near volumes must never clip). Without LOD info, all volumes are
+    full-extent: the largest-projected get the full-screen tile, the
+    rest the base tile.
     """
     color = cube_maps.color
     assert color.shape[2] == 4, "warp composite needs unpacked cube maps"
@@ -194,7 +205,6 @@ def composite_oit_warp(
     scene_z = depth_map if depth_map is not None else jnp.ones(
         (height, width), jnp.float32
     )
-    n_eff_all = (s >> jnp.minimum(cull.mip_level, 31)).astype(jnp.float32)
 
     # Tile anchors: centre of the projected corner bbox (the projected
     # volume centre is offset from the footprint centre under perspective,
@@ -226,9 +236,9 @@ def composite_oit_warp(
     c0x = (c0[:, 0] / c0w * 0.5 + 0.5) * width
     c0y = (-c0[:, 1] / c0w * 0.5 + 0.5) * height
 
-    def body(carry, xs, ht, wt):
+    def body(carry, xs, ht, wt, n_eff):
         z_l, r_l, g_l, b_l, a_l = carry
-        (vid, wi3_v, wvp, o, x0, y0, n_eff, visible) = xs
+        (vid, wi3_v, wvp, o, x0, y0, visible) = xs
 
         def process(layers):
             z_l, r_l, g_l, b_l, a_l = layers
@@ -258,7 +268,7 @@ def composite_oit_warp(
             valid = (hit & (hw > 0.0)
                      & (exit_z <= sz) & (exit_z > 0.0))
 
-            img_all = color[vid]                         # (6, 4, S, S)
+            img_all = color[vid][:, :, :n_eff, :n_eff]   # (6, 4, n, n)
             rr = jnp.zeros((ht, wt), jnp.float32)
             gg = jnp.zeros_like(rr)
             bb = jnp.zeros_like(rr)
@@ -289,7 +299,7 @@ def composite_oit_warp(
                 )
 
                 def do_warp(img2=img2, pu2=pu2, pv2=pv2):
-                    return warp_face(img2, pu2, pv2, den, xg, yg, n_eff)
+                    return warp_face(img2, pu2, pv2, den, xg, yg)
 
                 warped = jax.lax.cond(
                     jnp.any(use_f),
@@ -356,11 +366,7 @@ def composite_oit_warp(
         jnp.zeros((num_layers, height, width), jnp.float32),
     )
 
-    # footprint classes: biggest projected volumes get the big tile
-    n_big = min(_NUM_BIG, n) if tile < max(width, height) else 0
-    order = jnp.argsort(-cull.max_edge_px)
-
-    def run_group(layers, ids, tile_px):
+    def run_group(layers, ids, tile_px, n_eff):
         wt = min(tile_px, width)
         ht = min(tile_px, height)
         # bbox centre guarantees full coverage whenever the footprint fits
@@ -381,18 +387,37 @@ def composite_oit_warp(
             eye_local[ids],
             x0,
             y0,
-            n_eff_all[ids],
             cull.visible[ids],
         )
         layers, _ = jax.lax.scan(
-            lambda c, x: body(c, x, ht, wt), layers, xs)
+            lambda c, x: body(c, x, ht, wt, n_eff), layers, xs)
         return layers
 
-    if n_big:
-        layers = run_group(layers, order[:n_big], max(width, height))
-        layers = run_group(layers, order[n_big:], tile)
+    full_px = max(width, height)
+    if lod_order is not None and lod_buckets is not None:
+        # footprint classes mirror the sweep's LOD buckets; within the
+        # mip-0 bucket the first _NUM_BIG (largest projected, per the
+        # partition's secondary sort) keep the full-screen tile
+        for (b0, count, size_b, mip_b) in lod_buckets:
+            ids = jax.lax.dynamic_slice_in_dim(lod_order, b0, count)
+            if mip_b == 0:
+                n_big = min(_NUM_BIG, count)
+                layers = run_group(layers, ids[:n_big], full_px, size_b)
+                if count > n_big:
+                    layers = run_group(
+                        layers, ids[n_big:], min(tile, 6 * size_b), size_b)
+            else:
+                tile_b = max(128, min(tile, 6 * size_b))
+                layers = run_group(layers, ids, tile_b, size_b)
     else:
-        layers = run_group(layers, jnp.arange(n), tile)
+        # no LOD info: full-extent maps; largest projected get the big tile
+        n_big = min(_NUM_BIG, n) if tile < full_px else 0
+        order = jnp.argsort(-cull.max_edge_px)
+        if n_big:
+            layers = run_group(layers, order[:n_big], full_px, s)
+            layers = run_group(layers, order[n_big:], tile, s)
+        else:
+            layers = run_group(layers, jnp.arange(n), tile, s)
 
     _z_l, r_l, g_l, b_l, a_l = layers
     return _underblend(r_l, g_l, b_l, a_l, num_layers, height, width)

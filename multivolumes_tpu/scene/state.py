@@ -56,7 +56,7 @@ class SceneState:
 
     # Volume data — `MultiRayCaster.cpp:99-126`
     volumes: jnp.ndarray          # (N_src, D, H, W, 4) density sources
-    volumes_oriented: jnp.ndarray  # (N_src, 6, 4, D, H, W) face-frame
+    volumes_oriented: jnp.ndarray  # (N_src, 6, D, 4, H, W) face-frame
                                   # orientations (static per source; the
                                   # sweep's compute dtype) — precomputed
                                   # here so the per-frame step never pays

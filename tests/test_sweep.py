@@ -37,7 +37,7 @@ def test_orient_volumes_roundtrip():
             yi = int(round((y * 0.5 + 0.5) * n - 0.5))
             zi = int(round((z * 0.5 + 0.5) * n - 0.5))
             want = float(np.asarray(vol)[zi, yi, xi, 0])
-            got = float(ov[f, 0, iw, iv, iu])  # channel-mid layout
+            got = float(ov[f, iw, 0, iv, iu])  # slab-major layout
             assert abs(got - want) < 1e-6, (f, iu, iv, iw)
 
 

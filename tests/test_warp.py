@@ -111,7 +111,7 @@ def test_warp_face_matches_bilinear():
         p_u = n_eff * nu - 0.5 * den
         p_v = n_eff * nv - 0.5 * den
         got = np.asarray(jax.jit(warp.warp_face)(
-            color_j[0, f], p_u, p_v, den, xg, yg, n_eff))
+            color_j[0, f], p_u, p_v, den, xg, yg))
         diff = np.abs(got - want)[:, mask]
         assert diff.max() < 5e-3, (f, diff.max())
         checked += mask.sum()

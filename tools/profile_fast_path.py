@@ -114,29 +114,26 @@ def main() -> None:
     def sweep_fn(v, l):
         return sweep_lib.ray_march_view_sweep_lod(
             v, state.vol_tex_ids, l, po, lod_cull, camera.eye, None,
-            cfg.cube_map_size, dtype=dtype, bucket_caps=cfg.lod_bucket_caps)
+            cfg.cube_map_size, dtype=dtype, bucket_caps=cfg.lod_bucket_caps,
+            pack=False)
 
     cube_maps, sweep_mips = timed("sweep_lod", sweep_fn, vol_or, lm_or)
     del vol_or, lm_or, lm  # free ~3.4 GB before the composite stages
 
-    # warp composite
-    from multivolumes_tpu.render import composite as comp_lib
+    # warp composite (mip-aligned footprint classes)
     cull_c = cull._replace(
         mip_level=sweep_mips, use_cube_map=cull.visible)
-    unpacked = jax.jit(
-        lambda c: comp_lib.unpack_cube_f16(c, dtype))(cube_maps.color)
-    cm_unpacked = cube_maps._replace(color=unpacked)
+    lod_order, lod_buckets = sweep_lib.lod_partition(
+        lod_cull, cfg.num_volumes, cfg.cube_map_size, cfg.lod_bucket_caps)
     tile = cfg.warp_tile or (512 if cfg.num_volumes <= 8 else 384)
     cs = cfg.composite_scale
     cw, ch = (cfg.width // cs, cfg.height // cs) if cs > 1 else (cfg.width, cfg.height)
 
     timed("warp_composite", lambda cm_color: warp_lib.composite_oit_warp(
-        cm_unpacked._replace(color=cm_color), po, cull_c, camera.eye,
+        cube_maps._replace(color=cm_color), po, cull_c, camera.eye,
         camera.screen_to_world, None, cw, ch,
-        num_layers=cfg.oit_layers, tile=tile), unpacked)
-
-    timed("unpack_cube_f16", lambda c: comp_lib.unpack_cube_f16(c, dtype),
-          cube_maps.color)
+        num_layers=cfg.oit_layers, tile=tile,
+        lod_order=lod_order, lod_buckets=lod_buckets), cube_maps.color)
 
     # sky
     timed("sky", lambda: postprocess.render_environment(
