@@ -40,6 +40,28 @@ class MultiRayCaster:
         vol = volume_lib.r32f_to_rgba(density, self.state.volumes.dtype)
         self._set_volume(i, vol)
 
+    def load_volume_file(self, i: int, path: str) -> None:
+        """DDS R32F volume file -> volume source i, the full
+        `LoadVolumeData` path (`MultiRayCaster.cpp:168-209`: DDS::Loader
+        parse + `CSR32FToRGBA16F` convert)."""
+        from multivolumes_tpu.scene import io_dds
+
+        tex = io_dds.load_dds(path)
+        if not tex.is_volume or tex.data.shape[-1] != 1:
+            raise ValueError(f"{path}: not an R32F volume DDS")
+        self.load_volume_data(i, tex.data[..., 0])
+
+    def set_radiance_file(self, path: str) -> None:
+        """DDS radiance cube -> environment + SH projection
+        (`LightProbe::Init`, `LightProbe.cpp:29-61`)."""
+        from multivolumes_tpu.scene import io_dds
+
+        tex = io_dds.load_dds(path)
+        if not tex.is_cube:
+            raise ValueError(f"{path}: not a cube-map DDS")
+        rad = np.asarray(tex.data, np.float32)[..., :3]
+        self.set_radiance(jnp.asarray(rad))
+
     def init_volume_data(self, i: int) -> None:
         """Procedural volume (`InitVolumeData`, `MultiRayCaster.cpp:243-264`)."""
         vol = volume_lib.init_grid_data(self.config.grid_size,
