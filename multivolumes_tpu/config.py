@@ -67,6 +67,11 @@ class RenderConfig:
 
     show_mesh: bool = False
     has_light_probe: bool = True
+    # `_POINT_LIGHT_` shader switch (`CSRayMarchL.hlsl:87-92`): treat
+    # light_pos as a point (per-voxel direction) instead of a direction.
+    # Point lights need the per-voxel gather march, so light_mode falls
+    # back to "reference" when set.
+    point_light: bool = False
     adaptive_raymarch: bool = True  # `_ADAPTIVE_RAYMARCH_`, Common.hlsli:13
 
     shadow_map_size: int = 1024  # `ObjectRenderer.cpp:80-83`

@@ -89,7 +89,7 @@ def render_frame(
     )
 
     # --- light-space march ------------------------------------------------
-    if config.light_mode == "sweep":
+    if config.light_mode == "sweep" and not config.point_light:
         from multivolumes_tpu.render import lightsweep
 
         light_maps = lightsweep.ray_march_light_sweep(
@@ -125,6 +125,7 @@ def render_frame(
             state.sh_coeffs,
             config.max_light_samples,
             has_light_probe=config.has_light_probe,
+            point_light=config.point_light,
         )
 
     # --- view-space cube-map march ---------------------------------------

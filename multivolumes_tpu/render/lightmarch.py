@@ -155,9 +155,15 @@ def ray_march_light(
     sh_coeffs,            # (9, 3)
     max_light_samples: int,
     has_light_probe: bool = True,
+    point_light: bool = False,
 ) -> jnp.ndarray:
     """Refresh one volume's light map; returns the updated channel-mid
-    (N, 3, L, L, L) stack."""
+    (N, 3, L, L, L) stack.
+
+    point_light mirrors the `_POINT_LIGHT_` compile switch
+    (`CSRayMarchL.hlsl:87-92`): the march direction becomes the per-voxel
+    direction toward the light *point* (light_pos with w = 1) instead of
+    the directional light's constant vector."""
     n = vol_tex_ids.shape[0]
     l = light_maps.shape[-1]
     vid = select_update_volume(cull.visible, frame_idx)
@@ -222,15 +228,27 @@ def ray_march_light(
         onz = wx * m[0, 2] + wy * m[1, 2] + wz * m[2, 2] + m[3, 2]
         tex_b = jnp.broadcast_to(tex_n, (l, l, l)).astype(jnp.int32)
 
-        # directional-light transmittance
-        lvx = ldx * m[0, 0] + ldy * m[1, 0] + ldz * m[2, 0]
-        lvy = ldx * m[0, 1] + ldy * m[1, 1] + ldz * m[2, 1]
-        lvz = ldx * m[0, 2] + ldy * m[1, 2] + ldz * m[2, 2]
-        linv = jax.lax.rsqrt(jnp.maximum(lvx * lvx + lvy * lvy + lvz * lvz, 1e-20))
-        lvx, lvy, lvz = lvx * linv, lvy * linv, lvz * linv
-        lvxb = jnp.broadcast_to(lvx, onx.shape)
-        lvyb = jnp.broadcast_to(lvy, onx.shape)
-        lvzb = jnp.broadcast_to(lvz, onx.shape)
+        if point_light:
+            # `_POINT_LIGHT_`: local light point (full affine transform,
+            # w = 1), per-voxel direction toward it
+            lpx = ldx * m[0, 0] + ldy * m[1, 0] + ldz * m[2, 0] + m[3, 0]
+            lpy = ldx * m[0, 1] + ldy * m[1, 1] + ldz * m[2, 1] + m[3, 1]
+            lpz = ldx * m[0, 2] + ldy * m[1, 2] + ldz * m[2, 2] + m[3, 2]
+            lvxb, lvyb, lvzb = lpx - onx, lpy - ony, lpz - onz
+            linv = jax.lax.rsqrt(jnp.maximum(
+                lvxb * lvxb + lvyb * lvyb + lvzb * lvzb, 1e-20))
+            lvxb, lvyb, lvzb = lvxb * linv, lvyb * linv, lvzb * linv
+        else:
+            # directional-light transmittance (rotation-only transform)
+            lvx = ldx * m[0, 0] + ldy * m[1, 0] + ldz * m[2, 0]
+            lvy = ldx * m[0, 1] + ldy * m[1, 1] + ldz * m[2, 1]
+            lvz = ldx * m[0, 2] + ldy * m[1, 2] + ldz * m[2, 2]
+            linv = jax.lax.rsqrt(jnp.maximum(
+                lvx * lvx + lvy * lvy + lvz * lvz, 1e-20))
+            lvx, lvy, lvz = lvx * linv, lvy * linv, lvz * linv
+            lvxb = jnp.broadcast_to(lvx, onx.shape)
+            lvyb = jnp.broadcast_to(lvy, onx.shape)
+            lvzb = jnp.broadcast_to(lvz, onx.shape)
 
         cx, cy, cz, hit = raymarch.compute_ray_origin_soa(
             onx, ony, onz, lvxb, lvyb, lvzb

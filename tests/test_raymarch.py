@@ -123,3 +123,44 @@ def test_cast_light_ray_matches_twin():
             1.0, step_scale, smp,
         )
         np.testing.assert_allclose(got[i], want, atol=2e-3, err_msg=f"ray {i}")
+
+
+def test_point_light_matches_directional_at_infinity():
+    """`_POINT_LIGHT_` (CSRayMarchL.hlsl:87-92): a point light far along
+    the light direction converges to the directional march; a nearby one
+    diverges from it."""
+    import jax.numpy as jnp
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.render import cull as cull_lib, lightmarch
+    from multivolumes_tpu.render.perframe import build_per_object
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
+                       max_ray_samples=16, max_light_samples=12,
+                       num_volumes=2, num_volume_srcs=1, cube_map_size=16,
+                       shadow_map_size=32, has_light_probe=False)
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.default_camera(cfg.aspect_ratio)
+    po = build_per_object(st.volume_worlds, cam.view_proj)
+    cull = cull_lib.cull_volumes(
+        po, cam.eye, jnp.array([96.0, 64.0]), cfg.max_ray_samples,
+        cfg.cube_map_size, cfg.num_cube_mips)
+
+    def run(light_pos, point):
+        return np.asarray(lightmarch.ray_march_light(
+            st.volumes, st.vol_tex_ids, st.light_maps, po, cull,
+            jnp.asarray(0), None, jnp.eye(4), jnp.asarray(light_pos),
+            st.light_color, st.ambient, st.sh_coeffs,
+            cfg.max_light_samples, has_light_probe=False,
+            point_light=point))
+
+    ldir = np.array([0.2, 1.0, -0.5, 0.0], np.float32)
+    ldir[:3] /= np.linalg.norm(ldir[:3])
+    directional = run(ldir, point=False)
+    far_point = run([*(ldir[:3] * 1e6), 1.0], point=True)
+    near_point = run([*(ldir[:3] * 12.0), 1.0], point=True)
+
+    np.testing.assert_allclose(far_point, directional, atol=1e-3)
+    assert np.abs(near_point - directional).max() > 1e-2
