@@ -395,17 +395,25 @@ def composite_oit_warp(
 
     full_px = max(width, height)
     if lod_order is not None and lod_buckets is not None:
-        # footprint classes mirror the sweep's LOD buckets; within the
-        # mip-0 bucket the first _NUM_BIG (largest projected, per the
-        # partition's secondary sort) keep the full-screen tile
+        # footprint classes mirror the sweep's LOD buckets; the mip-0
+        # bucket is further split by rank (the partition's secondary sort
+        # is projected edge length, descending): only the very largest
+        # volumes pay a full-screen tile, the rest a descending ladder.
+        # Oversized footprints degrade gracefully (run_group anchors them
+        # on the projected centre, clipping the far side).
         for (b0, count, size_b, mip_b) in lod_buckets:
             ids = jax.lax.dynamic_slice_in_dim(lod_order, b0, count)
             if mip_b == 0:
-                n_big = min(_NUM_BIG, count)
-                layers = run_group(layers, ids[:n_big], full_px, size_b)
-                if count > n_big:
+                ladder = [(2, full_px), (4, (full_px * 3) // 5),
+                          (count, (full_px * 2) // 5)]
+                at = 0
+                for cap, tile_px in ladder:
+                    take = min(cap, count - at)
+                    if take <= 0:
+                        break
                     layers = run_group(
-                        layers, ids[n_big:], min(tile, 6 * size_b), size_b)
+                        layers, ids[at:at + take], tile_px, size_b)
+                    at += take
             else:
                 tile_b = max(128, min(tile, 6 * size_b))
                 layers = run_group(layers, ids, tile_b, size_b)
