@@ -85,13 +85,33 @@ class MultiRayCaster:
         worlds = state_lib.volume_grid_worlds(
             self.config.num_volumes, size, center
         )
+        self._check_worlds(worlds)
         self.state = dataclasses.replace(
             self.state, volume_worlds=jnp.asarray(worlds)
         )
 
+    def _check_worlds(self, worlds) -> None:
+        """The shear-warp light sweep (`render/lightsweep.py`) assumes
+        uniform-scale, rotation-free volume worlds (it reads world[0,0] as
+        THE scale); rotated/anisotropic worlds would silently shadow
+        wrong. Validate at the API boundary (host-side, outside jit)."""
+        if self.config.light_mode != "sweep":
+            return
+        w = np.asarray(worlds, np.float32).reshape(-1, 4, 4)
+        upper = w[:, :3, :3]
+        s = upper[:, 0, 0]
+        expect = s[:, None, None] * np.eye(3, dtype=np.float32)
+        if not np.allclose(upper, expect, atol=1e-5 * np.abs(s).max()):
+            raise ValueError(
+                "light_mode='sweep' requires uniform-scale, unrotated "
+                "volume worlds; use light_mode='reference' for rotated or "
+                "anisotropic volumes (see render/lightsweep.py)"
+            )
+
     def set_volume_world(self, i: int, size: float, pos) -> None:
         half = size * 0.5
         w = math3d.scaling(half) @ math3d.translation(jnp.asarray(pos, jnp.float32))
+        self._check_worlds(w[None])
         self.state = dataclasses.replace(
             self.state, volume_worlds=self.state.volume_worlds.at[i].set(w)
         )

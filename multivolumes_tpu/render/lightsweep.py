@@ -130,8 +130,10 @@ def light_transmittance(
     n, l = rho_light.shape[0], rho_light.shape[1]
     g = 2 * l  # global lateral occlusion map resolution
 
-    # Local light direction (volumes here are scale+translate, so the
-    # local direction equals the world direction for every volume).
+    # Local light direction. PRECONDITION: volume worlds are uniform
+    # scale + translate (world[0,0] read as THE scale below) — validated
+    # at the engine API boundary (`engine._check_worlds`); rotated or
+    # anisotropic volumes must use light_mode="reference".
     wi = per_object.world_i
     lx = (light_dir_world[0] * wi[:, 0, 0] + light_dir_world[1] * wi[:, 1, 0]
           + light_dir_world[2] * wi[:, 2, 0])

@@ -64,11 +64,20 @@ def shadow_view_proj(state) -> jnp.ndarray:
     return view @ proj
 
 
-def rasterize(verts_clip, indices, width: int, height: int, k: int = 8):
-    """Scatter z-buffer rasterization.
+def rasterize(verts_clip, indices, width: int, height: int, k: int = 8,
+              big_tiers=((256, 32), (8, 256))):
+    """Scatter z-buffer rasterization with tiered coverage.
 
     verts_clip: (V, 4) homogeneous clip positions; indices: (T, 3).
     Returns (depth (H, W) in [0,1], tri_id (H, W) int32, -1 = empty).
+
+    Every triangle gets a k x k sample grid over its bbox; triangles whose
+    bbox exceeds k px would be sampled sparsely (interior holes), so the
+    largest `count` triangles by bbox edge additionally sample at the
+    finer `kk` from big_tiers = ((count, kk), ...). With the defaults,
+    triangles up to 256 px get gap-free coverage (the top 8), up to 32 px
+    for the next 256 — close-up-camera robustness the base pass lacks
+    (the bunny at demo distance averages ~1 px/triangle).
     """
     v = verts_clip
     w_clip = v[:, 3]
@@ -92,52 +101,84 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 8):
     ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
     ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
 
-    sx = jnp.maximum((xmax - xmin) / k, 1.0)  # sample stride, >= 1 px
-    sy = jnp.maximum((ymax - ymin) / k, 1.0)
-
     area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
     inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
     tri_ok = tri_ok & (jnp.abs(area) > 1e-12)
 
-    offs = jnp.arange(k, dtype=jnp.float32)
-    ox, oy = jnp.meshgrid(offs, offs, indexing="xy")  # (k,k)
+    tids_all = jnp.arange(indices.shape[0], dtype=jnp.uint32)
 
-    # sample positions snapped to pixel centers
-    sxp = jnp.floor(xmin[:, None, None] + ox[None] * sx[:, None, None]) + 0.5
-    syp = jnp.floor(ymin[:, None, None] + oy[None] * sy[:, None, None]) + 0.5
+    def emit(sel, kk: int):
+        """Coverage samples for triangle subset `sel` (None = all) at a
+        kk x kk grid -> (flat_pix, flat_zq, flat_tid)."""
+        def g(a):
+            return a if sel is None else a[sel]
 
-    b1 = (
-        (sxp - x0[:, None, None]) * (y2 - y0)[:, None, None]
-        - (x2 - x0)[:, None, None] * (syp - y0[:, None, None])
-    ) * inv_area[:, None, None]
-    b2 = (
-        (x1 - x0)[:, None, None] * (syp - y0[:, None, None])
-        - (sxp - x0[:, None, None]) * (y1 - y0)[:, None, None]
-    ) * inv_area[:, None, None]
-    b0 = 1.0 - b1 - b2
-    inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+        x0c, y0c, z0c = g(x0), g(y0), g(z0)
+        x1c, y1c, z1c = g(x1), g(y1), g(z1)
+        x2c, y2c, z2c = g(x2), g(y2), g(z2)
+        xminc, xmaxc = g(xmin), g(xmax)
+        yminc, ymaxc = g(ymin), g(ymax)
+        inv_area_c = g(inv_area)
+        ok_c = g(tri_ok)
+        tid_c = g(tids_all)
 
-    z = b0 * z0[:, None, None] + b1 * z1[:, None, None] + b2 * z2[:, None, None]
+        sx = jnp.maximum((xmaxc - xminc) / kk, 1.0)  # stride >= 1 px
+        sy = jnp.maximum((ymaxc - yminc) / kk, 1.0)
 
-    xi = sxp.astype(jnp.int32)
-    yi = syp.astype(jnp.int32)
-    in_vp = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
-    ok = inside & in_vp & tri_ok[:, None, None] & (z >= 0.0) & (z <= 1.0)
+        offs = jnp.arange(kk, dtype=jnp.float32)
+        ox, oy = jnp.meshgrid(offs, offs, indexing="xy")  # (kk,kk)
 
-    pix = jnp.where(ok, yi * width + xi, height * width)  # OOB slot for dead
-    zq = jnp.clip(z * _ZQ, 0, _ZQ - 1).astype(jnp.uint32)
-    zq = jnp.where(ok, zq, _BIG)
+        # sample positions snapped to pixel centers
+        sxp = jnp.floor(xminc[:, None, None] + ox[None] * sx[:, None, None]) + 0.5
+        syp = jnp.floor(yminc[:, None, None] + oy[None] * sy[:, None, None]) + 0.5
 
-    flat_pix = pix.reshape(-1)
-    flat_zq = zq.reshape(-1)
+        b1 = (
+            (sxp - x0c[:, None, None]) * (y2c - y0c)[:, None, None]
+            - (x2c - x0c)[:, None, None] * (syp - y0c[:, None, None])
+        ) * inv_area_c[:, None, None]
+        b2 = (
+            (x1c - x0c)[:, None, None] * (syp - y0c[:, None, None])
+            - (sxp - x0c[:, None, None]) * (y1c - y0c)[:, None, None]
+        ) * inv_area_c[:, None, None]
+        b0 = 1.0 - b1 - b2
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+
+        z = (b0 * z0c[:, None, None] + b1 * z1c[:, None, None]
+             + b2 * z2c[:, None, None])
+
+        xi = sxp.astype(jnp.int32)
+        yi = syp.astype(jnp.int32)
+        in_vp = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+        ok = inside & in_vp & ok_c[:, None, None] & (z >= 0.0) & (z <= 1.0)
+
+        pix = jnp.where(ok, yi * width + xi, height * width)  # OOB if dead
+        zq = jnp.clip(z * _ZQ, 0, _ZQ - 1).astype(jnp.uint32)
+        zq = jnp.where(ok, zq, _BIG)
+        tid = jnp.broadcast_to(tid_c[:, None, None], pix.shape)
+        return pix.reshape(-1), zq.reshape(-1), tid.reshape(-1)
+
+    parts = [emit(None, k)]
+    if big_tiers:
+        edge = jnp.where(tri_ok, jnp.maximum(xmax - xmin, ymax - ymin), -1.0)
+        order = jnp.argsort(-edge)
+        at = 0
+        for count, kk in sorted(big_tiers):
+            count = min(count, indices.shape[0])
+            if count <= at:
+                continue
+            # finer tiers cover the larger triangles: tiers sorted by
+            # count ascending so order[:8] gets kk=256, order[8:256] kk=32
+            parts.append(emit(order[at:count], kk))
+            at = count
+
+    flat_pix = jnp.concatenate([p[0] for p in parts])
+    flat_zq = jnp.concatenate([p[1] for p in parts])
+    tids = jnp.concatenate([p[2] for p in parts])
 
     zbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
     zbuf = zbuf.at[flat_pix].min(flat_zq, mode="drop")
 
     # ID pass: winners scatter their triangle id (min for determinism)
-    tids = jnp.broadcast_to(
-        jnp.arange(indices.shape[0], dtype=jnp.uint32)[:, None, None], pix.shape
-    ).reshape(-1)
     win = flat_zq == zbuf[flat_pix]
     tid_buf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
     tid_buf = tid_buf.at[jnp.where(win, flat_pix, height * width)].min(

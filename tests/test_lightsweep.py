@@ -164,3 +164,26 @@ def test_light_sweep_vs_reference_march():
     r, s = run_both(True)
     rel = (np.abs(r - s) / max(r.max(), 1e-6))[mask]
     assert rel.mean() < 0.08, rel.mean()
+
+
+def test_engine_rejects_rotated_worlds_for_sweep():
+    import dataclasses
+
+    import pytest
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.engine import MultiRayCaster
+
+    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
+                       max_ray_samples=16, max_light_samples=8,
+                       num_volumes=2, num_volume_srcs=1, cube_map_size=16,
+                       shadow_map_size=32)
+    eng = MultiRayCaster(cfg)
+    rot = np.eye(4, dtype=np.float32)
+    c, s = np.cos(0.4), np.sin(0.4)
+    rot[0, 0], rot[0, 2], rot[2, 0], rot[2, 2] = c, -s, s, c
+    with pytest.raises(ValueError, match="sweep"):
+        eng._check_worlds(rot[None] * 5.0)
+    # the reference-light mode accepts rotation
+    eng2 = MultiRayCaster(cfg.with_(light_mode="reference"))
+    eng2._check_worlds(rot[None] * 5.0)  # no raise

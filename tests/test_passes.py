@@ -164,3 +164,29 @@ def test_bf16_sweep_close_to_f32():
     diff = np.abs(np.asarray(out32.image) - np.asarray(out16.image))
     assert diff.mean() < 5e-3, diff.mean()
     assert diff.max() < 6e-2, diff.max()
+
+
+def test_rasterize_large_triangle_no_holes():
+    """Close-up robustness: triangles far larger than the base k x k
+    sample grid must still get gap-free coverage (tiered rasterizer)."""
+    import jax.numpy as jnp
+
+    from multivolumes_tpu.render import mesh as mesh_lib
+
+    w, h = 320, 320
+    # a quad covering most of the viewport, in clip space (w_clip = 1)
+    verts = jnp.asarray([
+        [-0.8, -0.8, 0.5, 1.0],
+        [0.8, -0.8, 0.5, 1.0],
+        [0.8, 0.8, 0.5, 1.0],
+        [-0.8, 0.8, 0.5, 1.0],
+    ], jnp.float32)
+    idx = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    depth, tri_id = mesh_lib.rasterize(verts, idx, w, h)
+    tri_id = np.asarray(tri_id)
+    # interior of the quad: ndc [-0.8, 0.8] -> px [32, 288); margin 4 px
+    interior = tri_id[40:280, 40:280]
+    holes = (interior < 0).sum()
+    assert holes == 0, f"{holes} interior holes"
+    d = np.asarray(depth)[40:280, 40:280]
+    np.testing.assert_allclose(d, 0.5, atol=1e-4)
