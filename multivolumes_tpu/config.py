@@ -105,15 +105,20 @@ class RenderConfig:
     # "auto" = warp whenever the sweep path is active (cube maps shade
     # everything), gather otherwise.
     composite_mode: str = "auto"
-    # Static per-volume screen tile (pixels) for the warp composite; a
-    # volume's footprint is clipped to its tile (the 8 largest projected
-    # volumes get a 3x tile). None -> auto from num_volumes (512 for <=8
-    # volumes, 384 beyond).
+    # Base per-volume screen tile (pixels) for the warp composite's
+    # non-mip-0 classes; mip-0 volumes get a footprint ladder (2 at full
+    # screen, 4 at 3/5, rest at 2/5 — see warp.composite_oit_warp) and a
+    # volume's footprint is clipped to its tile. None -> auto from
+    # num_volumes (512 for <=8 volumes, 384 beyond).
     warp_tile: int | None = None
     # Sky (environment) pass resolution divisor: the radiance cube is
     # low-frequency, so sampling it per output pixel is wasted gathers —
     # render at 1/sky_scale and bilinear-upsample with two matmuls.
     sky_scale: int = 4
+    # Static window (px) for TAA's velocity-based history reprojection,
+    # centred on the mesh (the only velocity writer); pixels outside
+    # reproject as identity. 0 = full-screen reprojection.
+    taa_reproj_window: int = 512
     # Composite the volume layers at 1/composite_scale screen resolution
     # and upsample (the cube maps carry the detail — the screen pass is a
     # filter, per the paper's viewport-resolution-independence thesis).

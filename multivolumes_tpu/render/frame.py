@@ -286,7 +286,9 @@ def render_frame(
     # --- TAA + tone map ---------------------------------------------------
     if use_taa:
         (rr, rg, rb), new_history = taa_lib.temporal_aa(
-            (sc_r, sc_g, sc_b, sc_a), state.taa_history, velocity
+            (sc_r, sc_g, sc_b, sc_a), state.taa_history, velocity,
+            reproj_center=(mesh_out.screen_center if has_mesh else None),
+            reproj_window=config.taa_reproj_window,
         )
     else:
         rr, rg, rb = sc_r, sc_g, sc_b

@@ -40,7 +40,6 @@ import jax.numpy as jnp
 from multivolumes_tpu.config import SharedConsts
 from multivolumes_tpu.ops.trilinear import indexed_trilinear_soa
 from multivolumes_tpu.render.cull import CullResult
-from multivolumes_tpu.render.lightmarch import shadow_test_soa
 from multivolumes_tpu.render.perframe import PerObject
 from multivolumes_tpu.core import sh as sh_lib
 
@@ -86,28 +85,63 @@ def densities_at_light_grid(volumes, l: int):
     return out  # (N_src, L, L, L) indexed [z, y, x]
 
 
-def _sweep_one_axis(rho_o, t_in, shift_u, shift_v, f_corr):
+def _sweep_one_axis(rho_o, t_in, shift_u, shift_v, f_corr,
+                    mesh=None):
     """Propagate transmittance through an oriented density grid.
 
     rho_o: (L, Lv, Lu) slices along the sweep axis, slice 0 nearest the
     light; t_in: (Lv, Lu) incoming transmittance; returns
     (T field (L, Lv, Lu) — transmittance from the light to each voxel —
-    and the outgoing map (Lv, Lu))."""
+    and the outgoing map (Lv, Lu)).
+
+    mesh: optional (sm_depth (Lv, Lu), z_entry (Lv, Lu), dz_slice scalar)
+    — the opaque scene's shadow-map depth and the rays' light-space depth
+    at the entry slice, both in the volume's slice-0 lateral frame. Both
+    are ray-attached, so they shear with the same shift matrices; each
+    voxel's mesh shadow becomes a (softened) depth compare — the zero-
+    gather equivalent of the reference's per-voxel `ShadowTest`
+    (`RayMarch.hlsli:103-113`). The soft width is one slice of light-
+    space depth (vs the reference's PCF bilinear of binary compares)."""
     l, lv, lu = rho_o.shape
     mu = _interp_matrix_shift(lu, shift_u)
     mv = _interp_matrix_shift(lv, shift_v)
 
-    def body(t_prev, rho_k):
-        # shift laterally (ray advection), then attenuate through slab k
+    if mesh is None:
+        def body(t_prev, rho_k):
+            # shift laterally (ray advection), then attenuate via slab k
+            shifted = mv @ t_prev @ mu.T
+            atten = jnp.exp2(
+                f_corr * jnp.log2(jnp.maximum(1.0 - rho_k * ABSORPTION,
+                                              1e-7))
+            )
+            t_here = shifted  # transmittance arriving AT slice k
+            t_next = shifted * atten
+            return t_next, t_here
+
+        t_out, t_field = jax.lax.scan(body, t_in, rho_o)
+        return t_field, t_out
+
+    sm_depth, z_entry, dz_slice = mesh
+    soft = jnp.maximum(jnp.abs(dz_slice), 1e-6)
+
+    def body(carry, inp):
+        t_prev, sm, z = carry
+        rho_k, k = inp
         shifted = mv @ t_prev @ mu.T
+        sm = mv @ sm @ mu.T
+        z = mv @ z @ mu.T
+        zk = z + (k.astype(jnp.float32) + 0.5) * dz_slice
+        lit = jnp.clip((sm - zk) / soft + 1.0, 0.0, 1.0)
         atten = jnp.exp2(
             f_corr * jnp.log2(jnp.maximum(1.0 - rho_k * ABSORPTION, 1e-7))
         )
-        t_here = shifted  # transmittance arriving AT slice k
+        t_here = shifted * lit
         t_next = shifted * atten
-        return t_next, t_here
+        return (t_next, sm, z), t_here
 
-    t_out, t_field = jax.lax.scan(body, t_in, rho_o)
+    ks = jnp.arange(l, dtype=jnp.int32)
+    (t_out, _sm, _z), t_field = jax.lax.scan(
+        body, (t_in, sm_depth, z_entry), (rho_o, ks))
     return t_field, t_out
 
 
@@ -116,6 +150,9 @@ def light_transmittance(
     per_object: PerObject,
     light_dir_world,  # (3,) unit, pointing TOWARD the light
     step_scale: float,
+    shadow_map=None,  # (Sm, Sm) light-view clip depth, or None
+    shadow_vp=None,   # (4, 4)
+    shadow_bias: float = 0.0027,
 ):
     """Per-volume transmittance fields toward the light, with inter-volume
     occlusion chained through a shared lateral map.
@@ -200,6 +237,12 @@ def light_transmittance(
         w_in = cw_axis - sgn * scales    # face where the light enters
         w_out = cw_axis + sgn * scales
 
+        # shadow-map depth per ray, sampled once on the global lateral
+        # grid: the light view is orthographic, so a ray's shadow UV is
+        # constant along the ray — 4-tap bilinear over (G, G) rays
+        # replaces the reference's per-voxel ShadowTest (N*L^3 gathers)
+        has_sm = shadow_map is not None
+
         # global lateral window covering all shifted volume footprints
         cu_ref_in = cu - slope_u * w_in
         cv_ref_in = cv - slope_v * w_in
@@ -216,6 +259,48 @@ def light_transmittance(
         span_u = jnp.maximum(hi_u - lo_u, 1e-3)
         span_v = jnp.maximum(hi_v - lo_v, 1e-3)
 
+        if has_sm:
+            gi = (jax.lax.broadcasted_iota(jnp.float32, (g, g), 1) + 0.5) / g
+            gj = (jax.lax.broadcasted_iota(jnp.float32, (g, g), 0) + 0.5) / g
+            u_w = lo_u + gi * span_u
+            v_w = lo_v + gj * span_v
+            zero = jnp.zeros_like(u_w)
+            if axis_idx == 0:      # lateral (v=y, u=z), reference plane x=0
+                p0 = (zero, v_w, u_w)
+            elif axis_idx == 1:    # lateral (v=z, u=x), plane y=0
+                p0 = (u_w, zero, v_w)
+            else:                  # lateral (v=y, u=x), plane z=0
+                p0 = (u_w, v_w, zero)
+            m = shadow_vp
+            su_ = p0[0] * m[0, 0] + p0[1] * m[1, 0] + p0[2] * m[2, 0] + m[3, 0]
+            sv_ = p0[0] * m[0, 1] + p0[1] * m[1, 1] + p0[2] * m[2, 1] + m[3, 1]
+            z0g = p0[0] * m[0, 2] + p0[1] * m[1, 2] + p0[2] * m[2, 2] + m[3, 2]
+            uu = su_ * 0.5 + 0.5
+            vv = 1.0 - (sv_ * 0.5 + 0.5)
+            hs, ws = shadow_map.shape
+            xs_ = uu * ws - 0.5
+            ys_ = vv * hs - 0.5
+            x0f, y0f = jnp.floor(xs_), jnp.floor(ys_)
+            fx, fy = xs_ - x0f, ys_ - y0f
+
+            def cidx(vvv, nn):
+                return jnp.clip(vvv.astype(jnp.int32), 0, nn - 1)
+
+            xa, xb = cidx(x0f, ws), cidx(x0f + 1, ws)
+            ya, yb = cidx(y0f, hs), cidx(y0f + 1, hs)
+            sm0 = shadow_map[ya, xa] * (1 - fx) + shadow_map[ya, xb] * fx
+            sm1 = shadow_map[yb, xa] * (1 - fx) + shadow_map[yb, xb] * fx
+            sm_g = sm0 * (1 - fy) + sm1 * fy + shadow_bias   # (G, G)
+            # light-space z advance per unit world w along a ray
+            dirx, diry, dirz = (-light_dir_world[0], -light_dir_world[1],
+                                -light_dir_world[2])
+            dz_dp = dirx * m[0, 2] + diry * m[1, 2] + dirz * m[2, 2]
+            dir_w = (dirx, diry, dirz)[axis_idx]
+            dzdw = dz_dp / jnp.where(jnp.abs(dir_w) > 1e-6, dir_w,
+                                     jnp.where(dir_w >= 0, 1e-6, -1e-6))
+        else:
+            sm_g = z0g = dzdw = None
+
         def one_volume(k, carry):
             t_fields, g_map = carry
             vid = order[k]
@@ -231,8 +316,19 @@ def light_transmittance(
             mv_in = _resample_matrix(l, g, sv, ov)
             t_in = mv_in @ g_map @ mu_in.T           # (L, L)
 
+            if has_sm:
+                # rays' shadow depth + light z in this volume's entry
+                # lateral frame (same resample as t_in — ray-attached)
+                sm_vol = mv_in @ sm_g @ mu_in.T
+                z_vol = mv_in @ z0g @ mu_in.T
+                z_entry = z_vol + dzdw * w_in[vid]
+                dz_slice = dzdw * sgn[vid] * (2.0 * scales[vid] / l)
+                mesh = (sm_vol, z_entry, dz_slice)
+            else:
+                mesh = None
+
             t_field, t_out = _sweep_one_axis(
-                rho_o[vid], t_in, du[vid], dv[vid], f_corr[vid]
+                rho_o[vid], t_in, du[vid], dv[vid], f_corr[vid], mesh=mesh
             )
             # volume-only opacity for the global compose
             o_only = t_out / jnp.maximum(t_in, 1e-6)
@@ -352,29 +448,11 @@ def ray_march_light_sweep(
     rho = rho_light_src[vol_tex_ids]                  # (N, L, L, L)
 
     light_dir = light_pos[:3] / jnp.linalg.norm(light_pos[:3])
-    t_light = light_transmittance(rho, per_object, light_dir, step_scale)
-
-    if shadow_map is not None:
-        # voxel world positions (for the mesh shadow-map test)
-        ts = (jnp.arange(l, dtype=jnp.float32) + 0.5) / l * 2.0 - 1.0
-        vz, vy, vx = jnp.meshgrid(ts, ts, ts, indexing="ij")
-        w = per_object.world  # (N,4,4)
-        wx = (vx[None] * w[:, 0, 0, None, None, None]
-              + vy[None] * w[:, 1, 0, None, None, None]
-              + vz[None] * w[:, 2, 0, None, None, None]
-              + w[:, 3, 0, None, None, None])
-        wy = (vx[None] * w[:, 0, 1, None, None, None]
-              + vy[None] * w[:, 1, 1, None, None, None]
-              + vz[None] * w[:, 2, 1, None, None, None]
-              + w[:, 3, 1, None, None, None])
-        wz = (vx[None] * w[:, 0, 2, None, None, None]
-              + vy[None] * w[:, 1, 2, None, None, None]
-              + vz[None] * w[:, 2, 2, None, None, None]
-              + w[:, 3, 2, None, None, None])
-        mesh_shadow = shadow_test_soa(wx, wy, wz, shadow_map, shadow_vp)
-        shadow = mesh_shadow * t_light                 # (N, L, L, L)
-    else:
-        shadow = t_light
+    # the mesh's shadow map rides the same shear-warp sweep (a per-slice
+    # depth compare) instead of N*L^3 per-voxel ShadowTest gathers
+    shadow = light_transmittance(
+        rho, per_object, light_dir, step_scale,
+        shadow_map=shadow_map, shadow_vp=shadow_vp)
 
     has_density = rho >= ZERO_THRESHOLD
     if has_light_probe:

@@ -49,6 +49,7 @@ class MeshOutput(NamedTuple):
     shadow: jnp.ndarray       # (Sm, Sm) light-view clip z
     shadow_vp: jnp.ndarray    # (4, 4)
     new_prev_wvp: jnp.ndarray  # (4, 4)
+    screen_center: tuple = (0.0, 0.0)  # mesh bbox centre in pixels (traced)
 
 
 def shadow_view_proj(state) -> jnp.ndarray:
@@ -65,7 +66,7 @@ def shadow_view_proj(state) -> jnp.ndarray:
 
 
 def rasterize(verts_clip, indices, width: int, height: int, k: int = 8,
-              big_tiers=((256, 32), (8, 256))):
+              big_tiers=((256, 32), (8, 256)), want_ids: bool = True):
     """Scatter z-buffer rasterization with tiered coverage.
 
     verts_clip: (V, 4) homogeneous clip positions; indices: (T, 3).
@@ -178,6 +179,15 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 8,
     zbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
     zbuf = zbuf.at[flat_pix].min(flat_zq, mode="drop")
 
+    if not want_ids:
+        # depth-only (shadow maps): skip the winner gather + ID scatter,
+        # roughly half the rasterization cost
+        depth = jnp.where(
+            zbuf[: height * width] == _BIG, 1.0,
+            zbuf[: height * width].astype(jnp.float32) / _ZQ
+        ).reshape(height, width)
+        return depth, jnp.full((height, width), -1, jnp.int32)
+
     # ID pass: winners scatter their triangle id (min for determinism)
     win = flat_zq == zbuf[flat_pix]
     tid_buf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
@@ -245,7 +255,7 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
 
     # --- shadow map (`RenderShadow`, `ObjectRenderer.cpp:220-243`) --------
     clip_sh = math3d.transform_point(pos, shadow_wvp)
-    shadow_depth, _ = rasterize(clip_sh, idx, sm, sm)
+    shadow_depth, _ = rasterize(clip_sh, idx, sm, sm, want_ids=False)
 
     # --- base pass: jittered raster ---------------------------------------
     jitter = halton_jitter(state.frame_idx, float(width), float(height))
@@ -274,6 +284,18 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     col = tuple(jnp.where(valid, color[..., c], zero) for c in range(3))
     vel = tuple(jnp.where(valid, velocity[..., c], zero) for c in range(2))
 
+    # projected mesh bbox centre (pixels) — anchors TAA's windowed
+    # history reprojection (velocity is zero off-mesh)
+    wc = clip[:, 3]
+    okv = wc > 1e-6
+    cxs = (clip[:, 0] / jnp.maximum(wc, 1e-6) * 0.5 + 0.5) * width
+    cys = (0.5 - clip[:, 1] / jnp.maximum(wc, 1e-6) * 0.5) * height
+    big = jnp.float32(1e9)
+    cx = (jnp.min(jnp.where(okv, cxs, big))
+          + jnp.max(jnp.where(okv, cxs, -big))) * 0.5
+    cy = (jnp.min(jnp.where(okv, cys, big))
+          + jnp.max(jnp.where(okv, cys, -big))) * 0.5
+
     return MeshOutput(
         color=col,
         valid=valid,
@@ -282,6 +304,7 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
         shadow=shadow_depth,
         shadow_vp=s_vp,
         new_prev_wvp=wvp,
+        screen_center=(cx, cy),
     )
 
 

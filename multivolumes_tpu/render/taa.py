@@ -15,6 +15,7 @@ thread groups of the reference become shifted-array neighborhoods.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _HISTORY_MAX = 15.0  # (1 << 4) - 1, `CSTemporalAA.hlsl:41-43`
@@ -107,7 +108,8 @@ def _sample_bilinear_ch(img, u, v):
     return c0 * (1 - fy) + c1 * fy
 
 
-def temporal_aa(current, history, velocity, use_pallas: bool = True):
+def temporal_aa(current, history, velocity, use_pallas: bool = True,
+                reproj_center=None, reproj_window: int = 0):
     """current: (r, g, b, a) scalar fields ((H, W) each; a <= 0.9997 marks
     transparency); history: (4, H, W) channel-leading previous output +
     metadata; velocity: (vx, vy) fields, or None when the frame has no
@@ -121,19 +123,49 @@ def temporal_aa(current, history, velocity, use_pallas: bool = True):
     reprojection (a genuine bilinear gather) stays in XLA. This jnp body
     is the semantics twin, kept for goldens (use_pallas=False)."""
     if use_pallas:
-        return _temporal_aa_pallas(current, history, velocity)
+        return _temporal_aa_pallas(current, history, velocity,
+                                   reproj_center, reproj_window)
     return _temporal_aa_jnp(current, history, velocity)
 
 
-def _temporal_aa_pallas(current, history, velocity):
+def _temporal_aa_pallas(current, history, velocity, reproj_center=None,
+                        reproj_window: int = 0):
     from multivolumes_tpu.ops.pallas import taa_kernel
 
     cr, cg_, cb, ca = current
+    h, w = cr.shape
+    use_window = (velocity is not None and reproj_center is not None
+                  and 0 < reproj_window < min(h, w))
     if velocity is None:
         hist = history
         blur = jnp.zeros_like(cr)
+    elif use_window:
+        # Velocity is written only by mesh pixels (`PSBasePass.hlsl:
+        # 107-109`); outside the mesh's screen window the reprojection is
+        # the identity. Restrict the 16-taps-per-pixel bilinear gather to
+        # a static window around the mesh — everything else reuses the
+        # history untouched. Content outside the window (a mesh larger
+        # than reproj_window) falls back to unreprojected history there.
+        win = reproj_window
+        cx, cy = reproj_center
+        x0 = jnp.clip(jnp.round(cx - win * 0.5), 0, w - win).astype(jnp.int32)
+        y0 = jnp.clip(jnp.round(cy - win * 0.5), 0, h - win).astype(jnp.int32)
+        vx = jax.lax.dynamic_slice(velocity[0], (y0, x0), (win, win))
+        vy = jax.lax.dynamic_slice(velocity[1], (y0, x0), (win, win))
+        mvx, mvy = velocity_max(vx, vy)
+        xs = (jnp.arange(win, dtype=jnp.float32) + 0.5 +
+              x0.astype(jnp.float32)) / w
+        ys = (jnp.arange(win, dtype=jnp.float32) + 0.5 +
+              y0.astype(jnp.float32)) / h
+        ug, vg = jnp.meshgrid(xs, ys, indexing="xy")
+        ub, vb = ug - mvx, vg - mvy
+        hist_w = jnp.stack(
+            [_sample_bilinear_ch(history[c], ub, vb) for c in range(4)], 0)
+        hist = jax.lax.dynamic_update_slice(history, hist_w, (0, y0, x0))
+        blur_w = jnp.abs(mvx) * (4.0 * w) + jnp.abs(mvy) * (4.0 * h)
+        blur = jax.lax.dynamic_update_slice(
+            jnp.zeros_like(cr), blur_w, (y0, x0))
     else:
-        h, w = cr.shape
         vx, vy = velocity
         mvx, mvy = velocity_max(vx, vy)
         xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w

@@ -187,3 +187,64 @@ def test_engine_rejects_rotated_worlds_for_sweep():
     # the reference-light mode accepts rotation
     eng2 = MultiRayCaster(cfg.with_(light_mode="reference"))
     eng2._check_worlds(rot[None] * 5.0)  # no raise
+
+
+def test_sweep_mesh_shadow_matches_pervoxel_test():
+    """The sheared depth-compare must reproduce the per-voxel ShadowTest
+    (`RayMarch.hlsli:103-113`) for an empty volume against a flat
+    occluder (up to the one-slice softening at the boundary)."""
+    import jax.numpy as jnp
+
+    from multivolumes_tpu.core import math3d
+    from multivolumes_tpu.render import lightsweep
+    from multivolumes_tpu.render.lightmarch import shadow_test_soa
+    from multivolumes_tpu.render.perframe import build_per_object
+    from multivolumes_tpu.core import camera as cam_lib
+
+    l = 16
+    light_pos = jnp.asarray([0.3, 1.0, 0.2, 0.0])
+    light_dir = light_pos[:3] / jnp.linalg.norm(light_pos[:3])
+
+    # one empty volume at the origin, scale 5
+    world = np.eye(4, dtype=np.float32)
+    world[0, 0] = world[1, 1] = world[2, 2] = 5.0
+    worlds = jnp.asarray(world[None])
+    cam = cam_lib.default_camera(1.0)
+    po = build_per_object(worlds, cam.view_proj)
+
+    # shadow map of a horizontal occluder plane at world y = 0 covering
+    # half the light view (u < 0.5)
+    view = math3d.look_at_lh(light_dir * 30.0, jnp.zeros(3),
+                             jnp.array([0.0, 1.0, 0.0]))
+    proj = math3d.orthographic_lh(40.0, 40.0, 1.0, 200.0)
+    shadow_vp = view @ proj
+    sm = np.ones((64, 64), np.float32)
+    # plane y=0: depth of the point where each shadow texel's ray meets it
+    # — fill by projecting a world-grid of plane points into the map
+    gx, gz = np.meshgrid(np.linspace(-25, 25, 200),
+                         np.linspace(-25, 25, 200), indexing="ij")
+    pts = np.stack([gx.ravel(), np.zeros(gx.size), gz.ravel(),
+                    np.ones(gx.size)], 1).astype(np.float32)
+    lsp = pts @ np.asarray(shadow_vp)
+    uu = (lsp[:, 0] * 0.5 + 0.5) * 64
+    vv = (1.0 - (lsp[:, 1] * 0.5 + 0.5)) * 64
+    ui = np.clip(uu.astype(int), 0, 63)
+    vi = np.clip(vv.astype(int), 0, 63)
+    np.minimum.at(sm, (vi, ui), lsp[:, 2])
+    sm = jnp.asarray(sm)
+
+    rho = jnp.zeros((1, l, l, l), jnp.float32)  # empty: shadow only
+    got = np.asarray(lightsweep.light_transmittance(
+        rho, po, light_dir, 0.2, shadow_map=sm, shadow_vp=shadow_vp))[0]
+
+    # per-voxel reference
+    ts = (jnp.arange(l, dtype=jnp.float32) + 0.5) / l * 2.0 - 1.0
+    vz, vy, vx = jnp.meshgrid(ts, ts, ts, indexing="ij")
+    want = np.asarray(shadow_test_soa(
+        vx * 5.0, vy * 5.0, vz * 5.0, sm, shadow_vp))
+
+    agree = np.mean(np.abs(got - want) < 0.5)
+    assert agree > 0.93, f"only {agree:.2%} of voxels agree"
+    # the shadowed region must actually exist in both
+    assert (want < 0.5).mean() > 0.1
+    assert (got < 0.5).mean() > 0.1

@@ -60,10 +60,16 @@ def main() -> None:
             num_volumes=args.volumes, num_volume_srcs=10,
             cube_map_size=128, shadow_map_size=1024,
         )
+    state = None
     if args.mesh:
-        cfg = cfg.with_(show_mesh=True)
+        from multivolumes_tpu.engine import MultiRayCaster
 
-    state = state_lib.create_scene(cfg)
+        eng = MultiRayCaster(cfg)
+        eng.set_mesh("/root/reference/Bin/Assets/bunny.obj")
+        cfg = eng.config
+        state = eng.state
+    if state is None:
+        state = state_lib.create_scene(cfg)
     camera = cam_lib.orbit_camera(0.0, cfg.aspect_ratio)
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
 
@@ -96,9 +102,11 @@ def main() -> None:
         cfg.num_cube_mips, adaptive=cfg.adaptive_raymarch)
     shadow_vp = mesh_lib.shadow_view_proj(state)
 
-    # light sweep (all N maps)
+    # light sweep (all N maps; with the mesh shadow map when --mesh)
+    shadow_for_sweep = (jnp.full((cfg.shadow_map_size,) * 2, 0.8, jnp.float32)
+                        if args.mesh else None)
     lm = timed("light_sweep", lambda rho, ao, gd: lightsweep.ray_march_light_sweep(
-        rho, ao, gd, state.vol_tex_ids, po, cull, None, shadow_vp,
+        rho, ao, gd, state.vol_tex_ids, po, cull, shadow_for_sweep, shadow_vp,
         state.light_pos, state.light_color, state.ambient, state.sh_coeffs,
         cfg.max_light_samples, has_light_probe=cfg.has_light_probe,
     ).astype(dtype), state.rho_light, state.ao_static, state.grad_dir)
