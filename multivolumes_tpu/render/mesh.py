@@ -176,28 +176,49 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 8,
     flat_zq = jnp.concatenate([p[1] for p in parts])
     tids = jnp.concatenate([p[2] for p in parts])
 
-    zbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
-    zbuf = zbuf.at[flat_pix].min(flat_zq, mode="drop")
-
     if not want_ids:
-        # depth-only (shadow maps): skip the winner gather + ID scatter,
-        # roughly half the rasterization cost
+        # depth-only (shadow maps): one full-precision scatter
+        zbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
+        zbuf = zbuf.at[flat_pix].min(flat_zq, mode="drop")
         depth = jnp.where(
             zbuf[: height * width] == _BIG, 1.0,
             zbuf[: height * width].astype(jnp.float32) / _ZQ
         ).reshape(height, width)
         return depth, jnp.full((height, width), -1, jnp.int32)
 
-    # ID pass: winners scatter their triangle id (min for determinism)
-    win = flat_zq == zbuf[flat_pix]
-    tid_buf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
-    tid_buf = tid_buf.at[jnp.where(win, flat_pix, height * width)].min(
-        tids, mode="drop"
-    )
-
-    depth = jnp.where(
-        zbuf[: height * width] == _BIG, 1.0, zbuf[: height * width].astype(jnp.float32) / _ZQ
-    ).reshape(height, width)
+    # When the ids fit, pack (z15 | tid17) and scatter-min ONCE: nearest z
+    # wins, ties to the lowest tid. Replaces the separate depth scatter +
+    # winner GATHER (zbuf[flat_pix]) + id scatter. Depth comes back at 15
+    # bits (~3e-5 clip z) — the consumers are continuous-vs-quantized
+    # compares (volume occlusion, composite z-test), where that is
+    # invisible; the reference's 24/32-bit buffers matter for
+    # raster-vs-raster fighting we do not have.
+    tbits = 17
+    if indices.shape[0] < (1 << tbits):
+        zq15 = flat_zq >> jnp.uint32(24 - 15)
+        packed = jnp.where(flat_zq == _BIG, _BIG,
+                           (zq15 << jnp.uint32(tbits)) | tids)
+        pbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
+        pbuf = pbuf.at[flat_pix].min(packed, mode="drop")
+        tid_buf = jnp.where(pbuf == _BIG, _BIG,
+                            pbuf & jnp.uint32((1 << tbits) - 1))
+        zw = pbuf[: height * width] >> jnp.uint32(tbits)
+        depth = jnp.where(
+            pbuf[: height * width] == _BIG, 1.0,
+            zw.astype(jnp.float32) / float(1 << 15)
+        ).reshape(height, width)
+    else:
+        zbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
+        zbuf = zbuf.at[flat_pix].min(flat_zq, mode="drop")
+        win = flat_zq == zbuf[flat_pix]
+        tid_buf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
+        tid_buf = tid_buf.at[jnp.where(win, flat_pix, height * width)].min(
+            tids, mode="drop"
+        )
+        depth = jnp.where(
+            zbuf[: height * width] == _BIG, 1.0,
+            zbuf[: height * width].astype(jnp.float32) / _ZQ
+        ).reshape(height, width)
     tri_id = jnp.where(
         tid_buf[: height * width] == _BIG, -1, tid_buf[: height * width].astype(jnp.int32)
     ).reshape(height, width)
@@ -212,6 +233,10 @@ def _interp_setup(verts_clip, indices, tri_id, width, height):
     vid = indices[t]  # (H,W,3)
 
     vc = verts_clip[vid]  # (H,W,3,4)
+    return _interp_from_clip(vc, tri_id, width, height) + (vid,)
+
+
+def _interp_from_clip(vc, tri_id, width, height):
     w_clip = vc[..., 3]
     ndc = vc[..., :3] / jnp.maximum(w_clip[..., None], 1e-20)
     px = (ndc[..., 0] * 0.5 + 0.5) * width
@@ -235,7 +260,7 @@ def _interp_setup(verts_clip, indices, tri_id, width, height):
     bary = pw / jnp.maximum(jnp.sum(pw, -1, keepdims=True), 1e-20)
 
     valid = tri_id >= 0
-    return valid, bary, vid
+    return valid, bary
 
 
 def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
@@ -263,16 +288,27 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     clip_jit = clip.at[:, :2].add(jitter[None] * clip[:, 3:4])
     depth, tri_id = rasterize(clip_jit, idx, width, height)
 
-    valid, bary, vid = _interp_setup(clip_jit, idx, tri_id, width, height)
+    # one packed per-vertex table -> ONE row gather per pixel-vertex
+    # (six separate attr[vid] gathers cost ~6x the HBM row traffic)
+    attrs = jnp.concatenate([
+        clip_jit,                                          # 0:4 bary setup
+        math3d.transform_point3(pos, world),               # 4:7 ws_pos
+        math3d.transform_vector(nrm, world),               # 7:10 normal
+        math3d.transform_point(pos, shadow_wvp)[:, :3],    # 10:13 ls_pos
+        clip,                                              # 13:17 cs (unjit)
+        math3d.transform_point(pos, state.mesh_prev_wvp),  # 17:21 prev
+    ], axis=1)
+    t = jnp.clip(tri_id, 0, idx.shape[0] - 1)
+    vid = idx[t]                      # (H,W,3)
+    pk = attrs[vid]                   # (H,W,3,21) single gather
+    valid, bary = _interp_from_clip(pk[..., 0:4], tri_id, width, height)
 
-    def interp(attr):  # attr (V, C) -> (H, W, C)
-        return jnp.sum(attr[vid] * bary[..., None], axis=-2)
-
-    ws_pos = interp(math3d.transform_point3(pos, world))
-    normal = interp(math3d.transform_vector(nrm, world))
-    ls_pos = interp(math3d.transform_point(pos, shadow_wvp)[:, :3])
-    cs_pos = interp(clip)          # current clip (unjittered)
-    ts_pos = interp(math3d.transform_point(pos, state.mesh_prev_wvp))
+    fields = jnp.sum(pk[..., 4:] * bary[..., None], axis=-2)  # (H,W,17)
+    ws_pos = fields[..., 0:3]
+    normal = fields[..., 3:6]
+    ls_pos = fields[..., 6:9]
+    cs_pos = fields[..., 9:13]
+    ts_pos = fields[..., 13:17]
 
     color, velocity = shade_base_pass(
         ws_pos, normal, ls_pos, cs_pos, ts_pos,
