@@ -139,3 +139,52 @@ def test_warp_composite_matches_gather():
     diff = np.abs(np.asarray(out_g.image) - np.asarray(out_w.image))
     assert diff.mean() < 3e-3, diff.mean()
     assert np.percentile(diff, 99.5) < 3e-2, np.percentile(diff, 99.5)
+
+
+def test_warp_composite_mesh_intersection_fidelity():
+    """VERDICT item: quantify warp-vs-gather error where the mesh
+    intersects volumes (the warp drops CubeCast's per-tap depth weights;
+    `PSCube.hlsli:51-108`). Budget: 1e-2 mean over the seam region."""
+    import os
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.engine import MultiRayCaster
+    from multivolumes_tpu.render import frame as frame_lib
+
+    bunny = "/root/reference/Bin/Assets/bunny.obj"
+    if not os.path.exists(bunny):
+        return
+    cfg = RenderConfig(width=128, height=96, grid_size=16, light_grid_size=8,
+                       max_ray_samples=16, max_light_samples=8,
+                       num_volumes=2, num_volume_srcs=1,
+                       cube_map_size=16, shadow_map_size=64,
+                       use_bf16=False, packed_composite=False,
+                       composite_mode="gather",
+                       # put the mesh inside the volume grid
+                       mesh_pos_scale=(0.0, 0.0, 0.0, 4.0))
+    eng = MultiRayCaster(cfg)
+    eng.set_mesh(bunny)
+    st, cfg = eng.state, eng.config
+    cam = cam_lib.default_camera(cfg.aspect_ratio)
+
+    out_g = jax.jit(lambda s: frame_lib.render_frame(
+        s, cam, cfg, use_taa=False))(st)
+    cfg_w = cfg.with_(composite_mode="warp", warp_tile=128)
+    out_w = jax.jit(lambda s: frame_lib.render_frame(
+        s, cam, cfg_w, use_taa=False))(st)
+
+    img_g = np.asarray(out_g.image)
+    img_w = np.asarray(out_w.image)
+    diff = np.abs(img_g - img_w)
+
+    # seam region: mesh pixels adjacent to volume contribution
+    hdr_g = np.asarray(out_g.hdr)
+    mesh_px = hdr_g[..., 3] >= 0.9997      # opaque under volume layers
+    vol_px = (hdr_g[..., 3] > 1e-3) & ~mesh_px
+    seam = mesh_px & (
+        np.roll(vol_px, 1, 0) | np.roll(vol_px, -1, 0)
+        | np.roll(vol_px, 1, 1) | np.roll(vol_px, -1, 1))
+    assert diff.mean() < 1e-2, f"global mean {diff.mean():.4f}"
+    if seam.any():
+        seam_err = diff[seam].mean()
+        assert seam_err < 3e-2, f"seam mean {seam_err:.4f}"
