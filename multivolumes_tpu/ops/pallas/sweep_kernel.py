@@ -59,6 +59,7 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
         inv_gz = flt_sc[b, 5]
         s_min_b = flt_sc[b, 6]
         s_max_b = flt_sc[b, 7]
+        n_eff = flt_sc[b, 8]   # per-face effective texel count (<= size)
 
         transm_scr[:] = jnp.ones((size, size), jnp.float32)
         scat_scr[:] = jnp.zeros((4, size, size), jnp.float32)
@@ -70,7 +71,9 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
             return jax.lax.broadcasted_iota(jnp.int32, shape, dim
                                             ).astype(jnp.float32)
 
-        u_col = (fiota((size, 1), 0) + 0.5) / size * 2.0 - 1.0
+        # texel centers at the face's EFFECTIVE resolution (adaptive LOD:
+        # rows/cols >= n_eff are dead rays, masked via s_end = -inf)
+        u_col = (fiota((size, 1), 0) + 0.5) / n_eff * 2.0 - 1.0
         v_col = -u_col
         tw = fiota((size, w_p or w), 1)
         th = fiota((size, h), 1)
@@ -246,8 +249,13 @@ def sweep_batched_pallas(
     size: int,
     dtype=jnp.float32,
     interpret: bool | None = None,
+    n_eff_b=None,        # (N,) per-volume effective resolution (<= size)
 ):
-    """Drop-in twin of `sweep.sweep_batched`: (N, 6, 4, S, S) scatter."""
+    """Drop-in twin of `sweep.sweep_batched`: (N, 6, 4, S, S) scatter.
+
+    With n_eff_b, each volume's map occupies the top-left n_eff^2 corner
+    at texel centers (i + 0.5) / n_eff — the adaptive-LOD contract; rays
+    outside a volume's corner must already be dead in params.active."""
     if interpret is None:
         interpret = interpret_default()
     n = vol_tex_ids.shape[0]
@@ -289,8 +297,12 @@ def sweep_batched_pallas(
     run = run_mask.reshape(b).astype(jnp.int32)
     int_sc = jnp.stack([src_idx, lm_idx, run,
                         jnp.zeros_like(run)], axis=1)   # (B, 4)
+    if n_eff_b is None:
+        n_eff_f = jnp.full((b,), float(size), jnp.float32)
+    else:
+        n_eff_f = jnp.repeat(n_eff_b.astype(jnp.float32), 6)
     flt_sc = jnp.stack([eu, ev, ew, ew_c, delta, inv_gz,
-                        s_min_b, s_max_b], axis=1)       # (B, 8)
+                        s_min_b, s_max_b, n_eff_f], axis=1)  # (B, 9)
 
     # plane blocking: P planes per DMA window; the window spans
     # ceil((P-1) * D / K) + 2 slices (z advances <= D/K per plane)

@@ -137,8 +137,12 @@ def face_ray_params(eye_f, u, v, s_max=None):
     s_max: optional (..., S, S) occlusion bound in s.
     """
     eu, ev, ew = eye_f[..., 0:1, None], eye_f[..., 1:2, None], eye_f[..., 2:3, None]
-    ug = u[None, :]
-    vg = v[:, None]
+    if u.ndim == 1:          # shared texel grid
+        ug = u[None, :]
+        vg = v[:, None]
+    else:                    # per-batch grids (adaptive n_eff): (B, S)
+        ug = u[:, None, :]
+        vg = v[:, :, None]
 
     gx = ug - eu   # (..., S, S) broadcast: direction component (unnorm, s-param)
     gy = vg - ev
@@ -175,6 +179,7 @@ def sweep_batched(
     num_planes: int,
     size: int,
     dtype=jnp.float32,
+    n_eff_b=None,        # (N,) per-volume effective resolution (<= size)
 ):
     """March all (volume, face) pairs as one batched plane scan.
 
@@ -199,7 +204,13 @@ def sweep_batched(
     lm_b = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 6)
     face_b = jnp.tile(jnp.arange(6, dtype=jnp.int32), n)
 
-    u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size * 2.0 - 1.0
+    if n_eff_b is None:
+        u = jnp.broadcast_to(
+            (jnp.arange(size, dtype=jnp.float32) + 0.5) / size * 2.0 - 1.0,
+            (b, size))
+    else:
+        ne = jnp.repeat(n_eff_b.astype(jnp.float32), 6)[:, None]
+        u = (jnp.arange(size, dtype=jnp.float32)[None] + 0.5) / ne * 2.0 - 1.0
     v = -u
 
     s_in = params.s_in.reshape(b, size, size)
@@ -253,8 +264,8 @@ def sweep_batched(
         w_ks = ew_c[:, None] + (ks[None].astype(jnp.float32) + 0.5) * delta[:, None]
         s_ks = (w_ks - ew[:, None]) * inv_gz[:, None]              # (B,P)
 
-        pu = eu[:, None, None] + s_ks[..., None] * (u[None, None, :] - eu[:, None, None])
-        pv = ev[:, None, None] + s_ks[..., None] * (v[None, None, :] - ev[:, None, None])
+        pu = eu[:, None, None] + s_ks[..., None] * (u[:, None, :] - eu[:, None, None])
+        pv = ev[:, None, None] + s_ks[..., None] * (v[:, None, :] - ev[:, None, None])
 
         slab = slab_block(volumes_oriented, tex_b, w_ks, d, 4)     # (B,P,4,H,W)
         wx = interp_bp((pu * 0.5 + 0.5) * w - 0.5, w)              # (B,P,S,W)
@@ -309,7 +320,7 @@ def sweep_batched(
     return scatter.reshape(n, 6, 4, size, size)
 
 
-def _sweep_batched_impl(impl: str):
+def _sweep_batched_impl(impl: str):  # noqa: D401
     """"pallas" -> the VMEM-resident march kernel (production);
     "xla" -> the einsum scan above (semantics twin / goldens)."""
     if impl == "pallas":
@@ -532,10 +543,29 @@ def ray_march_view_sweep_lod(
         color = jnp.zeros((n, 6, 4, s, s), dtype)
     mips = jnp.zeros((n,), jnp.int32)
 
+    max_mip = max((s // 8).bit_length() - 1, 0)  # deepest level (>= 8 texels)
     for (b0, count, size_b, mip_b) in buckets:
         ids = jax.lax.dynamic_slice_in_dim(order, b0, count)  # (count,)
-        u = (jnp.arange(size_b, dtype=jnp.float32) + 0.5) / size_b * 2.0 - 1.0
-        v = -u
+
+        # Per-volume EFFECTIVE resolution: the reference's estimated mip
+        # (`EstimateCubeMapLOD`, VolumeCull.hlsli:267-294 — cube texel
+        # density ~ screen density), floored by the bucket's capacity
+        # level. Volumes the adaptive scheme routes off the cube-map path
+        # (coverage < cube pixels, `CSVolumeCull.hlsl:64-71`) march one
+        # level deeper still — the TPU-native realization of the
+        # per-pixel expert: their march cost ~ their pixel coverage.
+        actual = jnp.clip(cull.mip_level[ids], 0, max_mip)
+        scheme_off = ~cull.use_cube_map[ids]
+        eff_mip = jnp.clip(
+            jnp.maximum(actual + scheme_off.astype(jnp.int32), mip_b),
+            mip_b, max_mip,
+        )
+        n_eff_v = (s >> eff_mip).astype(jnp.float32)      # (count,)
+
+        ar = jnp.arange(size_b, dtype=jnp.float32)
+        u = (ar[None] + 0.5) / n_eff_v[:, None] * 2.0 - 1.0   # (count, S_b)
+        u6 = jnp.repeat(u, 6, axis=0)                          # (count*6, S_b)
+        v6 = -u6
 
         eye_f_b = eye_faces[ids]
         if s_max_full is not None:
@@ -546,15 +576,24 @@ def ray_march_view_sweep_lod(
             s_max_b = None
 
         params = face_ray_params(
-            eye_f_b.reshape(count * 6, 3), u, v,
+            eye_f_b.reshape(count * 6, 3), u6, v6,
             None if s_max_b is None else s_max_b.reshape(count * 6, size_b, size_b),
         )
-        params = SweepParams(*(x.reshape(count, 6, size_b, size_b) for x in params))
+        # rays beyond a volume's n_eff corner are dead
+        in_corner = (ar[None, None, :] < n_eff_v[:, None, None]) \
+            & (ar[None, :, None] < n_eff_v[:, None, None])     # (count,S,S)
+        active = params.active.reshape(count, 6, size_b, size_b) \
+            & in_corner[:, None]
+        params = SweepParams(
+            *(x.reshape(count, 6, size_b, size_b)
+              for x in (params.s_in, params.s_end, params.ray_len)),
+            active,
+        )
 
         scatter = _sweep_batched_impl(impl)(
             volumes_oriented, light_maps_oriented[ids], vol_tex_ids[ids],
             eye_f_b, params, cull.smp_count[ids], run_mask_full[ids],
-            size_b, size_b, dtype,
+            size_b, size_b, dtype, n_eff_b=n_eff_v,
         )  # (count, 6, 4, size_b, size_b)
         scatter = scatter.at[:, :, :3].mul(1.0 / (2.0 * math.pi))
         scatter = scatter * run_mask_full[ids][:, :, None, None, None]
@@ -564,6 +603,6 @@ def ray_march_view_sweep_lod(
         else:
             out_b = scatter.astype(dtype)
         color = color.at[ids, :, :, 0:size_b, 0:size_b].set(out_b)
-        mips = mips.at[ids].set(mip_b)
+        mips = mips.at[ids].set(eff_mip)
 
     return CubeMaps(color=color, depth=cube_depth), mips

@@ -123,7 +123,7 @@ def _tent(pos, n: int, dtype):
     return w.astype(dtype)
 
 
-def warp_face(img, p_u, p_v, den, xg, yg):
+def warp_face(img, p_u, p_v, den, xg, yg, hi=None):
     """Two-pass separable projective warp of one face image to a tile.
 
     img: (C, S, S) indexed [v, u], already sliced to the volume's
@@ -136,7 +136,8 @@ def warp_face(img, p_u, p_v, den, xg, yg):
     """
     s = img.shape[-1]
     dt = img.dtype
-    hi = s - 1.0
+    if hi is None:
+        hi = s - 1.0   # static class extent; traced for per-volume n_eff
 
     # Pass 1: for each face row r, resample img[:, r, :] along u at the
     # screen-x positions where v(x, y) == r. Solve (p_v - r*den).q = 0
@@ -205,6 +206,8 @@ def composite_oit_warp(
     scene_z = depth_map if depth_map is not None else jnp.ones(
         (height, width), jnp.float32
     )
+    # per-volume effective map extent from the sweep's effective mips
+    n_eff_all = (s >> jnp.clip(cull.mip_level, 0, 31)).astype(jnp.float32)
 
     # Tile anchors: centre of the projected corner bbox (the projected
     # volume centre is offset from the footprint centre under perspective,
@@ -238,7 +241,7 @@ def composite_oit_warp(
 
     def body(carry, xs, ht, wt, n_eff):
         z_l, r_l, g_l, b_l, a_l = carry
-        (vid, wi3_v, wvp, o, x0, y0, visible) = xs
+        (vid, wi3_v, wvp, o, x0, y0, n_eff_v, visible) = xs
 
         def process(layers):
             z_l, r_l, g_l, b_l, a_l = layers
@@ -268,6 +271,9 @@ def composite_oit_warp(
             valid = (hit & (hw > 0.0)
                      & (exit_z <= sz) & (exit_z > 0.0))
 
+            # class slice is static (n_eff = bucket extent); the volume's
+            # actual extent n_eff_v <= n_eff drives the homography scale
+            # and the clamp (maps pack into the top-left n_eff_v^2)
             img_all = color[vid][:, :, :n_eff, :n_eff]   # (6, 4, n, n)
             rr = jnp.zeros((ht, wt), jnp.float32)
             gg = jnp.zeros_like(rr)
@@ -276,8 +282,8 @@ def composite_oit_warp(
             for f in range(6):
                 use_f = valid & (face_id == f)
                 nu, nv, den = face_homography(b_mat, o, f)
-                p_u = n_eff * nu - 0.5 * den
-                p_v = n_eff * nv - 0.5 * den
+                p_u = n_eff_v * nu - 0.5 * den
+                p_v = n_eff_v * nv - 0.5 * den
 
                 # Orientation: resample rows along whichever face axis
                 # varies more with screen-y (avoids the Catmull-Smith
@@ -299,7 +305,8 @@ def composite_oit_warp(
                 )
 
                 def do_warp(img2=img2, pu2=pu2, pv2=pv2):
-                    return warp_face(img2, pu2, pv2, den, xg, yg)
+                    return warp_face(img2, pu2, pv2, den, xg, yg,
+                                     hi=n_eff_v - 1.0)
 
                 warped = jax.lax.cond(
                     jnp.any(use_f),
@@ -387,6 +394,7 @@ def composite_oit_warp(
             eye_local[ids],
             x0,
             y0,
+            n_eff_all[ids],
             cull.visible[ids],
         )
         layers, _ = jax.lax.scan(
