@@ -128,6 +128,20 @@ class MultiRayCaster:
             light_pos=jnp.asarray([*pos, 1.0], jnp.float32),
             light_color=jnp.asarray([*color, intensity], jnp.float32),
         )
+        self._refresh_shadow_map()
+
+    def _refresh_shadow_map(self) -> None:
+        """Re-rasterize the cached light-view shadow map (the reference
+        renders it per frame; mesh/light/world are static between
+        setter calls here)."""
+        if self.state.mesh_indices.shape[0] <= 1:
+            return
+        from multivolumes_tpu.render import mesh as mesh_lib
+
+        sm = jax.jit(
+            mesh_lib.render_shadow_map, static_argnums=(1,)
+        )(self.state, self.config)
+        self.state = dataclasses.replace(self.state, mesh_shadow_map=sm)
 
     def set_ambient(self, color, intensity: float) -> None:
         self.state = dataclasses.replace(
@@ -163,6 +177,7 @@ class MultiRayCaster:
             scene_size=jnp.asarray(mesh.scene_size * ms, jnp.float32),
         )
         self.config = self.config.with_(show_mesh=True)
+        self._refresh_shadow_map()
         self._render_jit = None
 
     # --- frame loop -------------------------------------------------------

@@ -66,6 +66,7 @@ def state_shardings(mesh: Mesh, state: SceneState) -> SceneState:
         mesh_indices=rep,
         mesh_world=rep,
         mesh_prev_wvp=rep,
+        mesh_shadow_map=rep,
         scene_size=rep,
         rho_light=rep,
         ao_static=rep,

@@ -263,8 +263,21 @@ def _interp_from_clip(vc, tri_id, width, height):
     return valid, bary
 
 
+def render_shadow_map(state, config: RenderConfig) -> jnp.ndarray:
+    """Depth-only light-view rasterization (`RenderShadow`,
+    `ObjectRenderer.cpp:220-243`). Called by the engine whenever the
+    mesh or the light changes; the per-frame graph reads the cached map
+    from state."""
+    sm = config.shadow_map_size
+    shadow_wvp = state.mesh_world @ shadow_view_proj(state)
+    clip_sh = math3d.transform_point(state.mesh_verts[:, :3], shadow_wvp)
+    depth, _ = rasterize(clip_sh, state.mesh_indices, sm, sm,
+                         want_ids=False)
+    return depth
+
+
 def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
-    """Shadow pass + base pass + deferred shading."""
+    """Base pass + deferred shading (the shadow map is cached in state)."""
     width, height = config.width, config.height
     sm = config.shadow_map_size
 
@@ -278,9 +291,8 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     nrm = state.mesh_verts[:, 3:6]
     idx = state.mesh_indices
 
-    # --- shadow map (`RenderShadow`, `ObjectRenderer.cpp:220-243`) --------
-    clip_sh = math3d.transform_point(pos, shadow_wvp)
-    shadow_depth, _ = rasterize(clip_sh, idx, sm, sm, want_ids=False)
+    # --- shadow map: cached in state (mesh + light static per frame) ----
+    shadow_depth = state.mesh_shadow_map
 
     # --- base pass: jittered raster ---------------------------------------
     jitter = halton_jitter(state.frame_idx, float(width), float(height))

@@ -43,6 +43,7 @@ from multivolumes_tpu.scene import volume as volume_lib
         "mesh_indices",
         "mesh_world",
         "mesh_prev_wvp",
+        "mesh_shadow_map",
         "scene_size",
         "rho_light",
         "ao_static",
@@ -82,6 +83,12 @@ class SceneState:
     mesh_indices: jnp.ndarray     # (T, 3) int32
     mesh_world: jnp.ndarray       # (4, 4)
     mesh_prev_wvp: jnp.ndarray    # (4, 4) previous frame WVP (velocity)
+    mesh_shadow_map: jnp.ndarray  # (Sm, Sm) light-view clip depth, cached:
+                                  # mesh + light + mesh_world are static
+                                  # between set_mesh/set_light calls, so
+                                  # the reference's per-frame RenderShadow
+                                  # (`ObjectRenderer.cpp:220-243`)
+                                  # rasterizes once here, not per frame
     scene_size: jnp.ndarray       # () max mesh extent * scale
                                   # (`ObjectRenderer.cpp:76`; drives the
                                   # shadow ortho size)
@@ -187,6 +194,8 @@ def create_scene(config: RenderConfig,
         mesh_indices=jnp.asarray(mesh_indices, jnp.int32),
         mesh_world=mesh_world,
         mesh_prev_wvp=jnp.eye(4, dtype=jnp.float32),
+        mesh_shadow_map=jnp.ones(
+            (config.shadow_map_size,) * 2, jnp.float32),
         scene_size=jnp.asarray(scene_size, jnp.float32),
         rho_light=rho_light,
         ao_static=ao_static,
