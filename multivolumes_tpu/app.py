@@ -33,6 +33,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--numVolumes", type=int, default=2)
     p.add_argument("--volume", nargs=4, type=float, default=[0.0, 0.0, 0.0, 10.0],
                    metavar=("X", "Y", "Z", "SCALE"))
+    p.add_argument("--volumeFile", type=str, default=None,
+                   help="R32F volume DDS loaded into source 0 (the "
+                        "reference's -volume <file> argument)")
+    p.add_argument("--radiance", type=str, default=None,
+                   help="radiance cube-map DDS (LightProbe::Init)")
+    p.add_argument("--uma", action="store_true",
+                   help="accepted for reference CLI parity; adapter "
+                        "selection does not apply on TPU")
     p.add_argument("--mesh", type=str, default=None,
                    help="OBJ path (e.g. the reference's Assets/bunny.obj)")
     p.add_argument("--meshPos", nargs=4, type=float, default=[0.0, -9.0, 0.0, 1.8],
@@ -49,8 +57,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--warp", action="store_true",
                    help="force the CPU backend (the reference's -warp "
                         "software-adapter flag, MultiVolumes.cpp:110-128)")
-    p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 sweep compute (TPU fast path)")
+    p.add_argument("--bf16", dest="bf16", action="store_true", default=None,
+                   help="bfloat16 sweep compute (the default; the "
+                        "reference computes in min16float)")
+    p.add_argument("--f32", dest="bf16", action="store_false",
+                   help="full-precision sweep compute")
     p.add_argument("--stats", action="store_true",
                    help="print per-frame cull/LOD stats (F1-style overlay)")
     p.add_argument("--out", type=str, default="frame.png")
@@ -76,9 +87,14 @@ def main(argv=None) -> None:
         vol_pos_scale=tuple(args.volume),
         mesh_pos_scale=tuple(args.meshPos),
         march_mode=args.march,
-        use_bf16=args.bf16,
     )
+    if args.bf16 is not None:
+        cfg = cfg.with_(use_bf16=args.bf16)
     engine = MultiRayCaster(cfg)
+    if args.volumeFile:
+        engine.load_volume_file(0, args.volumeFile)
+    if args.radiance:
+        engine.set_radiance_file(args.radiance)
     if args.mesh:
         engine.set_mesh(args.mesh)
 

@@ -156,14 +156,87 @@ def warp_face(img, p_u, p_v, den, xg, yg, hi=None):
                      preferred_element_type=jnp.float32).astype(dt)
 
     # Pass 2: per pixel, interpolate along the face rows at v(y, x).
+    #
+    # Two formulations, chosen per face by lax.cond:
+    #
+    # * Piecewise-rectified (fast): the naive contraction
+    #   sum_v tmp[c,v,x] * tent(vt(y,x) - v) has per-(y,x) weights — a
+    #   batched-thin matmul XLA runs ~10x below MXU rates. Per x-chunk,
+    #   resample rows at TWO chunk-end anchor maps vt(y, x_end) — weights
+    #   shared across the chunk, fat matmuls — plus the first-order
+    #   correction delta * d/dv (exact while vt stays within one texel
+    #   cell of its anchor; the interpolant is piecewise linear). Each
+    #   pixel picks the anchor on its side of the homography pole
+    #   (sign(dq)) with the nearer vt.
+    # * Dense (exact): the per-pixel tent contraction, kept for faces
+    #   whose v-coordinate sweeps more than ~a texel per pixel across a
+    #   chunk (edge-on sliver faces, strongly rotated footprints) where
+    #   the rectified expansion breaks down.
     dq = den[0] * xg[None, :] + den[1] * yg[:, None] + den[2]
     vt = (p_v[0] * xg[None, :] + p_v[1] * yg[:, None] + p_v[2]) / _safe(dq)
     vt = jnp.clip(jnp.nan_to_num(vt, nan=0.0, posinf=0.0, neginf=0.0),
                   0.0, hi)
-    w2 = _tent(vt, s, dt)                  # (Ht, Wt, S_v)
-    out = jnp.einsum("cvx,yxv->cyx", tmp, w2,
-                     preferred_element_type=jnp.float32)
-    return out
+
+    wt = xg.shape[0]
+    ht_n = yg.shape[0]
+    chunk = 16
+    while wt % chunk:
+        chunk //= 2
+    n_ch = wt // chunk
+
+    def dense_pass2():
+        w2 = _tent(vt, s, dt)              # (Ht, Wt, S_v)
+        return jnp.einsum("cvx,yxv->cyx", tmp, w2,
+                          preferred_element_type=jnp.float32)
+
+    def rectified_pass2():
+        xl = xg[0::chunk]                                     # (n_ch,)
+        xr = xg[(chunk - 1)::chunk]
+        i = jnp.arange(s, dtype=jnp.float32)
+        tmp_n = tmp.reshape(tmp.shape[0], s, n_ch, chunk)
+        vt_n = vt.reshape(ht_n, n_ch, chunk)
+
+        def rectified(xa):
+            dqa = den[0] * xa[:, None] + den[1] * yg[None, :] + den[2]
+            vt_c = (p_v[0] * xa[:, None] + p_v[1] * yg[None, :] + p_v[2]) \
+                / _safe(dqa)
+            vt_c = jnp.clip(
+                jnp.nan_to_num(vt_c, nan=0.0, posinf=0.0, neginf=0.0),
+                0.0, hi)                                      # (n_ch, Ht)
+            w2 = _tent(vt_c, s, dt)                           # (n_ch,Ht,S_v)
+            # tent-derivative rows: d/dp of linear interp = t[v0+1]-t[v0]
+            v0 = jnp.clip(jnp.floor(vt_c), 0.0, s - 2.0)
+            w2d = ((i == v0[..., None] + 1.0).astype(dt)
+                   - (i == v0[..., None]).astype(dt))
+            base = jnp.einsum("nyv,cvnx->cnyx", w2, tmp_n,
+                              preferred_element_type=jnp.float32)
+            slope = jnp.einsum("nyv,cvnx->cnyx", w2d, tmp_n,
+                               preferred_element_type=jnp.float32)
+            delta_raw = vt_n - vt_c.T[:, :, None]
+            delta = jnp.clip(delta_raw, -2.0, 2.0)
+            outa = base + delta[None].transpose(0, 2, 1, 3) * slope
+            return outa, dqa, jnp.abs(delta_raw)
+
+        out_l, dq_l, ad_l = rectified(xl)
+        out_r, dq_r, ad_r = rectified(xr)
+        dq_n = dq.reshape(ht_n, n_ch, chunk)
+        same_l = (dq_n * dq_l.T[:, :, None]) > 0.0
+        same_r = (dq_n * dq_r.T[:, :, None]) > 0.0
+        use_l = jnp.where(same_l == same_r, ad_l <= ad_r, same_l)
+        out = jnp.where(use_l[None].transpose(0, 2, 1, 3), out_l, out_r)
+        return out.transpose(0, 2, 1, 3).reshape(tmp.shape[0], ht_n, wt)
+
+    # rectified validity: |dv/dx| at the tile centre, in texels per
+    # pixel, must keep the in-chunk sweep within the correction budget
+    xc_ = (xg[0] + xg[-1]) * 0.5
+    yc_ = (yg[0] + yg[-1]) * 0.5
+    dqc = den[0] * xc_ + den[1] * yc_ + den[2]
+    vqc = p_v[0] * xc_ + p_v[1] * yc_ + p_v[2]
+    dv_dx = (p_v[0] * dqc - den[0] * vqc) / _safe(dqc * dqc)
+    px_ndc = jnp.abs(xg[1] - xg[0]) if wt > 1 else 1.0
+    sweep_per_chunk = jnp.abs(dv_dx) * px_ndc * (chunk * 0.5)
+    return jax.lax.cond(sweep_per_chunk < 1.0,
+                        rectified_pass2, dense_pass2)
 
 
 def composite_oit_warp(
