@@ -21,6 +21,7 @@ from multivolumes_tpu.core import camera as cam_lib
 from multivolumes_tpu.engine import MultiRayCaster
 from multivolumes_tpu.render.postprocess import srgb_encode
 from multivolumes_tpu.utils.png import write_png
+from multivolumes_tpu.utils.steptimer import StepTimer
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -51,6 +52,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--animate", action="store_true",
                    help="orbit camera ([A] hotkey)")
+    p.add_argument("--fixedTimestep", type=float, default=None, metavar="FPS",
+                   help="fixed-timestep clock at the given rate "
+                        "(StepTimer::SetFixedTimeStep); default variable")
     p.add_argument("--no-taa", action="store_true")
     p.add_argument("--march", choices=["sweep", "reference"], default="sweep",
                    help="view-march algorithm (see render/sweep.py)")
@@ -99,6 +103,14 @@ def main(argv=None) -> None:
         engine.set_mesh(args.mesh)
 
     aspect = cfg.aspect_ratio
+    # the reference ticks a StepTimer every frame (`MultiVolumes::OnUpdate`,
+    # MultiVolumes.cpp:320-322) and animates from its total time; offline
+    # we animate at the demo's nominal 60 Hz per rendered frame but keep
+    # the timer for wall-clock stats and fixed-timestep pacing.
+    timer = StepTimer()
+    if args.fixedTimestep:
+        timer.set_fixed_time_step(True)
+        timer.set_target_elapsed_seconds(1.0 / args.fixedTimestep)
     img = None
     for f in range(args.frames):
         if args.animate:
@@ -108,7 +120,10 @@ def main(argv=None) -> None:
         t0 = time.time()
         img = engine.render(camera, use_taa=not args.no_taa)
         img.block_until_ready()
+        timer.tick()
         msg = f"frame {f}: {(time.time() - t0) * 1000:.1f} ms"
+        if timer.frames_per_second:
+            msg += f" | {timer.frames_per_second} fps"
         if args.stats:
             import jax
             import jax.numpy as jnp
