@@ -60,6 +60,9 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
         s_min_b = flt_sc[b, 6]
         s_max_b = flt_sc[b, 7]
         n_eff = flt_sc[b, 8]   # per-face effective texel count (<= size)
+        zf = flt_sc[b, 9]      # face flip flags (FACE_FLIPS): z, v, u
+        vf = flt_sc[b, 10]
+        uf = flt_sc[b, 11]
 
         transm_scr[:] = jnp.ones((size, size), jnp.float32)
         scat_scr[:] = jnp.zeros((4, size, size), jnp.float32)
@@ -92,7 +95,9 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
             return (w_of_k(kf) - ew) * inv_gz
 
         def zc_of_w(wk, dd):
-            return (wk * 0.5 + 0.5) * dd - 0.5
+            zc = (wk * 0.5 + 0.5) * dd - 0.5
+            # fold the face's z mirror into the slice coordinate
+            return zc + zf * ((dd - 1.0) - 2.0 * zc)
 
         def block_body(blk, _):
             k0f = (blk * p_block).astype(jnp.float32)
@@ -104,11 +109,15 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
 
             @pl.when(alive & inside)
             def _():
-                # slab windows (volume + light), one contiguous DMA each
-                zc0 = zc_of_w(w_of_k(k0f), d)
+                # slab windows (volume + light), one contiguous DMA each;
+                # with a z-mirrored face the window walks downward, so
+                # anchor at the block's smaller end
+                zc0 = jnp.minimum(zc_of_w(w_of_k(k0f), d),
+                                  zc_of_w(w_of_k(klf), d))
                 z_start = jnp.clip(
                     jnp.floor(zc0).astype(jnp.int32), 0, d - span_v)
-                zl0 = zc_of_w(w_of_k(k0f), dl)
+                zl0 = jnp.minimum(zc_of_w(w_of_k(k0f), dl),
+                                  zc_of_w(w_of_k(klf), dl))
                 zl_start = jnp.clip(
                     jnp.floor(zl0).astype(jnp.int32), 0, dl - span_l)
                 cp_v = pltpu.make_async_copy(
@@ -164,12 +173,16 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
                     pv = ev + sk * (v_col - ev)
                     cu = jnp.clip((pu * 0.5 + 0.5) * w - 0.5, 0.0, w - 1.0)
                     cv = jnp.clip((pv * 0.5 + 0.5) * h - 0.5, 0.0, h - 1.0)
+                    cu = cu + uf * ((w - 1.0) - 2.0 * cu)  # lateral mirrors
+                    cv = cv + vf * ((h - 1.0) - 2.0 * cv)
                     wx = jnp.maximum(1.0 - jnp.abs(cu - tw), 0.0
                                      ).astype(cdtype)           # (S, W)
                     wy = jnp.maximum(1.0 - jnp.abs(cv - th), 0.0
                                      ).astype(cdtype)           # (S, H)
                     cul = jnp.clip((pu * 0.5 + 0.5) * wl - 0.5, 0.0, wl - 1.0)
                     cvl = jnp.clip((pv * 0.5 + 0.5) * hl - 0.5, 0.0, hl - 1.0)
+                    cul = cul + uf * ((wl - 1.0) - 2.0 * cul)
+                    cvl = cvl + vf * ((hl - 1.0) - 2.0 * cvl)
                     wxl = jnp.maximum(1.0 - jnp.abs(cul - twl), 0.0
                                       ).astype(cdtype)          # (S, Wl)
                     wyl = jnp.maximum(1.0 - jnp.abs(cvl - thl), 0.0
@@ -238,8 +251,8 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
     static_argnames=("num_planes", "size", "dtype", "interpret"),
 )
 def sweep_batched_pallas(
-    volumes_oriented,   # (N_src, 6, D, 4, H, W) slab-major
-    light_oriented,     # (N, 6, Dl, 3, Hl, Wl) slab-major
+    volumes_oriented,   # (N_src, 3, D, 4, H, W) slab-major variants
+    light_oriented,     # (N, 3, Dl, 3, Hl, Wl) slab-major variants
     vol_tex_ids,        # (N,)
     eye_faces,          # (N, 6, 3)
     params,             # SweepParams, fields (N, 6, S, S)
@@ -270,10 +283,16 @@ def sweep_batched_pallas(
     delta = (1.0 - ew_c) / num_planes
     inv_gz = 1.0 / jnp.maximum(1.0 - ew, 1e-6)
 
+    from multivolumes_tpu.render.sweep import FACE_FLIPS, FACE_VARIANT
+
     tex_b = jnp.repeat(vol_tex_ids.astype(jnp.int32), 6)
-    face_b = jnp.tile(jnp.arange(6, dtype=jnp.int32), n)
-    src_idx = tex_b * 6 + face_b
-    lm_idx = jnp.arange(b, dtype=jnp.int32)
+    var_b = jnp.tile(jnp.asarray(FACE_VARIANT, jnp.int32), n)
+    src_idx = tex_b * 3 + var_b
+    lm_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 6) * 3 + var_b
+    flips = jnp.asarray(FACE_FLIPS, jnp.float32)           # (6, 3)
+    zf_b = jnp.tile(flips[:, 0], n)
+    vf_b = jnp.tile(flips[:, 1], n)
+    uf_b = jnp.tile(flips[:, 2], n)
 
     s_in = params.s_in.reshape(b, size, size).astype(jnp.float32)
     ray_ok = params.active.reshape(b, size, size)
@@ -302,7 +321,8 @@ def sweep_batched_pallas(
     else:
         n_eff_f = jnp.repeat(n_eff_b.astype(jnp.float32), 6)
     flt_sc = jnp.stack([eu, ev, ew, ew_c, delta, inv_gz,
-                        s_min_b, s_max_b, n_eff_f], axis=1)  # (B, 9)
+                        s_min_b, s_max_b, n_eff_f,
+                        zf_b, vf_b, uf_b], axis=1)           # (B, 12)
 
     # plane blocking: P planes per DMA window; the window spans
     # ceil((P-1) * D / K) + 2 slices (z advances <= D/K per plane)
@@ -313,8 +333,8 @@ def sweep_batched_pallas(
     span_v = min(d, int(math.ceil((p_block - 1) * d / num_planes)) + 2)
     span_l = min(dl, int(math.ceil((p_block - 1) * dl / num_planes)) + 2)
 
-    vol_flat = volumes_oriented.reshape(n_src * 6, d, 4, h, w).astype(dtype)
-    light_flat = light_oriented.reshape(b, dl, 3, hl, wl).astype(dtype)
+    vol_flat = volumes_oriented.reshape(n_src * 3, d, 4, h, w).astype(dtype)
+    light_flat = light_oriented.reshape(n * 3, dl, 3, hl, wl).astype(dtype)
 
     # Mosaic HBM slices must be lane-aligned: pad the minor (u) axis to a
     # multiple of 128. Padded texels get zero tent weights (coords clip to

@@ -145,7 +145,7 @@ def render_frame(
         use_warp = config.composite_mode in ("auto", "warp")
         lod_order = lod_buckets = None
         vol_or = state.volumes_oriented.astype(dtype)
-        lm_or = sweep_lib.orient_volumes_cf(light_maps.astype(dtype))
+        lm_or = sweep_lib.orient_variants_cf(light_maps.astype(dtype))
         if config.lod_bucket_caps is not None and config.adaptive_raymarch:
             # bucket assignment needs the real projected mips; the sweep
             # itself marches every visible face (use_cube_map forced on

@@ -23,10 +23,10 @@ which reduces exactly to the reference's per-sample update
 unnecessary: the sweep samples every plane (denser than the reference's
 adaptive march, never sparser at equal sample budgets).
 
-The 6 cube faces reduce to one "+Z-like" sweep via precomputed
-transpose/flip orientations of the source volumes (`orient_volumes`) and a
-per-face remap of the eye point. Light maps are consumed through the same
-mechanism (oriented per-volume stacks).
+The 6 cube faces reduce to one "+Z-like" sweep via three precomputed
+transposes of the source volumes (`orient_variants`; per-face mirrors are
+pure index arithmetic, `FACE_FLIPS`) and a per-face remap of the eye
+point. Light maps are consumed through the same mechanism.
 """
 
 from __future__ import annotations
@@ -49,49 +49,35 @@ MAX_DIST = SharedConsts.MAX_DIST
 FLT_MAX = 3.402823466e38
 
 
-def orient_volumes(vol):
-    """(..., D, H, W, C) -> (..., 6, D, C, H, W) face-frame orientations.
-
-    O_f[iw, c, iv, iu] = channel c of vol at the local position
-    GetLocalPos-style (pu, pv, pw) for face f, so every face sweeps
-    "+w toward the face". Derivation in module docstring; all six are
-    transpose+flip (XLA copies, precomputed once per source texture).
-
-    Slab-major output [face, z, c, y, x]: one sweep plane's source slab
-    [f, z] is a contiguous (C, H, W) block, so the Pallas march kernel
-    DMAs it with a single stride-free copy; and the lane/sublane axes
-    (W/H) stay dense under TPU tiling (a trailing C would pad 32x — see
-    raymarch.py layout note).
-    """
-    vol = jnp.moveaxis(vol, -1, -4)    # (..., C, D, H, W) = [c, z, y, x]
-    zyx = vol
-    t_zx = jnp.swapaxes(vol, -3, -1)   # [c, x, y, z]
-    t_zy = jnp.swapaxes(vol, -3, -2)   # [c, y, z, x]
-    faces = [
-        jnp.flip(t_zx, axis=-1),             # f0 +X: vol[D-1-iu, iv, iw]
-        jnp.flip(t_zx, axis=-3),             # f1 -X: vol[iu, iv, W-1-iw]
-        jnp.flip(t_zy, axis=-2),             # f2 +Y: vol[D-1-iv, iw, iu]
-        jnp.flip(t_zy, axis=-3),             # f3 -Y: vol[iv, H-1-iw, iu]
-        zyx,                                 # f4 +Z
-        jnp.flip(jnp.flip(zyx, axis=-3), axis=-1),  # f5 -Z
-    ]
-    return jnp.stack([jnp.swapaxes(f, -4, -3) for f in faces], axis=-5)
+# Face -> (variant, z-flip, v-flip, u-flip). The six face frames reduce
+# to THREE stored transposes (variant 0: [z,y,x]; 1: z<->x; 2: z<->y) —
+# every flip is pure index arithmetic, folded into slab z addressing and
+# the interp-matrix coordinates by both sweep implementations. Halves
+# the oriented stacks' memory and the per-frame light orientation cost.
+FACE_VARIANT = (1, 1, 2, 2, 0, 0)
+FACE_FLIPS = (  # (z, v, u) per face, from the orient_volumes derivation
+    (0, 0, 1),   # f0 +X: flip iu
+    (1, 0, 0),   # f1 -X: flip iw
+    (0, 1, 0),   # f2 +Y: flip iv
+    (1, 0, 0),   # f3 -Y: flip iw
+    (0, 0, 0),   # f4 +Z
+    (1, 0, 1),   # f5 -Z: flip iw, iu
+)
 
 
-def orient_volumes_cf(vol_cf):
-    """Channel-first variant: (..., C, D, H, W) -> (..., 6, D, C, H, W)."""
+def orient_variants_cf(vol_cf):
+    """(..., C, D, H, W) -> (..., 3, D, C, H, W): the three stored
+    transposes (see FACE_VARIANT); faces address them with FACE_FLIPS."""
     zyx = vol_cf
     t_zx = jnp.swapaxes(vol_cf, -3, -1)
     t_zy = jnp.swapaxes(vol_cf, -3, -2)
-    faces = [
-        jnp.flip(t_zx, axis=-1),
-        jnp.flip(t_zx, axis=-3),
-        jnp.flip(t_zy, axis=-2),
-        jnp.flip(t_zy, axis=-3),
-        zyx,
-        jnp.flip(jnp.flip(zyx, axis=-3), axis=-1),
-    ]
-    return jnp.stack([jnp.swapaxes(f, -4, -3) for f in faces], axis=-5)
+    return jnp.stack(
+        [jnp.swapaxes(v, -4, -3) for v in (zyx, t_zx, t_zy)], axis=-5)
+
+
+def orient_variants(vol):
+    """(..., D, H, W, C) -> (..., 3, D, C, H, W) slab-major variants."""
+    return orient_variants_cf(jnp.moveaxis(vol, -1, -4))
 
 
 def eye_to_face_frames(eye_local):
@@ -169,8 +155,8 @@ def face_ray_params(eye_f, u, v, s_max=None):
 
 
 def sweep_batched(
-    volumes_oriented,   # (N_src, 6, D, 4, H, W) slab-major
-    light_oriented,     # (N, 6, Dl, 3, Hl, Wl) slab-major
+    volumes_oriented,   # (N_src, 3, D, 4, H, W) slab-major variants
+    light_oriented,     # (N, 3, Dl, 3, Hl, Wl) slab-major variants
     vol_tex_ids,        # (N,)
     eye_faces,          # (N, 6, 3)
     params: SweepParams,  # fields (N, 6, S, S)
@@ -193,6 +179,8 @@ def sweep_batched(
                volumes_oriented.shape[5])
     dl, hl, wl = (light_oriented.shape[2], light_oriented.shape[4],
                   light_oriented.shape[5])
+    assert volumes_oriented.shape[1] == 3 and light_oriented.shape[1] == 3, \
+        "sweep consumes 3-variant oriented stacks (orient_variants[_cf])"
 
     eye_b = eye_faces.reshape(b, 3)
     eu, ev, ew = eye_b[:, 0], eye_b[:, 1], eye_b[:, 2]
@@ -202,7 +190,11 @@ def sweep_batched(
 
     tex_b = jnp.repeat(vol_tex_ids.astype(jnp.int32), 6)   # (B,)
     lm_b = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 6)
-    face_b = jnp.tile(jnp.arange(6, dtype=jnp.int32), n)
+    var_b = jnp.tile(jnp.asarray(FACE_VARIANT, jnp.int32), n)
+    flips = jnp.asarray(FACE_FLIPS, jnp.float32)           # (6, 3)
+    zf_b = jnp.tile(flips[:, 0], n)                        # (B,)
+    vf_b = jnp.tile(flips[:, 1], n)
+    uf_b = jnp.tile(flips[:, 2], n)
 
     if n_eff_b is None:
         u = jnp.broadcast_to(
@@ -238,24 +230,30 @@ def sweep_batched(
     n_blocks = num_planes // p_block
 
     def slab_block(stack, idx0, w_ks, dd, n_ch):
-        """P planes of slabs from the slab-major [src, face, z, c, y, x]
-        stack: -> (B, P, C, H', W')."""
+        """P planes of slabs from the slab-major [src, variant, z, c, y, x]
+        stack: -> (B, P, C, H', W'). The face's z flip folds into the
+        slice coordinate (FACE_FLIPS); lateral flips fold into the interp
+        coordinates downstream."""
         del n_ch
         zc = (w_ks * 0.5 + 0.5) * dd - 0.5            # (B,P)
+        zc = zc + zf_b[:, None] * ((dd - 1.0) - 2.0 * zc)  # z-flip fold
         z0 = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, dd - 1)
         z1 = jnp.clip(z0 + 1, 0, dd - 1)
         fz = jnp.clip(zc - jnp.floor(zc), 0.0, 1.0).astype(dtype)
         idx_bp = jnp.broadcast_to(idx0[:, None], z0.shape)
-        face_bp = jnp.broadcast_to(face_b[:, None], z0.shape)
-        s0 = stack[idx_bp, face_bp, z0]                # (B,P,C,H,W)
-        s1 = stack[idx_bp, face_bp, z1]
+        var_bp = jnp.broadcast_to(var_b[:, None], z0.shape)
+        s0 = stack[idx_bp, var_bp, z0]                 # (B,P,C,H,W)
+        s1 = stack[idx_bp, var_bp, z1]
         fz = fz[..., None, None, None]
         return s0 * (1 - fz) + s1 * fz
 
-    def interp_bp(coords, nn):
-        """(B, P, S) coords -> (B, P, S, nn) interp matrices."""
+    def interp_bp(coords, nn, lat_flip):
+        """(B, P, S) coords -> (B, P, S, nn) interp matrices; lat_flip
+        (B,) folds the face's lateral mirror into the coordinates."""
         t = jax.lax.broadcasted_iota(jnp.float32, (1, 1, size, nn), 3)
-        c = jnp.clip(coords, 0.0, nn - 1.0)[..., None]
+        c = jnp.clip(coords, 0.0, nn - 1.0)
+        c = c + lat_flip[:, None, None] * ((nn - 1.0) - 2.0 * c)
+        c = c[..., None]
         return jnp.maximum(1.0 - jnp.abs(c - t), 0.0).astype(dtype)
 
     def body(carry, blk):
@@ -268,16 +266,16 @@ def sweep_batched(
         pv = ev[:, None, None] + s_ks[..., None] * (v[:, None, :] - ev[:, None, None])
 
         slab = slab_block(volumes_oriented, tex_b, w_ks, d, 4)     # (B,P,4,H,W)
-        wx = interp_bp((pu * 0.5 + 0.5) * w - 0.5, w)              # (B,P,S,W)
-        wy = interp_bp((pv * 0.5 + 0.5) * h - 0.5, h)
+        wx = interp_bp((pu * 0.5 + 0.5) * w - 0.5, w, uf_b)        # (B,P,S,W)
+        wy = interp_bp((pv * 0.5 + 0.5) * h - 0.5, h, vf_b)
         tmp = jnp.einsum("bpjw,bpchw->bpchj", wx, slab.astype(dtype),
                          preferred_element_type=jnp.float32)
         plane = jnp.einsum("bpih,bpchj->bpcij", wy, tmp.astype(dtype),
                            preferred_element_type=jnp.float32)     # (B,P,4,S,S)
 
         lslab = slab_block(light_oriented, lm_b, w_ks, dl, 3)
-        wxl = interp_bp((pu * 0.5 + 0.5) * wl - 0.5, wl)
-        wyl = interp_bp((pv * 0.5 + 0.5) * hl - 0.5, hl)
+        wxl = interp_bp((pu * 0.5 + 0.5) * wl - 0.5, wl, uf_b)
+        wyl = interp_bp((pv * 0.5 + 0.5) * hl - 0.5, hl, vf_b)
         tmpl = jnp.einsum("bpjw,bpchw->bpchj", wxl, lslab.astype(dtype),
                           preferred_element_type=jnp.float32)
         light = jnp.einsum("bpih,bpchj->bpcij", wyl, tmpl.astype(dtype),
@@ -333,9 +331,9 @@ def _sweep_batched_impl(impl: str):  # noqa: D401
 
 
 def ray_march_view_sweep(
-    volumes_oriented,     # (N_src, 6, D, 4, H, W) slab-major
+    volumes_oriented,     # (N_src, 3, D, 4, H, W) slab-major variants
     vol_tex_ids,          # (N,)
-    light_maps_oriented,  # (N, 6, Dl, 3, Hl, Wl) slab-major
+    light_maps_oriented,  # (N, 3, Dl, 3, Hl, Wl) slab-major variants
     per_object: PerObject,
     cull: CullResult,
     eye,
@@ -486,9 +484,9 @@ def lod_partition(cull: CullResult, n: int, cube_map_size: int,
 
 
 def ray_march_view_sweep_lod(
-    volumes_oriented,     # (N_src, 6, D, 4, H, W) slab-major
+    volumes_oriented,     # (N_src, 3, D, 4, H, W) slab-major variants
     vol_tex_ids,          # (N,)
-    light_maps_oriented,  # (N, 6, Dl, 3, Hl, Wl) slab-major
+    light_maps_oriented,  # (N, 3, Dl, 3, Hl, Wl) slab-major variants
     per_object: PerObject,
     cull: CullResult,
     eye,

@@ -57,7 +57,7 @@ class SceneState:
 
     # Volume data — `MultiRayCaster.cpp:99-126`
     volumes: jnp.ndarray          # (N_src, D, H, W, 4) density sources
-    volumes_oriented: jnp.ndarray  # (N_src, 6, D, 4, H, W) face-frame
+    volumes_oriented: jnp.ndarray  # (N_src, 3, D, 4, H, W) slab-major
                                   # orientations (static per source; the
                                   # sweep's compute dtype) — precomputed
                                   # here so the per-frame step never pays
@@ -204,13 +204,13 @@ def create_scene(config: RenderConfig,
 
 
 def orient_sources(vols, config: RenderConfig):
-    """(N_src, D, H, W, 4) -> (N_src, 6, 4, D, H, W) sweep orientations in
+    """(N_src, D, H, W, 4) -> (N_src, 3, D, 4, H, W) sweep variant stacks in
     the sweep compute dtype. Recompute whenever a source is uploaded."""
     from multivolumes_tpu.render import sweep as sweep_lib
 
     sweep_dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
     return jax.jit(
-        lambda v: sweep_lib.orient_volumes(v.astype(sweep_dtype))
+        lambda v: sweep_lib.orient_variants(v.astype(sweep_dtype))
     )(vols)
 
 

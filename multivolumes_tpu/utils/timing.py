@@ -142,8 +142,8 @@ def profile_frame(state, camera, config, iters: int = 3) -> dict:
     if config.march_mode == "sweep":
         from multivolumes_tpu.render import sweep as sweep_lib
 
-        vol_or = sweep_lib.orient_volumes(state.volumes)
-        lm_or = sweep_lib.orient_volumes_cf(light_maps)
+        vol_or = sweep_lib.orient_variants(state.volumes)
+        lm_or = sweep_lib.orient_variants_cf(light_maps)
 
         def march_fn(v, l):
             return sweep_lib.ray_march_view_sweep(

@@ -11,8 +11,8 @@ def _mk_case(n=2, n_src=2, d=12, dl=8, s=8, seed=0):
     rng = np.random.RandomState(seed)
     vols = jnp.asarray(rng.rand(n_src, d, d, d, 4).astype(np.float32))
     lights = jnp.asarray(rng.rand(n, 3, dl, dl, dl).astype(np.float32))
-    vol_or = sweep.orient_volumes(vols)
-    light_or = sweep.orient_volumes_cf(lights)
+    vol_or = sweep.orient_variants(vols)
+    light_or = sweep.orient_variants_cf(lights)
     vol_tex_ids = jnp.asarray(rng.randint(0, n_src, n), jnp.int32)
 
     # eyes: one outside, one inside the unit box
@@ -66,7 +66,7 @@ def test_pallas_sweep_full_wrapper():
         po, cam.eye, jnp.array([160.0, 120.0]), cfg.max_ray_samples,
         cfg.cube_map_size, cfg.num_cube_mips)
     cull = cull._replace(use_cube_map=cull.visible)
-    lm_or = sweep.orient_volumes_cf(st.light_maps)
+    lm_or = sweep.orient_variants_cf(st.light_maps)
 
     out_x = sweep.ray_march_view_sweep(
         st.volumes_oriented, st.vol_tex_ids, lm_or, po, cull, cam.eye,

@@ -12,21 +12,21 @@ from multivolumes_tpu.scene import state as state_lib
 
 
 def test_orient_volumes_roundtrip():
-    """O_f[iw, iv, iu] must equal vol(GetLocalPos(face, pu, pv) at pw)."""
+    """Variant stacks + FACE_FLIPS must reproduce the face-frame mapping:
+    O_f[iw, iv, iu] == vol(GetLocalPos(face, pu, pv) at pw)."""
     rng = np.random.RandomState(0)
     n = 6
     vol = jnp.asarray(rng.rand(n, n, n, 1).astype(np.float32))
-    ov = np.asarray(sweep.orient_volumes(vol))
-
-    from multivolumes_tpu.render.raymarch import get_local_pos
+    ov = np.asarray(sweep.orient_variants(vol))  # (3, D, 1, H, W)
 
     ts = (np.arange(n) + 0.5) / n * 2.0 - 1.0
     for f in range(6):
+        var = sweep.FACE_VARIANT[f]
+        zf, vf, uf = sweep.FACE_FLIPS[f]
         for _ in range(20):
             iu, iv, iw = rng.randint(0, n, 3)
             pu, pv, pw = ts[iu], ts[iv], ts[iw]
             # face-frame point -> local point (pw toward the face)
-            # mapping from sweep.py docstring
             m = {
                 0: (pw, pv, -pu), 1: (-pw, pv, pu),
                 2: (pu, pw, -pv), 3: (pu, -pw, pv),
@@ -37,7 +37,10 @@ def test_orient_volumes_roundtrip():
             yi = int(round((y * 0.5 + 0.5) * n - 0.5))
             zi = int(round((z * 0.5 + 0.5) * n - 0.5))
             want = float(np.asarray(vol)[zi, yi, xi, 0])
-            got = float(ov[f, iw, 0, iv, iu])  # slab-major layout
+            ju = (n - 1 - iu) if uf else iu
+            jv = (n - 1 - iv) if vf else iv
+            jw = (n - 1 - iw) if zf else iw
+            got = float(ov[var, jw, 0, jv, ju])
             assert abs(got - want) < 1e-6, (f, iu, iv, iw)
 
 
@@ -60,8 +63,8 @@ def test_sweep_matches_reference_march():
             depth, 16, 32, adaptive=False,
         )
     )()
-    vol_or = sweep.orient_volumes(st.volumes)
-    lm_or = sweep.orient_volumes_cf(st.light_maps)
+    vol_or = sweep.orient_variants(st.volumes)
+    lm_or = sweep.orient_variants_cf(st.light_maps)
     sw = jax.jit(
         lambda: sweep.ray_march_view_sweep(
             vol_or, st.vol_tex_ids, lm_or, po, cull, cam.eye, depth, 16,
@@ -99,8 +102,8 @@ def test_lod_bucketed_sweep():
                                  32, 16, 5)
     cull = cull._replace(use_cube_map=cull.visible)
 
-    vol_or = sweep.orient_volumes(st.volumes)
-    lm_or = sweep.orient_volumes_cf(st.light_maps)
+    vol_or = sweep.orient_variants(st.volumes)
+    lm_or = sweep.orient_variants_cf(st.light_maps)
     cm, mips = jax.jit(
         lambda: sweep.ray_march_view_sweep_lod(
             vol_or, st.vol_tex_ids, lm_or, po, cull, cam.eye, None, 16,

@@ -114,7 +114,7 @@ def main() -> None:
     # orient pass (light maps only; volume orientations are hoisted into
     # SceneState.volumes_oriented)
     vol_or = state.volumes_oriented.astype(dtype)
-    lm_or = timed("orient_light", sweep_lib.orient_volumes_cf, lm)
+    lm_or = timed("orient_light", sweep_lib.orient_variants_cf, lm)
 
     # LOD sweep
     lod_cull = cull._replace(use_cube_map=cull.visible)
