@@ -159,9 +159,26 @@ def _temporal_aa_pallas(current, history, velocity, reproj_center=None,
               y0.astype(jnp.float32)) / h
         ug, vg = jnp.meshgrid(xs, ys, indexing="xy")
         ub, vb = ug - mvx, vg - mvy
-        hist_w = jnp.stack(
-            [_sample_bilinear_ch(history[c], ub, vb) for c in range(4)], 0)
-        hist = jax.lax.dynamic_update_slice(history, hist_w, (0, y0, x0))
+        # packed-row bilinear: all 4 history channels per tap in one row
+        # gather (4 row gathers/pixel instead of 16 element gathers)
+        table = jnp.moveaxis(history, 0, -1).reshape(h * w, 4)
+        x = ub * w - 0.5
+        y = vb * h - 0.5
+        x0f, y0f = jnp.floor(x), jnp.floor(y)
+        fx = (x - x0f)[..., None]
+        fy = (y - y0f)[..., None]
+        xi0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+        xi1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+        yi0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+        yi1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+        c00 = table[yi0 * w + xi0]
+        c01 = table[yi0 * w + xi1]
+        c10 = table[yi1 * w + xi0]
+        c11 = table[yi1 * w + xi1]
+        hist_w = ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
+                  + (c10 * (1 - fx) + c11 * fx) * fy)     # (win, win, 4)
+        hist = jax.lax.dynamic_update_slice(
+            history, jnp.moveaxis(hist_w, -1, 0), (0, y0, x0))
         blur_w = jnp.abs(mvx) * (4.0 * w) + jnp.abs(mvy) * (4.0 * h)
         blur = jax.lax.dynamic_update_slice(
             jnp.zeros_like(cr), blur_w, (y0, x0))

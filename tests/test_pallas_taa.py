@@ -41,3 +41,26 @@ def test_taa_pallas_matches_jnp_no_velocity():
 
 def test_taa_pallas_matches_jnp_velocity():
     _compare(64, 128, with_velocity=True)
+
+
+def test_taa_windowed_reprojection_matches_full():
+    """With velocity zero outside the window, the windowed packed-row
+    reprojection must equal the full-screen path."""
+    h, w = 96, 160
+    rng = np.random.RandomState(5)
+    cur = tuple(jnp.asarray(rng.rand(h, w).astype(np.float32))
+                for _ in range(3)) + (
+        jnp.asarray(np.ones((h, w), np.float32)),)
+    hist = jnp.asarray(rng.rand(4, h, w).astype(np.float32))
+    vel_np = np.zeros((2, h, w), np.float32)
+    vel_np[:, 30:60, 50:100] = (rng.rand(2, 30, 50) - 0.5) * 0.02
+    vel = (jnp.asarray(vel_np[0]), jnp.asarray(vel_np[1]))
+
+    out_full, nh_full = taa.temporal_aa(cur, hist, vel)
+    out_win, nh_win = taa.temporal_aa(
+        cur, hist, vel, reproj_center=(jnp.asarray(75.0), jnp.asarray(45.0)),
+        reproj_window=64)
+    # the mesh window (30:60, 50:100) sits fully inside the 64px window
+    # centred at (75, 45); dilation spreads 1 px
+    np.testing.assert_allclose(
+        np.asarray(nh_win), np.asarray(nh_full), atol=2e-5)
