@@ -385,17 +385,24 @@ def ray_march_view_sweep(
     return CubeMaps(color=scatter, depth=cube_depth)
 
 
-def _occlusion_s_max(per_object, eye_local, eye_faces, depth_map, s):
+def _occlusion_s_max(per_object, eye_local, eye_faces, depth_map, s,
+                     n_eff=None):
     """Scene-depth occlusion per texel, as the reference's GetClipPos +
     GetTMax (`CSRayMarch.hlsl:102-107`) but expressed in the sweep's
     s-parameter. Also returns the cube depth maps (the sampled scene z).
+
+    n_eff: optional (N,) per-volume effective resolution — texel centres
+    at (i + 0.5) / n_eff (the packed-corner convention); texels beyond a
+    volume's corner produce out-of-face garbage that the ray mask kills.
 
     SoA throughout (see raymarch.py layout note)."""
     n = eye_local.shape[0]
     ij = jnp.arange(s, dtype=jnp.float32)
     jj, ii = jnp.meshgrid(ij, ij, indexing="ij")
-    px = (ii[None, None] + 0.5) / s * 2.0 - 1.0
-    py = -((jj[None, None] + 0.5) / s * 2.0 - 1.0)
+    denom = (jnp.asarray(float(s)) if n_eff is None
+             else n_eff.astype(jnp.float32)[:, None, None, None])
+    px = (ii[None, None] + 0.5) / denom * 2.0 - 1.0
+    py = -((jj[None, None] + 0.5) / denom * 2.0 - 1.0)
     px = jnp.broadcast_to(px, (n, 6, s, s))
     py = jnp.broadcast_to(py, (n, 6, s, s))
 
@@ -518,13 +525,12 @@ def ray_march_view_sweep_lod(
     eye_local = math3d.transform_point3(eye, per_object.world_i)
     eye_faces = eye_to_face_frames(eye_local)
 
-    if depth_map is not None:
-        s_max_full, cube_depth = _occlusion_s_max(
-            per_object, eye_local, eye_faces, depth_map, s
-        )
-    else:
-        s_max_full = None
-        cube_depth = jnp.ones((n, 6, s, s), jnp.float32)
+    # Occlusion bounds are sampled per bucket at bucket resolution on the
+    # per-volume n_eff texel grid (the packed-corner convention the maps
+    # and the gather composite's depth taps use) — full-resolution
+    # sampling for all volumes cost N*6*S^2 gathers (~100 ms at n=64
+    # with a mesh) and mis-aligned sub-bucket mips.
+    cube_depth = jnp.ones((n, 6, s, s), jnp.float32)
 
     run_mask_full = cull.face_mask & cull.visible[:, None]
 
@@ -566,10 +572,13 @@ def ray_march_view_sweep_lod(
         v6 = -u6
 
         eye_f_b = eye_faces[ids]
-        if s_max_full is not None:
-            # subsample the occlusion bound to the bucket resolution
-            stride = s // size_b
-            s_max_b = s_max_full[ids][:, :, ::stride, ::stride]
+        if depth_map is not None:
+            po_b = PerObject(*(x[ids] for x in per_object))
+            s_max_b, depth_b = _occlusion_s_max(
+                po_b, eye_local[ids], eye_f_b, depth_map, size_b,
+                n_eff=n_eff_v)
+            cube_depth = cube_depth.at[ids, :, 0:size_b, 0:size_b].set(
+                depth_b)
         else:
             s_max_b = None
 
