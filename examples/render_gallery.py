@@ -51,7 +51,8 @@ def main() -> None:
     for n in (4, 16, 64):
         cfg = RenderConfig(num_volumes=n, num_volume_srcs=min(n, 10), **base)
         eng = MultiRayCaster(cfg)
-        with_mesh = n == 4 and os.path.exists(args.mesh)
+        # every all*.bat includes the bunny mesh
+        with_mesh = os.path.exists(args.mesh)
         if with_mesh:
             eng.set_mesh(args.mesh)
         cam = cam_lib.orbit_camera(0.35, cfg.aspect_ratio)

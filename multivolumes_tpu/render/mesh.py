@@ -65,8 +65,9 @@ def shadow_view_proj(state) -> jnp.ndarray:
     return view @ proj
 
 
-def rasterize(verts_clip, indices, width: int, height: int, k: int = 8,
-              big_tiers=((256, 32), (8, 256)), want_ids: bool = True):
+def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
+              big_tiers=((2048, 12), (128, 48), (8, 256)),
+              want_ids: bool = True):
     """Scatter z-buffer rasterization with tiered coverage.
 
     verts_clip: (V, 4) homogeneous clip positions; indices: (T, 3).
@@ -75,10 +76,11 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 8,
     Every triangle gets a k x k sample grid over its bbox; triangles whose
     bbox exceeds k px would be sampled sparsely (interior holes), so the
     largest `count` triangles by bbox edge additionally sample at the
-    finer `kk` from big_tiers = ((count, kk), ...). With the defaults,
-    triangles up to 256 px get gap-free coverage (the top 8), up to 32 px
-    for the next 256 — close-up-camera robustness the base pass lacks
-    (the bunny at demo distance averages ~1 px/triangle).
+    finer `kk` from big_tiers = ((count, kk), ...). The default ladder
+    (all at 4x4, top 2048 at 12x12, top 128 at 48x48, top 8 at 256x256)
+    gives gap-free coverage while keeping the scatter budget ~2x the
+    pixel-coverage lower bound (the bunny at demo distance averages
+    ~1 px/triangle; close-up robustness tested in test_passes).
     """
     v = verts_clip
     w_clip = v[:, 3]
