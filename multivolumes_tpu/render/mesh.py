@@ -437,9 +437,11 @@ def _shadow_map_compare(ls_pos, shadow_map, bias: float = 0.0027):
     """`ShadowMap` (`PSBasePass.hlsl:73-79`): PCF compare at the light-clip
     position (no matrix transform — ls_pos is already light-space).
 
-    Four element gathers; a (2, 2) block gather (lax.gather with
-    slice_sizes) measured 6x SLOWER on this TPU — XLA lowers small-slice
-    gathers poorly, keep taps scalar."""
+    The 2x2 footprint costs TWO packed-row gathers instead of four
+    element gathers: the map is pre-paired along x twice (pairs starting
+    at even and at odd columns); each pixel picks the table matching its
+    x0 parity. (A (2, 2) block gather via lax.gather slice_sizes
+    measured 6x SLOWER — XLA lowers small-slice gathers poorly.)"""
     uv = ls_pos[..., :2] * 0.5 + 0.5
     uv = uv.at[..., 1].set(1.0 - uv[..., 1])
     z = ls_pos[..., 2] - bias
@@ -453,12 +455,22 @@ def _shadow_map_compare(ls_pos, shadow_map, bias: float = 0.0027):
     def cidx(vv, nn):
         return jnp.clip(vv.astype(jnp.int32), 0, nn - 1)
 
-    x0, x1 = cidx(x0f, w), cidx(x0f + 1, w)
+    x0 = cidx(x0f, w - 1)   # pair start; tap1 = x0 + 1 always in range
     y0, y1 = cidx(y0f, h), cidx(y0f + 1, h)
+    fx = jnp.clip(x - x0.astype(jnp.float32), 0.0, 1.0)
 
-    def cmp(yi, xi):
-        return (z <= shadow_map[yi, xi]).astype(jnp.float32)
+    half = w // 2
+    sm_pad = jnp.pad(shadow_map, ((0, 0), (0, 1)), mode="edge")
+    even = sm_pad[:, : 2 * half].reshape(h * half, 2)
+    odd = sm_pad[:, 1: 1 + 2 * half].reshape(h * half, 2)
+    table = jnp.concatenate([even, odd], 0)     # (2*h*half, 2)
 
-    c0 = cmp(y0, x0) * (1 - fx) + cmp(y0, x1) * fx
-    c1 = cmp(y1, x0) * (1 - fx) + cmp(y1, x1) * fx
-    return c0 * (1 - fy) + c1 * fy
+    par = x0 & 1
+    base = (par * (h * half)).astype(jnp.int32)
+
+    def row(yi):
+        pair = table[base + yi * half + (x0 >> 1)]   # (..., 2)
+        c = (z[..., None] <= pair).astype(jnp.float32)
+        return c[..., 0] * (1 - fx) + c[..., 1] * fx
+
+    return row(y0) * (1 - fy) + row(y1) * fy
