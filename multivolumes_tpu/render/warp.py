@@ -313,11 +313,12 @@ def composite_oit_warp(
     c0y = (-c0[:, 1] / c0w * 0.5 + 0.5) * height
 
     def body(carry, xs, ht, wt, n_eff):
-        z_l, r_l, g_l, b_l, a_l = carry
+        # layers packed (5, K, H, W): [z, r, g, b, a] — one dynamic
+        # slice/update per volume instead of five (ops inside the scan's
+        # while loop carry per-iteration dispatch cost)
         (vid, wi3_v, wvp, o, x0, y0, n_eff_v, visible) = xs
 
         def process(layers):
-            z_l, r_l, g_l, b_l, a_l = layers
             # tile NDC grids
             xg = ((x0.astype(jnp.float32) + jnp.arange(wt) + 0.5)
                   / width * 2.0 - 1.0)
@@ -406,12 +407,9 @@ def composite_oit_warp(
             a_new = jnp.where(store_ok, aa, zero)
 
             # streaming nearest-K insertion, tile-local
-            def slab(x):
-                return jax.lax.dynamic_slice(
-                    x, (0, y0, x0), (num_layers, ht, wt))
-
-            z_t, r_t, g_t, b_t, a_t = (slab(x)
-                                       for x in (z_l, r_l, g_l, b_l, a_l))
+            t5 = jax.lax.dynamic_slice(
+                layers, (0, 0, y0, x0), (5, num_layers, ht, wt))
+            z_t, r_t, g_t, b_t, a_t = (t5[c] for c in range(5))
             for k in range(num_layers):
                 take = z_new < z_t[k]
 
@@ -426,25 +424,19 @@ def composite_oit_warp(
                 b_t, b_new = swap_k(b_t, b_new)
                 a_t, a_new = swap_k(a_t, a_new)
 
-            def unslab(x, t):
-                return jax.lax.dynamic_update_slice(x, t, (0, y0, x0))
-
-            return (unslab(z_l, z_t), unslab(r_l, r_t), unslab(g_l, g_t),
-                    unslab(b_l, b_t), unslab(a_l, a_t))
+            return jax.lax.dynamic_update_slice(
+                layers, jnp.stack([z_t, r_t, g_t, b_t, a_t]),
+                (0, 0, y0, x0))
 
         new_carry = jax.lax.cond(
-            visible, process, lambda layers: layers,
-            (z_l, r_l, g_l, b_l, a_l),
+            visible, process, lambda layers: layers, carry,
         )
         return new_carry, None
 
-    layers = (
-        jnp.full((num_layers, height, width), FLT_MAX, jnp.float32),
-        jnp.zeros((num_layers, height, width), jnp.float32),
-        jnp.zeros((num_layers, height, width), jnp.float32),
-        jnp.zeros((num_layers, height, width), jnp.float32),
-        jnp.zeros((num_layers, height, width), jnp.float32),
-    )
+    layers = jnp.concatenate([
+        jnp.full((1, num_layers, height, width), FLT_MAX, jnp.float32),
+        jnp.zeros((4, num_layers, height, width), jnp.float32),
+    ])
 
     def run_group(layers, ids, tile_px, n_eff):
         wt = min(tile_px, width)
@@ -508,5 +500,5 @@ def composite_oit_warp(
         else:
             layers = run_group(layers, jnp.arange(n), tile, s)
 
-    _z_l, r_l, g_l, b_l, a_l = layers
-    return _underblend(r_l, g_l, b_l, a_l, num_layers, height, width)
+    return _underblend(layers[1], layers[2], layers[3], layers[4],
+                       num_layers, height, width)
