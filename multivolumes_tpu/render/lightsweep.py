@@ -85,66 +85,6 @@ def densities_at_light_grid(volumes, l: int):
     return out  # (N_src, L, L, L) indexed [z, y, x]
 
 
-def _sweep_one_axis(rho_o, t_in, shift_u, shift_v, f_corr,
-                    mesh=None):
-    """Propagate transmittance through an oriented density grid.
-
-    rho_o: (L, Lv, Lu) slices along the sweep axis, slice 0 nearest the
-    light; t_in: (Lv, Lu) incoming transmittance; returns
-    (T field (L, Lv, Lu) — transmittance from the light to each voxel —
-    and the outgoing map (Lv, Lu)).
-
-    mesh: optional (sm_depth (Lv, Lu), z_entry (Lv, Lu), dz_slice scalar)
-    — the opaque scene's shadow-map depth and the rays' light-space depth
-    at the entry slice, both in the volume's slice-0 lateral frame. Both
-    are ray-attached, so they shear with the same shift matrices; each
-    voxel's mesh shadow becomes a (softened) depth compare — the zero-
-    gather equivalent of the reference's per-voxel `ShadowTest`
-    (`RayMarch.hlsli:103-113`). The soft width is one slice of light-
-    space depth (vs the reference's PCF bilinear of binary compares)."""
-    l, lv, lu = rho_o.shape
-    mu = _interp_matrix_shift(lu, shift_u)
-    mv = _interp_matrix_shift(lv, shift_v)
-
-    if mesh is None:
-        def body(t_prev, rho_k):
-            # shift laterally (ray advection), then attenuate via slab k
-            shifted = mv @ t_prev @ mu.T
-            atten = jnp.exp2(
-                f_corr * jnp.log2(jnp.maximum(1.0 - rho_k * ABSORPTION,
-                                              1e-7))
-            )
-            t_here = shifted  # transmittance arriving AT slice k
-            t_next = shifted * atten
-            return t_next, t_here
-
-        t_out, t_field = jax.lax.scan(body, t_in, rho_o)
-        return t_field, t_out
-
-    sm_depth, z_entry, dz_slice = mesh
-    soft = jnp.maximum(jnp.abs(dz_slice), 1e-6)
-
-    def body(carry, inp):
-        t_prev, sm, z = carry
-        rho_k, k = inp
-        shifted = mv @ t_prev @ mu.T
-        sm = mv @ sm @ mu.T
-        z = mv @ z @ mu.T
-        zk = z + (k.astype(jnp.float32) + 0.5) * dz_slice
-        lit = jnp.clip((sm - zk) / soft + 1.0, 0.0, 1.0)
-        atten = jnp.exp2(
-            f_corr * jnp.log2(jnp.maximum(1.0 - rho_k * ABSORPTION, 1e-7))
-        )
-        t_here = shifted * lit
-        t_next = shifted * atten
-        return (t_next, sm, z), t_here
-
-    ks = jnp.arange(l, dtype=jnp.int32)
-    (t_out, _sm, _z), t_field = jax.lax.scan(
-        body, (t_in, sm_depth, z_entry), (rho_o, ks))
-    return t_field, t_out
-
-
 def light_transmittance(
     rho_light,       # (N, L, L, L) density at each volume's light grid
     per_object: PerObject,
@@ -301,66 +241,108 @@ def light_transmittance(
         else:
             sm_g = z0g = dzdw = None
 
-        def one_volume(k, carry):
-            t_fields, g_map = carry
-            vid = order[k]
+        # ---- batched restructure: T_k = advect_k(t_in) * S_k ----------
+        # The per-voxel recurrence T <- shift(T) * atten factors into a
+        # volume-only self term S (t_in = 1) and the advected incoming
+        # occlusion, because the lateral shift is (near-)linear: the two
+        # batched L-step scans below replace N sequential per-volume
+        # scans (N*L tiny matmuls) with L batched steps; only the cheap
+        # G-map chain stays sequential in light order. Deviation: the
+        # factorization commutes interpolation with the product
+        # (interp(a*b) ~ interp(a)*interp(b)) — sub-texel smoothing-level
+        # differences, covered by the lightsweep tolerance tests.
+        mu_all = jax.vmap(lambda sh: _interp_matrix_shift(l, sh))(du)
+        mv_all = jax.vmap(lambda sh: _interp_matrix_shift(l, sh))(dv)
 
-            # resample the global map into this volume's lateral frame at
-            # the ENTRY depth: volume voxel i -> world lateral
-            # cu - s + (i+.5)/L*2s, shifted to the reference plane
-            su = (2.0 * scales[vid] / l) * (g / span_u)
-            ou = ((cu_ref_in[vid] - scales[vid] - lo_u) / span_u) * g - 0.5 + 0.5 * su
-            sv = (2.0 * scales[vid] / l) * (g / span_v)
-            ov = ((cv_ref_in[vid] - scales[vid] - lo_v) / span_v) * g - 0.5 + 0.5 * sv
-            mu_in = _resample_matrix(l, g, su, ou)
-            mv_in = _resample_matrix(l, g, sv, ov)
-            t_in = mv_in @ g_map @ mu_in.T           # (L, L)
+        # per-volume entry/exit resample weights (pure geometry)
+        su = (2.0 * scales / l) * (g / span_u)
+        ou = ((cu_ref_in - scales - lo_u) / span_u) * g - 0.5 + 0.5 * su
+        sv = (2.0 * scales / l) * (g / span_v)
+        ov = ((cv_ref_in - scales - lo_v) / span_v) * g - 0.5 + 0.5 * sv
+        mu_in = jax.vmap(lambda a, b: _resample_matrix(l, g, a, b))(su, ou)
+        mv_in = jax.vmap(lambda a, b: _resample_matrix(l, g, a, b))(sv, ov)
 
+        ou_o = ((cu_ref_out - scales - lo_u) / span_u) * g - 0.5 + 0.5 * su
+        ov_o = ((cv_ref_out - scales - lo_v) / span_v) * g - 0.5 + 0.5 * sv
+        gu_rows = jax.lax.broadcasted_iota(jnp.float32, (g, l), 0)
+        gu_cols = jax.lax.broadcasted_iota(jnp.float32, (g, l), 1)
+        wu_all = jnp.maximum(
+            1.0 - jnp.abs((gu_rows - ou_o[:, None, None])
+                          / su[:, None, None] - gu_cols), 0.0)
+        wv_all = jnp.maximum(
+            1.0 - jnp.abs((gu_rows - ov_o[:, None, None])
+                          / sv[:, None, None] - gu_cols), 0.0)
+
+        if has_sm:
+            sm_vol = jnp.einsum("nvg,gh,nuh->nvu", mv_in, sm_g, mu_in)
+            z_vol = jnp.einsum("nvg,gh,nuh->nvu", mv_in, z0g, mu_in)
+            z_entry = z_vol + (dzdw * w_in)[:, None, None]
+            dz_slice = dzdw * sgn * (2.0 * scales / l)       # (N,)
+            soft = jnp.maximum(jnp.abs(dz_slice), 1e-6)
+        else:
+            sm_vol = z_entry = None
+
+        rho_steps = jnp.moveaxis(rho_o, 1, 0)                # (L, N, L, L)
+        ones_n = jnp.ones((n, l, l), jnp.float32)
+
+        def bshift(x):
+            return jnp.einsum("nab,nbc,ndc->nad", mv_all, x, mu_all)
+
+        # self-sweep: volume-only transmittance + per-slice mesh factor
+        def self_body(carry, inp):
+            s_c, sm_c, z_c = carry
+            rho_k, kf = inp
+            shifted = bshift(s_c)
             if has_sm:
-                # rays' shadow depth + light z in this volume's entry
-                # lateral frame (same resample as t_in — ray-attached)
-                sm_vol = mv_in @ sm_g @ mu_in.T
-                z_vol = mv_in @ z0g @ mu_in.T
-                z_entry = z_vol + dzdw * w_in[vid]
-                dz_slice = dzdw * sgn[vid] * (2.0 * scales[vid] / l)
-                mesh = (sm_vol, z_entry, dz_slice)
+                sm_c = bshift(sm_c)
+                z_c = bshift(z_c)
+                zk = z_c + ((kf + 0.5) * dz_slice)[:, None, None]
+                lit = jnp.clip((sm_c - zk) / soft[:, None, None] + 1.0,
+                               0.0, 1.0)
+                here = shifted * lit
             else:
-                mesh = None
+                here = shifted
+            atten = jnp.exp2(
+                f_corr[:, None, None]
+                * jnp.log2(jnp.maximum(1.0 - rho_k * ABSORPTION, 1e-7)))
+            return (shifted * atten, sm_c, z_c), here
 
-            t_field, t_out = _sweep_one_axis(
-                rho_o[vid], t_in, du[vid], dv[vid], f_corr[vid], mesh=mesh
-            )
-            # volume-only opacity for the global compose
-            o_only = t_out / jnp.maximum(t_in, 1e-6)
+        ks = jnp.arange(l, dtype=jnp.float32)
+        (s_out, _sm, _z), self_here = jax.lax.scan(
+            self_body,
+            (ones_n,
+             sm_vol if has_sm else ones_n,
+             z_entry if has_sm else ones_n),
+            (rho_steps, ks))                                  # (L, N, L, L)
 
-            # scatter multiplicatively back into the global frame at the
-            # EXIT depth: global texel j -> volume coord; rows outside the
-            # window get weight-sum 0 and stay 1.
-            su_o = (2.0 * scales[vid] / l) * (g / span_u)
-            ou_o = ((cu_ref_out[vid] - scales[vid] - lo_u) / span_u) * g - 0.5 + 0.5 * su_o
-            sv_o = (2.0 * scales[vid] / l) * (g / span_v)
-            ov_o = ((cv_ref_out[vid] - scales[vid] - lo_v) / span_v) * g - 0.5 + 0.5 * sv_o
-            su_b = 1.0 / su_o
-            ou_b = -ou_o / su_o
-            sv_b = 1.0 / sv_o
-            ov_b = -ov_o / sv_o
-            gu_rows = jax.lax.broadcasted_iota(jnp.float32, (g, l), 0)
-            gu_cols = jax.lax.broadcasted_iota(jnp.float32, (g, l), 1)
-            wu = jnp.maximum(1.0 - jnp.abs(gu_rows * su_b + ou_b - gu_cols), 0.0)
-            wv = jnp.maximum(1.0 - jnp.abs(gu_rows * sv_b + ov_b - gu_cols), 0.0)
-            o_big = wv @ o_only @ wu.T               # (G, G)
-            cover = (wv.sum(1)[:, None]) * (wu.sum(1)[None, :])
-            cover = jnp.clip(cover, 0.0, 1.0)
+        # sequential global-map chain (light order): t_in per volume
+        def chain_body(k, carry):
+            t_ins, g_map = carry
+            vid = order[k]
+            t_in = mv_in[vid] @ g_map @ mu_in[vid].T          # (L, L)
+            t_ins = t_ins.at[vid].set(t_in)
+            o_big = wv_all[vid] @ s_out[vid] @ wu_all[vid].T  # (G, G)
+            cover = jnp.clip(
+                (wv_all[vid].sum(1)[:, None])
+                * (wu_all[vid].sum(1)[None, :]), 0.0, 1.0)
             g_map = g_map * (o_big + (1.0 - cover))
+            return t_ins, g_map
 
-            # back to grid orientation
-            t_field = jnp.where(flip[vid], jnp.flip(t_field, axis=0), t_field)
-            t_fields = t_fields.at[vid].set(t_field)
-            return t_fields, g_map
+        t_ins, _g = jax.lax.fori_loop(
+            0, n, chain_body,
+            (jnp.ones((n, l, l), jnp.float32),
+             jnp.ones((g, g), jnp.float32)))
 
-        init = (jnp.ones((n, l, l, l), jnp.float32),
-                jnp.ones((g, g), jnp.float32))
-        t_fields, _ = jax.lax.fori_loop(0, n, one_volume, init)
+        # advect the incoming occlusion through the volumes (batched)
+        def adv_body(t_c, _):
+            t_c = bshift(t_c)
+            return t_c, t_c
+
+        _t, t_adv = jax.lax.scan(adv_body, t_ins, None, length=l)
+
+        t_fields = jnp.moveaxis(self_here * t_adv, 0, 1)      # (N, L, L, L)
+        t_fields = jnp.where(flip[:, None, None, None],
+                             jnp.flip(t_fields, axis=1), t_fields)
 
         if axis_idx == 0:
             return jnp.transpose(t_fields, (0, 3, 2, 1))
