@@ -302,27 +302,29 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     clip_jit = clip.at[:, :2].add(jitter[None] * clip[:, 3:4])
     depth, tri_id = rasterize(clip_jit, idx, width, height)
 
-    # one packed per-vertex table -> ONE row gather per pixel-vertex
-    # (six separate attr[vid] gathers cost ~6x the HBM row traffic)
+    # One packed per-vertex table -> ONE row gather per pixel-vertex.
+    # Barycentric interpolation commutes with affine maps, so only the
+    # local position + normal need interpolating (10 floats/vertex, with
+    # the jittered clip for the barycentric setup); every derived space
+    # (world, light-clip, current/previous clip) is one exact per-pixel
+    # matrix transform of the interpolated position.
     attrs = jnp.concatenate([
         clip_jit,                                          # 0:4 bary setup
-        math3d.transform_point3(pos, world),               # 4:7 ws_pos
-        math3d.transform_vector(nrm, world),               # 7:10 normal
-        math3d.transform_point(pos, shadow_wvp)[:, :3],    # 10:13 ls_pos
-        clip,                                              # 13:17 cs (unjit)
-        math3d.transform_point(pos, state.mesh_prev_wvp),  # 17:21 prev
+        pos,                                               # 4:7 local pos
+        nrm,                                               # 7:10 local nrm
     ], axis=1)
     t = jnp.clip(tri_id, 0, idx.shape[0] - 1)
     vid = idx[t]                      # (H,W,3)
-    pk = attrs[vid]                   # (H,W,3,21) single gather
+    pk = attrs[vid]                   # (H,W,3,10) single gather
     valid, bary = _interp_from_clip(pk[..., 0:4], tri_id, width, height)
 
-    fields = jnp.sum(pk[..., 4:] * bary[..., None], axis=-2)  # (H,W,17)
-    ws_pos = fields[..., 0:3]
-    normal = fields[..., 3:6]
-    ls_pos = fields[..., 6:9]
-    cs_pos = fields[..., 9:13]
-    ts_pos = fields[..., 13:17]
+    fields = jnp.sum(pk[..., 4:] * bary[..., None], axis=-2)  # (H,W,6)
+    pos_i = fields[..., 0:3]
+    ws_pos = math3d.transform_point3(pos_i, world)
+    normal = math3d.transform_vector(fields[..., 3:6], world)
+    ls_pos = math3d.transform_point(pos_i, shadow_wvp)[..., :3]
+    cs_pos = math3d.transform_point(pos_i, wvp)
+    ts_pos = math3d.transform_point(pos_i, state.mesh_prev_wvp)
 
     color, velocity = shade_base_pass(
         ws_pos, normal, ls_pos, cs_pos, ts_pos,
