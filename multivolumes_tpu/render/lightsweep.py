@@ -14,14 +14,19 @@ constant interp-matrix multiplies (MXU) and elementwise math per slice —
 zero gathers, O(L^3) total per volume. This computes every voxel's
 transmittance at once (the classic shear-warp shadow propagation), so all
 N light maps can refresh every frame instead of the reference's
-1-volume-per-frame amortization.
+1-volume-per-frame amortization. The recurrence factors into a
+volume-only self term and the advected incoming occlusion
+(T_k = advect_k(T_in) * S_k), so all N volumes' sweeps run as two
+BATCHED L-step scans; only the global-map chain below is sequential.
 
 Inter-volume shadowing: each volume's outgoing 2D opacity footprint is
 composited into a shared lateral occlusion map processed in light order
 (volumes sorted by their center's projection onto the light direction);
-each volume's boundary slice starts from that map — chains of occluders
-compose exactly as in the reference's through-all-volumes march, up to the
-slice discretization.
+each volume's incoming occlusion resamples from that map — chains of
+occluders compose exactly as in the reference's through-all-volumes
+march, up to the slice discretization. The opaque mesh's shadow map is
+sampled once per ray on the global lateral grid and becomes a sheared
+per-slice depth compare inside the batched scan.
 
 Deviations from the reference (documented, tolerance-tested):
 - continuous opacity-corrected extinction instead of per-sample updates
@@ -29,7 +34,10 @@ Deviations from the reference (documented, tolerance-tested):
 - ambient occlusion uses a short fixed-tap march along the density
   gradient instead of a full per-volume AO ray fan (`CSRayMarchL.hlsl:
   99-108`); inter-volume AO coupling approximated by the light-direction
-  occlusion map.
+  occlusion map;
+- the T = advect(T_in) * S factorization and the sheared shadow compare
+  commute interpolation with products — sub-texel smoothing-level
+  differences vs the per-voxel reference (tests/test_lightsweep.py).
 """
 
 from __future__ import annotations

@@ -11,8 +11,11 @@ z-slice:
     p(s; u, v) = eye * (1 - s) + s * (u, v, 1)      (face frame)
 
 so marching plane k = two small dense matmuls (interp matrices x slice)
-that run on the MXU, with zero gathers. The march becomes a `lax.scan`
-over K planes carrying per-ray (transmittance, scatter). Per-ray step
+that run on the MXU, with zero gathers. Production runs the march as a
+Pallas kernel (`ops/pallas/sweep_kernel.py`: VMEM-resident carry,
+contiguous slab-window DMA, face/block/early-exit skips); this module's
+`sweep_batched` is the XLA `lax.scan` twin the kernel is tested
+against, plus the LOD orchestration both share. Per-ray step
 lengths vary across a plane, so sample-based compositing uses opacity
 correction: with f = dt/stepScale,
 
