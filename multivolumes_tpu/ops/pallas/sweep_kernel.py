@@ -14,10 +14,19 @@ The XLA formulation materializes every (B, P, C, H, W) slab gather and
 einsum operand through HBM (~100 GB of traffic at n=64); here a slab
 slice is read once. Three skip levels drop dead work entirely:
   * face skip: culled/back faces (run flag) never DMA or compute;
-  * block skip: plane blocks outside the face's [s_min, s_max] ray
-    interval (the volume occupies a sub-range of the sweep);
+  * block skip: the sweep parameter s is monotone in the plane index, so
+    the planes inside the face's [s_min, s_max] ray interval form a
+    contiguous block range [blk_lo, blk_hi] computed up front — blocks
+    outside it never run;
   * early exit: once every ray's transmittance < 0.01 (the reference's
-    termination test), remaining blocks are skipped.
+    termination test), remaining blocks skip their compute.
+
+Slab DMAs are double-buffered: block k+1's volume+light windows start
+before block k's compute (two VMEM slots, per-slot semaphores), so the
+HBM traffic rides under the MXU work instead of serializing with it.
+Within the live range the DMA chain is unconditional (early exit gates
+compute only) — a dead block's slab copy is ~1 MB against ~1 ms of
+compute, and an unconditional chain cannot leak an unwaited semaphore.
 """
 
 from __future__ import annotations
@@ -99,38 +108,69 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
             # fold the face's z mirror into the slice coordinate
             return zc + zf * ((dd - 1.0) - 2.0 * zc)
 
-        def block_body(blk, _):
+        # Contiguous live block range: s_of_k is monotone non-decreasing
+        # (delta >= 0, inv_gz > 0), so invert it at the face's ray
+        # interval and widen by one block for the floor/ceil edges.
+        # Degenerate faces (all rays dead: s_min=+inf / s_max=-inf)
+        # produce an empty range.
+        den_k = jnp.maximum(delta, 1e-20)
+        kf_lo = (s_min_b / inv_gz + ew - ew_c) / den_k - 0.5
+        kf_hi = (s_max_b / inv_gz + ew - ew_c) / den_k - 0.5
+        kf_lo = jnp.clip(kf_lo, -1e9, 1e9)  # FLT_MAX/1e-20 overflows int32
+        kf_hi = jnp.clip(kf_hi, -1e9, 1e9)
+        blk_lo = jnp.clip(
+            jnp.floor(kf_lo / p_block).astype(jnp.int32) - 1, 0,
+            n_blocks - 1)
+        blk_hi = jnp.clip(
+            jnp.ceil(kf_hi / p_block).astype(jnp.int32) + 1, -1,
+            n_blocks - 1)
+
+        def slab_windows(blk):
             k0f = (blk * p_block).astype(jnp.float32)
             klf = k0f + (p_block - 1)
-            s_lo = jnp.minimum(s_of_k(k0f), s_of_k(klf))
-            s_hi = jnp.maximum(s_of_k(k0f), s_of_k(klf))
-            alive = state_smem[0] >= 0.01
-            inside = (s_hi >= s_min_b) & (s_lo <= s_max_b)
+            # with a z-mirrored face the window walks downward, so
+            # anchor at the block's smaller end
+            zc0 = jnp.minimum(zc_of_w(w_of_k(k0f), d),
+                              zc_of_w(w_of_k(klf), d))
+            z_start = jnp.clip(
+                jnp.floor(zc0).astype(jnp.int32), 0, d - span_v)
+            zl0 = jnp.minimum(zc_of_w(w_of_k(k0f), dl),
+                              zc_of_w(w_of_k(klf), dl))
+            zl_start = jnp.clip(
+                jnp.floor(zl0).astype(jnp.int32), 0, dl - span_l)
+            return z_start, zl_start
 
-            @pl.when(alive & inside)
+        def slab_copies(blk, slot):
+            z_start, zl_start = slab_windows(blk)
+            cp_v = pltpu.make_async_copy(
+                vol_hbm.at[src, pl.ds(z_start, span_v)],
+                vol_scr.at[slot], sem.at[slot, 0])
+            cp_l = pltpu.make_async_copy(
+                light_hbm.at[lm, pl.ds(zl_start, span_l)],
+                light_scr.at[slot], sem.at[slot, 1])
+            return cp_v, cp_l
+
+        def block_body(blk, _):
+            slot = jax.lax.rem(blk - blk_lo, 2)
+
+            # prefetch the next block's slabs into the other slot while
+            # this block computes
+            @pl.when(blk + 1 <= blk_hi)
             def _():
-                # slab windows (volume + light), one contiguous DMA each;
-                # with a z-mirrored face the window walks downward, so
-                # anchor at the block's smaller end
-                zc0 = jnp.minimum(zc_of_w(w_of_k(k0f), d),
-                                  zc_of_w(w_of_k(klf), d))
-                z_start = jnp.clip(
-                    jnp.floor(zc0).astype(jnp.int32), 0, d - span_v)
-                zl0 = jnp.minimum(zc_of_w(w_of_k(k0f), dl),
-                                  zc_of_w(w_of_k(klf), dl))
-                zl_start = jnp.clip(
-                    jnp.floor(zl0).astype(jnp.int32), 0, dl - span_l)
-                cp_v = pltpu.make_async_copy(
-                    vol_hbm.at[src, pl.ds(z_start, span_v)],
-                    vol_scr, sem.at[0])
-                cp_l = pltpu.make_async_copy(
-                    light_hbm.at[lm, pl.ds(zl_start, span_l)],
-                    light_scr, sem.at[1])
-                cp_v.start()
-                cp_l.start()
-                cp_v.wait()
-                cp_l.wait()
+                cp_vn, cp_ln = slab_copies(blk + 1, 1 - slot)
+                cp_vn.start()
+                cp_ln.start()
 
+            cp_v, cp_l = slab_copies(blk, slot)
+            cp_v.wait()
+            cp_l.wait()
+
+            k0f = (blk * p_block).astype(jnp.float32)
+            z_start, zl_start = slab_windows(blk)
+            alive = state_smem[0] >= 0.01
+
+            @pl.when(alive)
+            def _():
                 transm = transm_scr[:]
                 sr = scat_scr[0]
                 sg = scat_scr[1]
@@ -156,16 +196,17 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
                     z0g = jnp.clip(jnp.floor(zc).astype(jnp.int32), 0, d - 1)
                     z1g = jnp.minimum(z0g + 1, d - 1)
                     fz = jnp.clip(zc - jnp.floor(zc), 0.0, 1.0)
-                    slab = lerp_w(vol_scr[z0g - z_start],
-                                  vol_scr[z1g - z_start], fz)   # (4, H, W)
+                    slab = lerp_w(vol_scr[slot, z0g - z_start],
+                                  vol_scr[slot, z1g - z_start],
+                                  fz)                           # (4, H, W)
 
                     zcl = zc_of_w(wk, dl)
                     zl0g = jnp.clip(jnp.floor(zcl).astype(jnp.int32), 0,
                                     dl - 1)
                     zl1g = jnp.minimum(zl0g + 1, dl - 1)
                     fzl = jnp.clip(zcl - jnp.floor(zcl), 0.0, 1.0)
-                    lslab = lerp_w(light_scr[zl0g - zl_start],
-                                   light_scr[zl1g - zl_start],
+                    lslab = lerp_w(light_scr[slot, zl0g - zl_start],
+                                   light_scr[slot, zl1g - zl_start],
                                    fzl)                          # (3, Hl, Wl)
 
                     # interp matrices: rows = texels, cols = source axis
@@ -237,9 +278,12 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
 
             return 0
 
-        @pl.when(run != 0)
+        @pl.when((run != 0) & (blk_lo <= blk_hi))
         def _():
-            jax.lax.fori_loop(0, n_blocks, block_body, 0)
+            cp_v0, cp_l0 = slab_copies(blk_lo, 0)
+            cp_v0.start()
+            cp_l0.start()
+            jax.lax.fori_loop(blk_lo, blk_hi + 1, block_body, 0)
 
         out_ref[0] = scat_scr[:]
 
@@ -369,12 +413,12 @@ def sweep_batched_pallas(
         out_specs=pl.BlockSpec((1, 4, size, size), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((span_v, 4, h, w_p), dtype),
-            pltpu.VMEM((span_l, 3, hl, wl_p), dtype),
+            pltpu.VMEM((2, span_v, 4, h, w_p), dtype),     # two DMA slots
+            pltpu.VMEM((2, span_l, 3, hl, wl_p), dtype),
             pltpu.VMEM((size, size), jnp.float32),
             pltpu.VMEM((4, size, size), jnp.float32),
             pltpu.SMEM((1,), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),               # per slot v/l
         ],
     )
 
