@@ -26,6 +26,80 @@ import jax
 _BUNNY = "/root/reference/Bin/Assets/bunny.obj"
 
 
+def _pass_breakdown(engine, cfg, lat_ms: float) -> None:
+    """Time the major passes separately (stderr): localizes a headline
+    regression without a separate profiling session. Mirrors
+    tools/profile_fast_path.py but trimmed to one line."""
+    import jax
+    import jax.numpy as jnp
+
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.render import cull as cull_lib, lightsweep
+    from multivolumes_tpu.render import mesh as mesh_lib
+    from multivolumes_tpu.render import sweep as sweep_lib, tilecast
+    from multivolumes_tpu.render import taa as taa_lib
+    from multivolumes_tpu.render.perframe import build_per_object
+    from multivolumes_tpu.utils.timing import sync
+
+    state = engine.state
+    camera = cam_lib.orbit_camera(0.5, cfg.aspect_ratio)
+    dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    po = build_per_object(state.volume_worlds, camera.view_proj)
+    cull = cull_lib.cull_volumes(
+        po, camera.eye, jnp.array([cfg.width, cfg.height], jnp.float32),
+        cfg.max_ray_samples, cfg.cube_map_size, cfg.num_cube_mips,
+        adaptive=cfg.adaptive_raymarch)
+    times = {}
+    iters = 4
+
+    def timed(name, fn, *a):
+        j = jax.jit(fn)
+        out = j(*a)
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = j(*a)
+        sync(r)
+        times[name] = max(
+            ((time.perf_counter() - t0) * 1e3 - lat_ms) / iters, 0.0)
+        return out
+
+    c = min(cfg.light_refresh or cfg.num_volumes, cfg.num_volumes)
+    ids = jnp.arange(c, dtype=jnp.int32)
+    timed("light", lambda: lightsweep.ray_march_light_sweep_update(
+        state.rho_light, state.ao_static, state.grad_dir,
+        state.vol_tex_ids, po, None, mesh_lib.shadow_view_proj(state),
+        state.light_pos, state.light_color, state.ambient,
+        state.sh_coeffs, cfg.max_light_samples, sub_ids=ids,
+        sout_cache=state.light_sout)[0])
+
+    lod_cull = cull._replace(use_cube_map=cull.visible)
+    vol_or = state.volumes_oriented.astype(dtype)
+    lm_or = state.light_maps_oriented.astype(dtype)
+    cube_maps, mips = timed(
+        "sweep", lambda v, l: sweep_lib.ray_march_view_sweep_lod(
+            v, state.vol_tex_ids, l, po, lod_cull, camera.eye, None,
+            cfg.cube_map_size, dtype=dtype,
+            bucket_caps=cfg.lod_bucket_caps, pack=False),
+        vol_or, lm_or)
+
+    cull_c = cull._replace(mip_level=mips, use_cube_map=cull.visible)
+    timed("composite", lambda cm: tilecast.composite_oit_tile(
+        cube_maps._replace(color=cm), po, cull_c, camera.eye,
+        camera.screen_to_world, None, cfg.width, cfg.height,
+        num_layers=cfg.oit_layers)[0], cube_maps.color)
+
+    zero = jnp.zeros((cfg.height, cfg.width), jnp.float32)
+    timed("taa", lambda r, h: taa_lib.temporal_aa(
+        (r, r, r, jnp.minimum(r, 0.9997)), h, None)[0], zero,
+        state.taa_history)
+    if cfg.show_mesh:
+        timed("mesh", lambda: mesh_lib.render_mesh(state, camera, cfg))
+
+    print("passes(ms): " + "  ".join(
+        f"{k}={v:.1f}" for k, v in times.items()), file=sys.stderr)
+
+
 def main() -> None:
     from multivolumes_tpu.utils.platform import configure_for_host
 
@@ -47,7 +121,7 @@ def main() -> None:
             num_volumes=64, num_volume_srcs=10,
             cube_map_size=128, shadow_map_size=1024,
         )
-        frames = 16
+        frames = 32  # p95 = sorted[30] of 32 — not the single worst frame
     else:
         cfg = RenderConfig(
             width=320, height=200, grid_size=32, light_grid_size=16,
@@ -101,6 +175,15 @@ def main() -> None:
         f"(readback latency {lat:.1f} ms subtracted; mesh={has_mesh})",
         file=sys.stderr,
     )
+
+    # per-pass breakdown on stderr so a bench regression localizes
+    # itself (passes jitted separately; cached after the first run).
+    # Never let a breakdown failure break the JSON deliverable.
+    if on_tpu:
+        try:
+            _pass_breakdown(engine, cfg, lat)
+        except Exception as e:  # noqa: BLE001
+            print(f"pass breakdown failed: {e!r}", file=sys.stderr)
 
     fps = 1.0 / dt
     mesh_tag = "" if has_mesh else "_nomesh"

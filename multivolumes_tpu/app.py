@@ -32,11 +32,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxRaySamples", type=int, default=256)
     p.add_argument("--maxLightSamples", type=int, default=96)
     p.add_argument("--numVolumes", type=int, default=2)
-    p.add_argument("--volume", nargs=4, type=float, default=[0.0, 0.0, 0.0, 10.0],
-                   metavar=("X", "Y", "Z", "SCALE"))
+    p.add_argument("--volume", nargs="+", default=None,
+                   metavar="[FILE] X Y Z SCALE",
+                   help="reference -volume parity "
+                        "(`MultiVolumes.cpp:559-568`): an optional R32F "
+                        "volume DDS loaded into source 0, then the scene "
+                        "placement x y z scale (any trailing subset, as "
+                        "in the reference); numbers-only keeps the "
+                        "procedural volumes")
     p.add_argument("--volumeFile", type=str, default=None,
-                   help="R32F volume DDS loaded into source 0 (the "
-                        "reference's -volume <file> argument)")
+                   help="R32F volume DDS loaded into source 0 (alias for "
+                        "the file part of --volume)")
     p.add_argument("--radiance", type=str, default=None,
                    help="radiance cube-map DDS (LightProbe::Init)")
     p.add_argument("--uma", action="store_true",
@@ -79,6 +85,20 @@ def main(argv=None) -> None:
 
     configure_for_host(force_cpu=args.warp)
 
+    # -volume [FILE] x y z s (`MultiVolumes.cpp:559-568`): leading
+    # non-numeric token = volume file; the numbers update vol_pos_scale
+    # in order, keeping defaults for the rest (reference stof behavior)
+    volume_file = args.volumeFile
+    vol_pos_scale = [0.0, 0.0, 0.0, 10.0]
+    if args.volume:
+        tokens = list(args.volume)
+        try:
+            float(tokens[0])
+        except ValueError:
+            volume_file = tokens.pop(0)
+        for i, tok in enumerate(tokens[:4]):
+            vol_pos_scale[i] = float(tok)
+
     cfg = RenderConfig(
         width=args.width,
         height=args.height,
@@ -88,15 +108,15 @@ def main(argv=None) -> None:
         max_light_samples=args.maxLightSamples,
         num_volumes=args.numVolumes,
         num_volume_srcs=min(args.numVolumes, 10),
-        vol_pos_scale=tuple(args.volume),
+        vol_pos_scale=tuple(vol_pos_scale),
         mesh_pos_scale=tuple(args.meshPos),
         march_mode=args.march,
     )
     if args.bf16 is not None:
         cfg = cfg.with_(use_bf16=args.bf16)
     engine = MultiRayCaster(cfg)
-    if args.volumeFile:
-        engine.load_volume_file(0, args.volumeFile)
+    if volume_file:
+        engine.load_volume_file(0, volume_file)
     if args.radiance:
         engine.set_radiance_file(args.radiance)
     if args.mesh:

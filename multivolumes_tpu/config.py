@@ -88,10 +88,17 @@ class RenderConfig:
     march_mode: str = "sweep"
     # Plane count for the sweep (None -> cube_map_size).
     sweep_planes: int | None = None
-    # Light-map algorithm: "sweep" = shear-warp transmittance propagation,
-    # all N maps per frame (render/lightsweep.py); "reference" =
-    # gather-march, 1 volume/frame (render/lightmarch.py).
+    # Light-map algorithm: "sweep" = shear-warp transmittance propagation
+    # (render/lightsweep.py); "reference" = gather-march, 1 volume/frame
+    # (render/lightmarch.py).
     light_mode: str = "sweep"
+    # Temporal amortization for the sweep light maps: refresh this many
+    # volumes per frame round-robin (the reference refreshes ONE,
+    # `MultiRayCaster::RayMarchL`; inter-volume occlusion here stays
+    # exact via cached outgoing footprints — see
+    # lightsweep.ray_march_light_sweep_update). 0 = all volumes every
+    # frame. At the demo counts <= 8 this is a full refresh either way.
+    light_refresh: int = 8
     # Pack cube-map RGBA as f16 pairs before compositing (halves the
     # dominant per-pixel gather cost; ~3-digit precision).
     packed_composite: bool = True

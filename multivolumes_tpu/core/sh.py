@@ -116,6 +116,23 @@ def eval_irradiance(sh_coeffs, n):
     return jnp.maximum(irr, 0.0)
 
 
+def eval_radiance(sh_coeffs, d):
+    """Band-limited radiance reconstruction at directions d:
+    (9,3),(...,3) -> (...,3) — the raw SH expansion sum_k c_k Y_k(d),
+    no cosine convolution.
+
+    Stands in for rough specular environment lookups (the reference
+    samples the radiance cube per pixel, `PSBasePass.hlsl:120-127`; at
+    the shipped roughness 0.4 the Karis-weighted reflection is already
+    low-frequency, and an order-3 reconstruction of the smooth sky probe
+    is visually equivalent at zero gathers — deviation pinned by the
+    mesh golden)."""
+    basis = sh_basis(d)                                      # (..., 9)
+    rad = jnp.einsum("...k,kc->...c", basis,
+                     sh_coeffs.astype(jnp.float32))
+    return jnp.maximum(rad, 0.0)
+
+
 def average_luma(sh_coeffs):
     """`avgLum` from the reference eval: dot(L00, (0.25, 0.5, 0.25))."""
     return jnp.dot(sh_coeffs[0], jnp.array([0.25, 0.5, 0.25], jnp.float32))

@@ -80,6 +80,47 @@ class MultiRayCaster:
             volumes_oriented=state_lib.orient_sources(volumes, self.config),
             rho_light=rho, ao_static=ao, grad_dir=gd,
         )
+        self._refresh_light_cache()
+
+    def _refresh_light_cache(self) -> None:
+        """Full light-map refresh (all volumes) after a setter that
+        invalidates the amortized per-frame cohort state: density upload,
+        light/ambient/SH change, or a new mesh shadow map. The cached
+        outgoing footprints (`light_sout`) depend on density + light
+        direction + scale, so world moves alone do NOT require this."""
+        if self.config.light_mode != "sweep":
+            return
+        from multivolumes_tpu.render import lightsweep
+        from multivolumes_tpu.render import mesh as mesh_lib
+        from multivolumes_tpu.render import sweep as sweep_lib
+        from multivolumes_tpu.render.perframe import build_per_object
+
+        st = self.state
+        has_mesh = st.mesh_indices.shape[0] > 1
+        cfg = self.config
+
+        def refresh(state):
+            po = build_per_object(state.volume_worlds,
+                                  jnp.eye(4, dtype=jnp.float32))
+            maps, sout = lightsweep.ray_march_light_sweep_update(
+                state.rho_light, state.ao_static, state.grad_dir,
+                state.vol_tex_ids, po,
+                state.mesh_shadow_map if has_mesh else None,
+                mesh_lib.shadow_view_proj(state),
+                state.light_pos, state.light_color, state.ambient,
+                state.sh_coeffs, cfg.max_light_samples,
+                has_light_probe=cfg.has_light_probe,
+            )
+            return (maps.astype(state.light_maps.dtype),
+                    sweep_lib.orient_variants_cf(
+                        maps.astype(state.light_maps_oriented.dtype)),
+                    sout)
+
+        maps, oriented, sout = jax.jit(refresh)(st)
+        self.state = dataclasses.replace(
+            st, light_maps=maps, light_maps_oriented=oriented,
+            light_sout=sout,
+        )
 
     def set_volumes_world(self, size: float, center) -> None:
         worlds = state_lib.volume_grid_worlds(
@@ -129,6 +170,7 @@ class MultiRayCaster:
             light_color=jnp.asarray([*color, intensity], jnp.float32),
         )
         self._refresh_shadow_map()
+        self._refresh_light_cache()
 
     def _refresh_shadow_map(self) -> None:
         """Re-rasterize the cached light-view shadow map (the reference
@@ -147,11 +189,13 @@ class MultiRayCaster:
         self.state = dataclasses.replace(
             self.state, ambient=jnp.asarray([*color, intensity], jnp.float32)
         )
+        self._refresh_light_cache()
 
     def set_sh(self, sh_coeffs) -> None:
         self.state = dataclasses.replace(
             self.state, sh_coeffs=jnp.asarray(sh_coeffs, jnp.float32)
         )
+        self._refresh_light_cache()
 
     def set_radiance(self, radiance) -> None:
         """Radiance env + SH projection (`LightProbe::TransformSH`)."""
@@ -161,6 +205,7 @@ class MultiRayCaster:
             radiance=radiance,
             sh_coeffs=sh_lib.project_cube_map(radiance),
         )
+        self._refresh_light_cache()
 
     def set_mesh(self, path: str) -> None:
         """OBJ mesh + world placement (`ObjectRenderer::Init`)."""
@@ -178,6 +223,7 @@ class MultiRayCaster:
         )
         self.config = self.config.with_(show_mesh=True)
         self._refresh_shadow_map()
+        self._refresh_light_cache()
         self._render_jit = None
 
     # --- frame loop -------------------------------------------------------

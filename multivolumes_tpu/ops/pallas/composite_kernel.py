@@ -1,0 +1,414 @@
+"""Pallas screen-tile OIT composite — the whole screen pass in one kernel.
+
+Semantics: `render/warp.py::composite_oit_warp` with the *dense exact*
+pass-2 everywhere (reference anchor: `PSCube.hlsli:51-108` cube sampling +
+`PSDepthPeel.hlsl` nearest-K + `PSResolveOIT.hlsl:12-26` under-blend).
+Per screen tile:
+
+  for each volume overlapping the tile (per-tile bbox-culled lists,
+  scalar-prefetched):
+    DMA the volume's 6 face images (HBM -> VMEM, ~1.5 MB);
+    per pixel: analytic ray/box exit, exit-face select, exit clip-z,
+    scene-depth occlusion (one fused elementwise block);
+    per exit face: the Catmull-Smith two-pass projective warp evaluated
+    EXACTLY as dynamic-range sweeps (below);
+    streaming nearest-K insert into the VMEM-resident layer buffer;
+  finally front-to-back under-blend -> one (4, th, tw) RGBA tile.
+
+Why sweeps, not matmuls: the exact warp's per-pixel tent weights make
+every matmul formulation batched-THIN (~0.2 TFLOP/s via XLA — measured,
+docs/ARCHITECTURE.md), and in-VMEM take_along_axis is a compare-select
+scan (~0.55 G taps/s). But a tent has only 2 non-zero taps per output, so
+sweeping the *source* axis turns each pass into `range` broadcast-FMAs of
+full (th, tw) tiles on the VPU — full vector rate, zero gathers:
+
+  pass 1 (u): tmp[c,v,x] += img[c,v,u] * max(0, 1-|cu(v,x)-u|)
+  pass 2 (v): out[c,y,x] += tmp[c,v,x] * max(0, 1-|vt(y,x)-v|)
+
+`img[c,:,u]` must broadcast along lanes with v in sublanes; a dynamic
+lane index is not a TPU primitive, so an 8-wide one-hot MXU matmul
+(img (4*S, S) @ onehot (S, 8)) hoists 8 source columns into sublane-major
+layout per step and static lane slices feed the FMAs. The sweep ranges
+[u_lo, u_hi] / [v_lo, v_hi] come from masked min/max of the homography
+coordinates over the tile, so cost tracks each volume's actual footprint
+and effective (LOD) resolution — and is camera-angle independent, unlike
+the rectified/dense `lax.cond` mix this replaces (which also doubled the
+composite's XLA graph and its compile time).
+
+Replaces on the hot path: `warp.composite_oit_warp`'s per-volume scan
+(dynamic_update_slice layer churn — the ~10k-copy trace finding) and its
+per-face cond. The warp module remains the XLA semantics twin for tests.
+
+Layout contracts (see render/tilecast.py for the host-side prep):
+  * face images arrive pre-swapped (Catmull-Smith orientation chosen per
+    (volume, face) at the footprint centre) and minor-padded to 128;
+  * homography vectors arrive texel-scaled (p = n_eff*nu - 0.5*den);
+  * per-tile volume lists have capacity N (never silently truncated).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multivolumes_tpu.ops.pallas import interpret_default
+
+FLT_MAX = 3.402823466e38
+_EPS = 1e-12
+_BIG = 1e30
+
+
+def _safe(x, eps=_EPS):
+    return jnp.where(jnp.abs(x) > eps, x, jnp.where(x >= 0, eps, -eps))
+
+
+def _finite(x):
+    # magnitude guard instead of isfinite: kills inf/NaN from degenerate
+    # homography ratios (NaN compares false -> 0)
+    return jnp.where(jnp.abs(x) < _BIG, x, 0.0)
+
+
+def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
+                 u_block=8):
+    """Bind static geometry; return the kernel body."""
+
+    def kernel(tlist, counts, vol_flt, face_flt, color_hbm, scene_ref,
+               out_ref, vol_scr, tmp_scr, face_scr, layers_scr, sem):
+        t = pl.program_id(0)
+        ty = t // tiles_x
+        tx = t % tiles_x
+        count = counts[t]
+
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1
+                                         ).astype(jnp.float32)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0
+                                         ).astype(jnp.float32)
+        tx_f = (tx * tw).astype(jnp.float32)
+        ty_f = (ty * th).astype(jnp.float32)
+        xg = (tx_f + col_i + 0.5) / width * 2.0 - 1.0      # (th, tw) NDC
+        yg = -((ty_f + row_i + 0.5) / height * 2.0 - 1.0)
+        # tile y extent in NDC (yg decreases with row) + 2px pad for the
+        # pass-1 row-liveness test
+        pad_y = 2.0 / height * 2.0
+        y_top = -((ty_f + 0.5) / height * 2.0 - 1.0) + pad_y
+        y_bot = -((ty_f + th - 0.5) / height * 2.0 - 1.0) - pad_y
+
+        scene_z = scene_ref[...]                           # (th, tw)
+
+        layers_scr[0] = jnp.full((k_layers, th, tw), FLT_MAX, jnp.float32)
+        for ch in range(1, 5):
+            layers_scr[ch] = jnp.zeros((k_layers, th, tw), jnp.float32)
+
+        # pass-1 face-row grid: rows r of the face image, columns = tile x
+        r_col = jax.lax.broadcasted_iota(jnp.int32, (s, tw), 0
+                                         ).astype(jnp.float32)
+        x_row = (tx_f
+                 + jax.lax.broadcasted_iota(jnp.int32, (s, tw), 1
+                                            ).astype(jnp.float32)
+                 + 0.5) / width * 2.0 - 1.0                # (s, tw)
+        sel_row = jax.lax.broadcasted_iota(jnp.int32, (s_pad, u_block), 0)
+        sel_col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, u_block), 1)
+
+        def vol_body(slot, _):
+            vid = tlist[t, slot]
+
+            cp = pltpu.make_async_copy(color_hbm.at[vid], vol_scr,
+                                       sem.at[0])
+            cp.start()
+
+            b00 = vol_flt[vid, 0]
+            b01 = vol_flt[vid, 1]
+            b02 = vol_flt[vid, 2]
+            b10 = vol_flt[vid, 3]
+            b11 = vol_flt[vid, 4]
+            b12 = vol_flt[vid, 5]
+            b20 = vol_flt[vid, 6]
+            b21 = vol_flt[vid, 7]
+            b22 = vol_flt[vid, 8]
+            o0 = vol_flt[vid, 9]
+            o1 = vol_flt[vid, 10]
+            o2 = vol_flt[vid, 11]
+            wz0 = vol_flt[vid, 12]
+            wz1 = vol_flt[vid, 13]
+            wz2 = vol_flt[vid, 14]
+            wz3 = vol_flt[vid, 15]
+            ww0 = vol_flt[vid, 16]
+            ww1 = vol_flt[vid, 17]
+            ww2 = vol_flt[vid, 18]
+            ww3 = vol_flt[vid, 19]
+            n_eff = vol_flt[vid, 20]
+            hi = n_eff - 1.0
+
+            # ray/box exit (composite._ray_box_exit_soa, tile-local)
+            dlx = b00 * xg + b10 * yg + b20
+            dly = b01 * xg + b11 * yg + b21
+            dlz = b02 * xg + b12 * yg + b22
+
+            def slab(o, d):
+                ds_ = jnp.where(jnp.abs(d) > _EPS, d,
+                                jnp.where(d >= 0, _EPS, -_EPS))
+                t1 = (-1.0 - o) / ds_
+                t2 = (1.0 - o) / ds_
+                return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+            ix, ox_ = slab(o0, dlx)
+            iy, oy_ = slab(o1, dly)
+            iz, oz_ = slab(o2, dlz)
+            t_near = jnp.maximum(jnp.maximum(ix, iy), iz)
+            t_far = jnp.minimum(jnp.minimum(ox_, oy_), oz_)
+            hit = t_far > jnp.maximum(t_near, 0.0)
+            qx = o0 + dlx * t_far
+            qy = o1 + dly * t_far
+            qz = o2 + dlz * t_far
+
+            # exit-face select (composite.dir_to_face_uv_soa face order)
+            ax, ay, az = jnp.abs(qx), jnp.abs(qy), jnp.abs(qz)
+            is_x = (ax >= ay) & (ax >= az)
+            is_y = (~is_x) & (ay >= az)
+            face = jnp.where(
+                is_x,
+                jnp.where(qx >= 0, 0, 1),
+                jnp.where(is_y, jnp.where(qy >= 0, 2, 3),
+                          jnp.where(qz >= 0, 4, 5)),
+            ).astype(jnp.int32)
+
+            hz = qx * wz0 + qy * wz1 + qz * wz2 + wz3
+            hw = qx * ww0 + qy * ww1 + qz * ww2 + ww3
+            exit_z = hz / jnp.maximum(hw, 1e-20)
+            valid = (hit & (hw > 0.0) & (exit_z <= scene_z)
+                     & (exit_z > 0.0))
+
+            cp.wait()
+
+            rr = jnp.zeros((th, tw), jnp.float32)
+            gg = jnp.zeros((th, tw), jnp.float32)
+            bb = jnp.zeros((th, tw), jnp.float32)
+            aa = jnp.zeros((th, tw), jnp.float32)
+
+            for f in range(6):
+                use_f = valid & (face == f)
+                # face skip via pl.when; the select below is safe even
+                # against a stale face_scr because use_f is then empty
+                _face_warp(f, use_f, vid, face_flt, vol_scr, tmp_scr,
+                           face_scr, xg, yg, x_row, r_col, sel_row,
+                           sel_col, y_top, y_bot, hi)
+                rr = jnp.where(use_f, face_scr[0], rr)
+                gg = jnp.where(use_f, face_scr[1], gg)
+                bb = jnp.where(use_f, face_scr[2], bb)
+                aa = jnp.where(use_f, face_scr[3], aa)
+
+            # `PSCube.hlsl:57` store-if semantics (see warp.py on the
+            # alpha clamp)
+            aa = jnp.minimum(aa, 1.0)
+            store_ok = (aa > 0.0) & valid
+            zero = jnp.zeros_like(aa)
+            z_new = jnp.where(store_ok, exit_z, FLT_MAX)
+            r_new = jnp.where(store_ok, rr, zero)
+            g_new = jnp.where(store_ok, gg, zero)
+            b_new = jnp.where(store_ok, bb, zero)
+            a_new = jnp.where(store_ok, aa, zero)
+
+            # streaming nearest-K insert, VMEM-resident
+            for k in range(k_layers):
+                z_k = layers_scr[0, k]
+                take = z_new < z_k
+                layers_scr[0, k] = jnp.where(take, z_new, z_k)
+                z_new = jnp.where(take, z_k, z_new)
+                for ch, new in ((1, r_new), (2, g_new), (3, b_new),
+                                (4, a_new)):
+                    old = layers_scr[ch, k]
+                    layers_scr[ch, k] = jnp.where(take, new, old)
+                    if ch == 1:
+                        r_new = jnp.where(take, old, new)
+                    elif ch == 2:
+                        g_new = jnp.where(take, old, new)
+                    elif ch == 3:
+                        b_new = jnp.where(take, old, new)
+                    else:
+                        a_new = jnp.where(take, old, new)
+            return 0
+
+        @pl.when(count > 0)
+        def _():
+            jax.lax.fori_loop(0, count, vol_body, 0)
+
+        # front-to-back under-blend (`PSResolveOIT.hlsl:17-24`)
+        accr = jnp.zeros((th, tw), jnp.float32)
+        accg = jnp.zeros((th, tw), jnp.float32)
+        accb = jnp.zeros((th, tw), jnp.float32)
+        acca = jnp.zeros((th, tw), jnp.float32)
+        for k in range(k_layers):
+            tr = 1.0 - acca
+            accr = accr + layers_scr[1, k] * tr
+            accg = accg + layers_scr[2, k] * tr
+            accb = accb + layers_scr[3, k] * tr
+            acca = acca + layers_scr[4, k] * tr
+        acca = jnp.minimum(acca, 0.9997)
+        out_ref[0] = accr
+        out_ref[1] = accg
+        out_ref[2] = accb
+        out_ref[3] = acca
+
+    return kernel
+
+
+def _face_warp(f, use_f, vid, face_flt, vol_scr, tmp_scr, face_scr,
+               xg, yg, x_row, r_col, sel_row, sel_col,
+               y_top, y_bot, hi):
+    """Exact two-pass projective warp of face f onto the tile, written
+    into face_scr (only when any pixel exits through f)."""
+    th, tw = xg.shape
+    s = r_col.shape[0]
+    u_block = sel_col.shape[1]
+
+    any_f = jnp.max(use_f.astype(jnp.int32)) > 0
+
+    pu0 = face_flt[vid, f, 0]
+    pu1 = face_flt[vid, f, 1]
+    pu2 = face_flt[vid, f, 2]
+    pv0 = face_flt[vid, f, 3]
+    pv1 = face_flt[vid, f, 4]
+    pv2 = face_flt[vid, f, 5]
+    dn0 = face_flt[vid, f, 6]
+    dn1 = face_flt[vid, f, 7]
+    dn2 = face_flt[vid, f, 8]
+
+    # pass-2 coordinate + sweep range (masked by use_f)
+    dq = dn0 * xg + dn1 * yg + dn2
+    vt = jnp.clip(_finite((pv0 * xg + pv1 * yg + pv2) / _safe(dq)),
+                  0.0, hi)
+    vt_lo = jnp.clip(jnp.min(jnp.where(use_f, vt, _BIG)), 0.0, hi)
+    vt_hi = jnp.clip(jnp.max(jnp.where(use_f, vt, -_BIG)), 0.0, hi)
+    v_lo = jnp.floor(vt_lo).astype(jnp.int32)
+    v_hi = jnp.minimum(jnp.floor(vt_hi).astype(jnp.int32) + 1, s - 1)
+
+    # pass-1 auxiliary (Catmull-Smith): for face row r, the screen y
+    # where v(x, y) == r, and the u coordinate there
+    k0 = pv0 - r_col * dn0
+    k1 = pv1 - r_col * dn1
+    k2 = pv2 - r_col * dn2
+    y1 = -(k0 * x_row + k2) / _safe(k1)
+    dq1 = dn0 * x_row + dn1 * y1 + dn2
+    cu = jnp.clip(_finite((pu0 * x_row + pu1 * y1 + pu2) / _safe(dq1)),
+                  0.0, hi)
+    # row liveness: the row's isoline must cross the tile AND the row be
+    # inside the pass-2 sweep range
+    ok1 = ((y1 <= y_top) & (y1 >= y_bot)
+           & (r_col >= v_lo.astype(jnp.float32) - 1.0)
+           & (r_col <= v_hi.astype(jnp.float32) + 1.0))
+    cu_lo = jnp.clip(jnp.min(jnp.where(ok1, cu, _BIG)), 0.0, hi)
+    cu_hi = jnp.clip(jnp.max(jnp.where(ok1, cu, -_BIG)), 0.0, hi)
+    u_lo = jnp.floor(cu_lo).astype(jnp.int32)
+    u_hi = jnp.floor(cu_hi).astype(jnp.int32) + 1  # inclusive
+    n_ub = (u_hi - u_lo) // u_block + 1
+
+    @pl.when(any_f)
+    def _():
+        tmp_scr[:] = jnp.zeros((4, s, tw), jnp.float32)
+        img_all = vol_scr[f].reshape(4 * s, vol_scr.shape[-1])
+
+        def u_blk(b, _):
+            ub0 = u_lo + b * u_block
+            # one-hot (s_pad, u_block) selecting columns [ub0, ub0+B)
+            sel = (sel_row == ub0 + sel_col).astype(img_all.dtype)
+            cols = jax.lax.dot_general(
+                img_all, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                       # (4*s, u_block)
+            acc = tmp_scr[:]
+            for j in range(u_block):
+                u_f = (ub0 + j).astype(jnp.float32)
+                wu = jnp.maximum(1.0 - jnp.abs(cu - u_f), 0.0)  # (s, tw)
+                colj = cols[:, j:j + 1].reshape(4, s, 1)
+                acc = acc + colj * wu[None]
+            tmp_scr[:] = acc
+            return 0
+
+        jax.lax.fori_loop(0, n_ub, u_blk, 0)
+
+        def v_step(v, carry):
+            fr, fg, fb, fa = carry
+            wv = jnp.maximum(1.0 - jnp.abs(vt - v.astype(jnp.float32)),
+                             0.0)                   # (th, tw)
+            row = tmp_scr[:, pl.ds(v, 1), :]        # (4, 1, tw)
+            fr = fr + row[0] * wv
+            fg = fg + row[1] * wv
+            fb = fb + row[2] * wv
+            fa = fa + row[3] * wv
+            return fr, fg, fb, fa
+
+        zero = jnp.zeros((th, tw), jnp.float32)
+        fr, fg, fb, fa = jax.lax.fori_loop(
+            v_lo, v_hi + 1, v_step, (zero, zero, zero, zero))
+        face_scr[0] = fr
+        face_scr[1] = fg
+        face_scr[2] = fb
+        face_scr[3] = fa
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("s", "th", "tw", "tiles_x", "k_layers",
+                     "width", "height", "interpret"),
+)
+def tile_composite_pallas(
+    color_sel,    # (N, 6, 4, S, S_pad) pre-swapped, minor-padded faces
+    scene_z,      # (Hp, Wp) padded scene clip depth (0 in the pad)
+    tlist,        # (T, N) int32 per-tile volume ids (first `counts` valid)
+    counts,       # (T,) int32
+    vol_flt,      # (N, 21) f32: b_mat 9, eye_local 3, wvp col2 4,
+                  #   wvp col3 4, n_eff 1
+    face_flt,     # (N, 6, 9) f32: pu(3), pv(3), den(3) texel-scaled,
+                  #   Catmull-Smith-swapped
+    s: int,
+    th: int,
+    tw: int,
+    tiles_x: int,
+    k_layers: int,
+    width: int,   # UNPADDED screen dims (NDC mapping)
+    height: int,
+    interpret: bool | None = None,
+):
+    """-> (4, Hp, Wp) premultiplied under-blended RGBA (crop to H, W)."""
+    if interpret is None:
+        interpret = interpret_default()
+    n = color_sel.shape[0]
+    s_pad = color_sel.shape[-1]
+    hp, wp = scene_z.shape
+    tiles = (hp // th) * (wp // tw)
+    assert tiles == tlist.shape[0]
+
+    kernel = _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers,
+                          width, height)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # face images (HBM)
+            pl.BlockSpec((th, tw),
+                         lambda i, *_: (i // tiles_x, i % tiles_x),
+                         memory_space=pltpu.VMEM),  # scene depth tile
+        ],
+        out_specs=pl.BlockSpec(
+            (4, th, tw), lambda i, *_: (0, i // tiles_x, i % tiles_x),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((6, 4, s, s_pad), color_sel.dtype),
+            pltpu.VMEM((4, s, tw), jnp.float32),      # pass-1 tmp
+            pltpu.VMEM((4, th, tw), jnp.float32),     # per-face result
+            pltpu.VMEM((5, k_layers, th, tw), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tlist, counts, vol_flt, face_flt, color_sel, scene_z)

@@ -55,7 +55,15 @@ def state_shardings(mesh: Mesh, state: SceneState) -> SceneState:
         volumes_oriented=rep,
         vol_tex_ids=vol,
         volume_worlds=vol,
-        light_maps=vol,
+        # The big slow-changing light stacks stay REPLICATED: the view
+        # sweep reads every local volume's maps each frame (shard_map
+        # slices them locally, zero per-frame collectives), and the
+        # amortized cohort refresh updates them replicated (its compute
+        # is the C/N fraction — sharding it would trade a tiny compute
+        # win for a full-array scatter collective every frame).
+        light_maps=rep,
+        light_maps_oriented=rep,
+        light_sout=rep,
         sh_coeffs=rep,
         radiance=rep,
         light_pos=rep,
@@ -78,7 +86,8 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh):
     """jit the frame step with sharded inputs/outputs."""
 
     def step(state, camera):
-        out = frame_lib.render_frame(state, camera, cfg, use_taa=True)
+        out = frame_lib.render_frame(state, camera, cfg, use_taa=True,
+                                     mesh=mesh)
         return out.image, out.state
 
     dummy = state_lib.create_scene(cfg)
@@ -101,6 +110,76 @@ def shard_state(state: SceneState, mesh: Mesh) -> SceneState:
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), state, shardings
     )
+
+
+def placement_check(n_devices: int) -> dict:
+    """Compile the sharded step and verify the collective pattern of the
+    SURVEY section-2.6 plan from the post-SPMD HLO:
+
+    * the view sweep is partitioned over volumes BY CONSTRUCTION
+      (`sweep.ray_march_view_sweep_lod_sharded` is a shard_map manual
+      region — GSPMD cannot replicate it), and its sharded cube-map
+      output must therefore be all-gathered into the replicated screen
+      composite: assert that all-gather exists;
+    * nothing bigger moves per frame: assert no collective carries more
+      elements than that cube-map gather (catches regressions like the
+      oriented light/volume stacks being gathered or scatter-reduced,
+      which would void multi-chip scaling).
+
+    Returns a summary dict (also used by the placement test).
+    """
+    import re
+
+    cfg = RenderConfig(
+        width=96, height=64, grid_size=16, light_grid_size=16,
+        max_ray_samples=16, max_light_samples=8,
+        num_volumes=max(n_devices, 2), num_volume_srcs=2,
+        cube_map_size=8, shadow_map_size=32,
+    )
+    mesh = make_mesh(n_devices)
+    state = state_lib.create_scene(cfg)
+    camera = cam_lib.default_camera(cfg.aspect_ratio)
+    step = make_sharded_step(cfg, mesh)
+    txt = step.lower(shard_state(state, mesh), camera).compile().as_text()
+
+    def elems(shape: str) -> int:
+        m = re.search(r"\[([\d,]*)\]", shape)
+        if not m or not m.group(1):
+            return 1
+        out = 1
+        for x in m.group(1).split(","):
+            out *= int(x)
+        return out
+
+    colls = []
+    for line in txt.splitlines():
+        if "=" not in line:
+            continue
+        for op in ("all-gather(", "all-gather-start(", "all-reduce(",
+                   "all-reduce-start(", "collective-permute(",
+                   "all-to-all(", "reduce-scatter("):
+            if f" {op}" in line.split("=", 1)[1]:
+                shape = line.split("=")[1].strip().split(" ")[0]
+                colls.append((op.rstrip("("), shape, elems(shape)))
+
+    n = cfg.num_volumes
+    s = cfg.cube_map_size
+    # cube color all-gather: (N, 6, 4, S, S_lane-padded)
+    cube_elems = n * 6 * 4 * s * (-(-s // 128) * 128)
+    gathers = [c for c in colls if c[0].startswith("all-gather")]
+    cube_gathers = [c for c in gathers if c[2] == cube_elems]
+    assert cube_gathers, (
+        "expected the sharded sweep's cube-map all-gather "
+        f"({cube_elems} elems); collectives: {colls}")
+    too_big = [c for c in colls if c[2] > cube_elems]
+    assert not too_big, (
+        "collectives larger than the cube-map all-gather (the sweep "
+        f"inputs or light stacks are moving per frame): {too_big}")
+    return {
+        "collectives": colls,
+        "cube_gather_elems": cube_elems,
+        "largest_elems": max(c[2] for c in colls) if colls else 0,
+    }
 
 
 def dryrun(n_devices: int) -> None:

@@ -47,6 +47,8 @@ def render_frame(
     config: RenderConfig,
     show_mesh: Optional[bool] = None,
     use_taa: bool = True,
+    mesh: object = None,  # jax.sharding.Mesh: partition the view sweep
+                          # over the volume axis (parallel/sharding.py)
 ) -> FrameOutput:
     width, height = config.width, config.height
     show_mesh = config.show_mesh if show_mesh is None else show_mesh
@@ -89,16 +91,29 @@ def render_frame(
     )
 
     # --- light-space march ------------------------------------------------
+    n_vols = config.num_volumes
+    dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
     if config.light_mode == "sweep" and not config.point_light:
         from multivolumes_tpu.render import lightsweep
+        from multivolumes_tpu.render import sweep as sweep_lib
 
-        light_maps = lightsweep.ray_march_light_sweep(
+        # Temporal amortization (the reference's 1-volume/frame RayMarchL
+        # round-robin, here config.light_refresh per frame): only the
+        # cohort's maps are marched + re-oriented; the rest carry over
+        # from state. Inter-volume occlusion stays exact through the
+        # cached outgoing footprints (position-independent — see
+        # lightsweep.light_transmittance).
+        c = n_vols if config.light_refresh <= 0 else min(
+            config.light_refresh, n_vols)
+        ids = jnp.mod(
+            state.frame_idx * c + jnp.arange(c, dtype=jnp.int32), n_vols
+        ).astype(jnp.int32)
+        maps_c, light_sout = lightsweep.ray_march_light_sweep_update(
             state.rho_light,
             state.ao_static,
             state.grad_dir,
             state.vol_tex_ids,
             per_object,
-            cull,
             shadow_map,
             shadow_vp,
             state.light_pos,
@@ -107,7 +122,14 @@ def render_frame(
             state.sh_coeffs,
             config.max_light_samples,
             has_light_probe=config.has_light_probe,
-        ).astype(state.light_maps.dtype)
+            sub_ids=ids,
+            sout_cache=state.light_sout,
+        )
+        light_maps = state.light_maps.at[ids].set(
+            maps_c.astype(state.light_maps.dtype))
+        light_oriented = state.light_maps_oriented.at[ids].set(
+            sweep_lib.orient_variants_cf(
+                maps_c.astype(state.light_maps_oriented.dtype)))
     else:
         # reference semantics: gather march, one volume per frame
         light_maps = lightmarch.ray_march_light(
@@ -127,12 +149,13 @@ def render_frame(
             has_light_probe=config.has_light_probe,
             point_light=config.point_light,
         )
+        light_oriented = None  # reference path: orient on demand below
+        light_sout = state.light_sout
 
     # --- view-space cube-map march ---------------------------------------
     if config.march_mode == "sweep":
         from multivolumes_tpu.render import sweep as sweep_lib
 
-        dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
         # the sweep marches every visible volume at full resolution; the
         # adaptive per-pixel scheme is unnecessary (and would cost a 4M-ray
         # gather march), so all volumes ride the cube-map path — the
@@ -142,28 +165,51 @@ def render_frame(
             use_cube_map=cull.visible,
         )
         use_raycast = False
-        use_warp = config.composite_mode in ("auto", "warp")
+        # "auto" -> the Pallas screen-tile kernel; "warp" keeps the XLA
+        # rectified-warp twin; "gather" the per-pixel CubeCast path
+        use_warp = config.composite_mode in ("auto", "warp", "tile")
+        use_tile = config.composite_mode in ("auto", "tile")
         lod_order = lod_buckets = None
         vol_or = state.volumes_oriented.astype(dtype)
-        lm_or = sweep_lib.orient_variants_cf(light_maps.astype(dtype))
+        if light_oriented is not None:
+            lm_or = light_oriented.astype(dtype)  # carried; cohort-updated
+        else:
+            lm_or = sweep_lib.orient_variants_cf(light_maps.astype(dtype))
         if config.lod_bucket_caps is not None and config.adaptive_raymarch:
             # bucket assignment needs the real projected mips; the sweep
             # itself marches every visible face (use_cube_map forced on
             # via run_mask from visibility)
             lod_cull = cull._replace(use_cube_map=cull.visible)
-            cube_maps, sweep_mips = sweep_lib.ray_march_view_sweep_lod(
-                vol_or,
-                state.vol_tex_ids,
-                lm_or,
-                per_object,
-                lod_cull,
-                eye,
-                depth_map,
-                config.cube_map_size,
-                dtype=dtype,
-                bucket_caps=config.lod_bucket_caps,
-                pack=not use_warp,
-            )
+            if mesh is not None:
+                cube_maps, sweep_mips = \
+                    sweep_lib.ray_march_view_sweep_lod_sharded(
+                        mesh,
+                        vol_or,
+                        state.vol_tex_ids,
+                        lm_or,
+                        per_object,
+                        lod_cull,
+                        eye,
+                        depth_map,
+                        config.cube_map_size,
+                        dtype=dtype,
+                        bucket_caps=config.lod_bucket_caps,
+                        pack=not use_warp,
+                    )
+            else:
+                cube_maps, sweep_mips = sweep_lib.ray_march_view_sweep_lod(
+                    vol_or,
+                    state.vol_tex_ids,
+                    lm_or,
+                    per_object,
+                    lod_cull,
+                    eye,
+                    depth_map,
+                    config.cube_map_size,
+                    dtype=dtype,
+                    bucket_caps=config.lod_bucket_caps,
+                    pack=not use_warp,
+                )
             cull_for_composite = cull_for_composite._replace(
                 mip_level=sweep_mips
             )
@@ -199,6 +245,7 @@ def render_frame(
             )
     else:
         use_warp = False  # the raycast fallback needs the gather composite
+        use_tile = False
         cube_maps = raymarch.ray_march_view(
             state.volumes,
             state.vol_tex_ids,
@@ -234,7 +281,21 @@ def render_frame(
         cw, ch = width // cs, height // cs
     else:
         cw, ch = width, height
-    if use_warp:
+    if use_warp and use_tile:
+        from multivolumes_tpu.render import tilecast
+
+        vr, vg, vb, va = tilecast.composite_oit_tile(
+            cube_maps,
+            per_object,
+            cull_for_composite,
+            eye,
+            screen_to_world,
+            depth_map,
+            cw,
+            ch,
+            num_layers=config.oit_layers,
+        )
+    elif use_warp:
         from multivolumes_tpu.render import warp as warp_lib
 
         tile = config.warp_tile
@@ -302,6 +363,9 @@ def render_frame(
         state,
         frame_idx=state.frame_idx + 1,
         light_maps=light_maps,
+        light_maps_oriented=(state.light_maps_oriented
+                             if light_oriented is None else light_oriented),
+        light_sout=light_sout,
         taa_history=new_history,
         mesh_prev_wvp=new_prev_wvp,
     )

@@ -94,26 +94,44 @@ def densities_at_light_grid(volumes, l: int):
 
 
 def light_transmittance(
-    rho_light,       # (N, L, L, L) density at each volume's light grid
+    rho_light,       # (C, L, L, L) density at the refreshed volumes' grids
     per_object: PerObject,
     light_dir_world,  # (3,) unit, pointing TOWARD the light
     step_scale: float,
     shadow_map=None,  # (Sm, Sm) light-view clip depth, or None
     shadow_vp=None,   # (4, 4)
     shadow_bias: float = 0.0027,
+    sub_ids=None,     # (C,) volume indices being refreshed (None = all N)
+    sout_cache=None,  # (N, L, L) cached outgoing lateral transmittance
+    return_sout: bool = False,
 ):
     """Per-volume transmittance fields toward the light, with inter-volume
     occlusion chained through a shared lateral map.
 
-    Returns (N, L, L, L) transmittance (light -> voxel), the continuous
+    Returns (C, L, L, L) transmittance (light -> voxel), the continuous
     counterpart of the product of `CastLightRay` transmittances over all
-    volumes. Directional-light rays are parallel, so the shared lateral
-    map is anchored on the w=0 reference plane: reads/writes shift by
+    volumes (plus the updated (N, L, L) outgoing cache if return_sout).
+    Directional-light rays are parallel, so the shared lateral map is
+    anchored on the w=0 reference plane: reads/writes shift by
     slope * face-depth, making inter-volume shadow placement exact up to
     resampling.
+
+    Temporal amortization (the reference refreshes ONE volume's light map
+    per frame, `MultiRayCaster::RayMarchL` round-robin): pass sub_ids for
+    the cohort being refreshed this frame plus the cached outgoing
+    footprints `sout_cache` of every volume. A volume's outgoing lateral
+    transmittance depends only on its density, the light direction and
+    its scale — NOT its position (positions enter via the chain's
+    projection, evaluated fresh each call) — so cached footprints stay
+    exact under volume animation; only light-direction or density changes
+    invalidate them (the engine refreshes the cache on those setters).
     """
-    n, l = rho_light.shape[0], rho_light.shape[1]
+    n = per_object.world.shape[0]
+    c, l = rho_light.shape[0], rho_light.shape[1]
     g = 2 * l  # global lateral occlusion map resolution
+    sub = sub_ids if sub_ids is not None else jnp.arange(n, dtype=jnp.int32)
+    assert sub_ids is not None or c == n, \
+        "full refresh needs rho_light for every volume"
 
     # Local light direction. PRECONDITION: volume worlds are uniform
     # scale + translate (world[0,0] read as THE scale below) — validated
@@ -157,7 +175,8 @@ def light_transmittance(
         # propagation direction d = -light_dir; orient grids so d_w > 0
         dwc = -lw
         flip = dwc < 0.0
-        rho_o = jnp.where(flip[:, None, None, None],
+        flip_s = flip[sub]
+        rho_o = jnp.where(flip_s[:, None, None, None],
                           jnp.flip(rho_a, axis=1), rho_a)
         dw_abs = jnp.maximum(jnp.abs(dwc), 1e-6)
         du = (-lu) / dw_abs   # voxels of lateral motion per slice
@@ -253,22 +272,26 @@ def light_transmittance(
         # The per-voxel recurrence T <- shift(T) * atten factors into a
         # volume-only self term S (t_in = 1) and the advected incoming
         # occlusion, because the lateral shift is (near-)linear: the two
-        # batched L-step scans below replace N sequential per-volume
-        # scans (N*L tiny matmuls) with L batched steps; only the cheap
-        # G-map chain stays sequential in light order. Deviation: the
-        # factorization commutes interpolation with the product
-        # (interp(a*b) ~ interp(a)*interp(b)) — sub-texel smoothing-level
-        # differences, covered by the lightsweep tolerance tests.
-        mu_all = jax.vmap(lambda sh: _interp_matrix_shift(l, sh))(du)
-        mv_all = jax.vmap(lambda sh: _interp_matrix_shift(l, sh))(dv)
+        # batched L-step scans below run only for the refreshed cohort;
+        # the global-map chain is a batched outgoing-footprint einsum +
+        # an exclusive cumulative product in light order (the sequential
+        # per-volume walk expressed as one vectorized cumprod — identical
+        # math, N-way parallel). Deviation: the factorization commutes
+        # interpolation with the product (interp(a*b) ~
+        # interp(a)*interp(b)) — sub-texel smoothing-level differences,
+        # covered by the lightsweep tolerance tests.
+        mu_sub = jax.vmap(lambda sh: _interp_matrix_shift(l, sh))(du[sub])
+        mv_sub = jax.vmap(lambda sh: _interp_matrix_shift(l, sh))(dv[sub])
 
         # per-volume entry/exit resample weights (pure geometry)
         su = (2.0 * scales / l) * (g / span_u)
         ou = ((cu_ref_in - scales - lo_u) / span_u) * g - 0.5 + 0.5 * su
         sv = (2.0 * scales / l) * (g / span_v)
         ov = ((cv_ref_in - scales - lo_v) / span_v) * g - 0.5 + 0.5 * sv
-        mu_in = jax.vmap(lambda a, b: _resample_matrix(l, g, a, b))(su, ou)
-        mv_in = jax.vmap(lambda a, b: _resample_matrix(l, g, a, b))(sv, ov)
+        mu_in = jax.vmap(lambda a, b: _resample_matrix(l, g, a, b))(
+            su[sub], ou[sub])                                # (C, L, G)
+        mv_in = jax.vmap(lambda a, b: _resample_matrix(l, g, a, b))(
+            sv[sub], ov[sub])
 
         ou_o = ((cu_ref_out - scales - lo_u) / span_u) * g - 0.5 + 0.5 * su
         ov_o = ((cv_ref_out - scales - lo_v) / span_v) * g - 0.5 + 0.5 * sv
@@ -282,19 +305,20 @@ def light_transmittance(
                           / sv[:, None, None] - gu_cols), 0.0)
 
         if has_sm:
-            sm_vol = jnp.einsum("nvg,gh,nuh->nvu", mv_in, sm_g, mu_in)
-            z_vol = jnp.einsum("nvg,gh,nuh->nvu", mv_in, z0g, mu_in)
-            z_entry = z_vol + (dzdw * w_in)[:, None, None]
-            dz_slice = dzdw * sgn * (2.0 * scales / l)       # (N,)
+            sm_vol = jnp.einsum("cvg,gh,cuh->cvu", mv_in, sm_g, mu_in)
+            z_vol = jnp.einsum("cvg,gh,cuh->cvu", mv_in, z0g, mu_in)
+            z_entry = z_vol + (dzdw * w_in)[sub][:, None, None]
+            dz_slice = (dzdw * sgn * (2.0 * scales / l))[sub]  # (C,)
             soft = jnp.maximum(jnp.abs(dz_slice), 1e-6)
         else:
             sm_vol = z_entry = None
 
-        rho_steps = jnp.moveaxis(rho_o, 1, 0)                # (L, N, L, L)
-        ones_n = jnp.ones((n, l, l), jnp.float32)
+        f_corr_s = f_corr[sub]
+        rho_steps = jnp.moveaxis(rho_o, 1, 0)                # (L, C, L, L)
+        ones_c = jnp.ones((c, l, l), jnp.float32)
 
         def bshift(x):
-            return jnp.einsum("nab,nbc,ndc->nad", mv_all, x, mu_all)
+            return jnp.einsum("nab,nbc,ndc->nad", mv_sub, x, mu_sub)
 
         # self-sweep: volume-only transmittance + per-slice mesh factor
         def self_body(carry, inp):
@@ -311,35 +335,37 @@ def light_transmittance(
             else:
                 here = shifted
             atten = jnp.exp2(
-                f_corr[:, None, None]
+                f_corr_s[:, None, None]
                 * jnp.log2(jnp.maximum(1.0 - rho_k * ABSORPTION, 1e-7)))
             return (shifted * atten, sm_c, z_c), here
 
         ks = jnp.arange(l, dtype=jnp.float32)
-        (s_out, _sm, _z), self_here = jax.lax.scan(
+        (s_out_c, _sm, _z), self_here = jax.lax.scan(
             self_body,
-            (ones_n,
-             sm_vol if has_sm else ones_n,
-             z_entry if has_sm else ones_n),
-            (rho_steps, ks))                                  # (L, N, L, L)
+            (ones_c,
+             sm_vol if has_sm else ones_c,
+             z_entry if has_sm else ones_c),
+            (rho_steps, ks))                                  # (L, C, L, L)
 
-        # sequential global-map chain (light order): t_in per volume
-        def chain_body(k, carry):
-            t_ins, g_map = carry
-            vid = order[k]
-            t_in = mv_in[vid] @ g_map @ mu_in[vid].T          # (L, L)
-            t_ins = t_ins.at[vid].set(t_in)
-            o_big = wv_all[vid] @ s_out[vid] @ wu_all[vid].T  # (G, G)
-            cover = jnp.clip(
-                (wv_all[vid].sum(1)[:, None])
-                * (wu_all[vid].sum(1)[None, :]), 0.0, 1.0)
-            g_map = g_map * (o_big + (1.0 - cover))
-            return t_ins, g_map
+        # outgoing footprint cache: refreshed cohort entries replace the
+        # cached ones; every volume's footprint feeds the chain below
+        if sout_cache is not None:
+            s_out_all = sout_cache.at[sub].set(s_out_c)       # (N, L, L)
+        else:
+            s_out_all = s_out_c
 
-        t_ins, _g = jax.lax.fori_loop(
-            0, n, chain_body,
-            (jnp.ones((n, l, l), jnp.float32),
-             jnp.ones((g, g), jnp.float32)))
+        # global-map chain (light order) as a vectorized exclusive
+        # cumulative product of per-volume occlusion factors
+        o_big = jnp.einsum("ngl,nlk,nhk->ngh",
+                           wv_all, s_out_all, wu_all)         # (N, G, G)
+        cover = jnp.clip(wv_all.sum(2)[:, :, None]
+                         * wu_all.sum(2)[:, None, :], 0.0, 1.0)
+        fac = o_big + (1.0 - cover)
+        cum = jnp.cumprod(fac[order], axis=0)
+        g_excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], 0)
+        ranks = jnp.argsort(order)                # volume -> light rank
+        g_in = g_excl[ranks[sub]]                             # (C, G, G)
+        t_ins = jnp.einsum("cvg,cgh,cuh->cvu", mv_in, g_in, mu_in)
 
         # advect the incoming occlusion through the volumes (batched)
         def adv_body(t_c, _):
@@ -348,19 +374,22 @@ def light_transmittance(
 
         _t, t_adv = jax.lax.scan(adv_body, t_ins, None, length=l)
 
-        t_fields = jnp.moveaxis(self_here * t_adv, 0, 1)      # (N, L, L, L)
-        t_fields = jnp.where(flip[:, None, None, None],
+        t_fields = jnp.moveaxis(self_here * t_adv, 0, 1)      # (C, L, L, L)
+        t_fields = jnp.where(flip_s[:, None, None, None],
                              jnp.flip(t_fields, axis=1), t_fields)
 
         if axis_idx == 0:
-            return jnp.transpose(t_fields, (0, 3, 2, 1))
-        if axis_idx == 1:
-            return jnp.transpose(t_fields, (0, 2, 1, 3))
-        return t_fields
+            t_fields = jnp.transpose(t_fields, (0, 3, 2, 1))
+        elif axis_idx == 1:
+            t_fields = jnp.transpose(t_fields, (0, 2, 1, 3))
+        return t_fields, s_out_all
 
-    return jax.lax.switch(axis, [lambda: sweep_all(0),
-                                 lambda: sweep_all(1),
-                                 lambda: sweep_all(2)])
+    t_fields, s_out_all = jax.lax.switch(
+        axis, [lambda: sweep_all(0), lambda: sweep_all(1),
+               lambda: sweep_all(2)])
+    if return_sout:
+        return t_fields, s_out_all
+    return t_fields
 
 
 def precompute_static(volumes, light_grid_size: int,
@@ -418,39 +447,17 @@ def precompute_static(volumes, light_grid_size: int,
     return rho_light, transm, grad_dir
 
 
-def ray_march_light_sweep(
-    rho_light_src,    # (N_src, L, L, L) from precompute_static
-    ao_src,           # (N_src, L, L, L)
-    grad_dir_src,     # (N_src, 3, L, L, L)
-    vol_tex_ids, per_object: PerObject, cull: CullResult,
-    shadow_map, shadow_vp, light_pos, light_color, ambient, sh_coeffs,
-    max_light_samples: int, has_light_probe: bool = True,
-):
-    """All N light maps in one pass: -> (N, 3, L, L, L) channel-mid.
-
-    Same output contract as `lightmarch.ray_march_light` but refreshes
-    every volume every frame (the sweep is cheap enough). All
-    density-derived fields come precomputed (zero per-frame gathers)."""
-    n = vol_tex_ids.shape[0]
-    l = rho_light_src.shape[1]
-    step_scale = MAX_DIST / float(max_light_samples)
-
-    rho = rho_light_src[vol_tex_ids]                  # (N, L, L, L)
-
-    light_dir = light_pos[:3] / jnp.linalg.norm(light_pos[:3])
-    # the mesh's shadow map rides the same shear-warp sweep (a per-slice
-    # depth compare) instead of N*L^3 per-voxel ShadowTest gathers
-    shadow = light_transmittance(
-        rho, per_object, light_dir, step_scale,
-        shadow_map=shadow_map, shadow_vp=shadow_vp)
-
+def _shade_light_fields(shadow, rho, tex_sub, ao_src, grad_dir_src,
+                        sh_coeffs, ambient, light_color,
+                        has_light_probe: bool):
+    """Transmittance fields -> RGB light maps (C, 3, L, L, L)."""
     has_density = rho >= ZERO_THRESHOLD
     if has_light_probe:
-        ao = ao_src[vol_tex_ids]
-        gd = grad_dir_src[vol_tex_ids]                 # (N, 3, L, L, L)
+        ao = ao_src[tex_sub]
+        gd = grad_dir_src[tex_sub]                     # (C, 3, L, L, L)
         # rotation-free worlds: local gradient dir == world dir
         nrm = jnp.moveaxis(gd, 1, -1)
-        irr = sh_lib.eval_irradiance(sh_coeffs, nrm)   # (N, L, L, L, 3)
+        irr = sh_lib.eval_irradiance(sh_coeffs, nrm)   # (C, L, L, L, 3)
         amb_r = jnp.where(has_density, ao * irr[..., 0], 0.0)
         amb_g = jnp.where(has_density, ao * irr[..., 1], 0.0)
         amb_b = jnp.where(has_density, ao * irr[..., 2], 0.0)
@@ -466,3 +473,65 @@ def ray_march_light_sweep(
          shadow * lcol[2] + amb_b],
         axis=1,
     )
+
+
+def ray_march_light_sweep_update(
+    rho_light_src,    # (N_src, L, L, L) from precompute_static
+    ao_src,           # (N_src, L, L, L)
+    grad_dir_src,     # (N_src, 3, L, L, L)
+    vol_tex_ids, per_object: PerObject,
+    shadow_map, shadow_vp, light_pos, light_color, ambient, sh_coeffs,
+    max_light_samples: int, has_light_probe: bool = True,
+    sub_ids=None,     # (C,) volume indices refreshed this frame
+    sout_cache=None,  # (N, L, L)
+):
+    """Refresh the light maps of a volume cohort (the reference's
+    temporal amortization, `MultiRayCaster::RayMarchL` one volume per
+    frame round-robin — here C per frame with exact inter-volume
+    occlusion from the cached outgoing footprints).
+
+    Returns (maps (C, 3, L, L, L), sout (N, L, L)); the caller scatters
+    both into state. Staleness semantics match the reference: non-cohort
+    maps keep last refresh's lighting."""
+    step_scale = MAX_DIST / float(max_light_samples)
+    tex_sub = (vol_tex_ids if sub_ids is None
+               else vol_tex_ids[sub_ids]).astype(jnp.int32)
+    rho = rho_light_src[tex_sub]                       # (C, L, L, L)
+
+    light_dir = light_pos[:3] / jnp.linalg.norm(light_pos[:3])
+    # the mesh's shadow map rides the same shear-warp sweep (a per-slice
+    # depth compare) instead of N*L^3 per-voxel ShadowTest gathers
+    shadow, sout = light_transmittance(
+        rho, per_object, light_dir, step_scale,
+        shadow_map=shadow_map, shadow_vp=shadow_vp,
+        sub_ids=sub_ids, sout_cache=sout_cache, return_sout=True)
+
+    maps = _shade_light_fields(shadow, rho, tex_sub, ao_src, grad_dir_src,
+                               sh_coeffs, ambient, light_color,
+                               has_light_probe)
+    return maps, sout
+
+
+def ray_march_light_sweep(
+    rho_light_src,    # (N_src, L, L, L) from precompute_static
+    ao_src,           # (N_src, L, L, L)
+    grad_dir_src,     # (N_src, 3, L, L, L)
+    vol_tex_ids, per_object: PerObject, cull: CullResult,
+    shadow_map, shadow_vp, light_pos, light_color, ambient, sh_coeffs,
+    max_light_samples: int, has_light_probe: bool = True,
+):
+    """All N light maps in one pass: -> (N, 3, L, L, L) channel-mid.
+
+    Same output contract as `lightmarch.ray_march_light` with every
+    volume refreshed (the full-refresh case of
+    `ray_march_light_sweep_update`; the per-frame graph amortizes over
+    cohorts instead). All density-derived fields come precomputed (zero
+    per-frame gathers)."""
+    del cull  # visibility never gates light maps (shadows of off-screen
+    #           volumes still land on visible ones)
+    maps, _sout = ray_march_light_sweep_update(
+        rho_light_src, ao_src, grad_dir_src, vol_tex_ids, per_object,
+        shadow_map, shadow_vp, light_pos, light_color, ambient, sh_coeffs,
+        max_light_samples, has_light_probe=has_light_probe,
+    )
+    return maps

@@ -33,7 +33,6 @@ from multivolumes_tpu.config import RenderConfig
 from multivolumes_tpu.core import math3d, sh as sh_lib
 from multivolumes_tpu.core.camera import Camera
 from multivolumes_tpu.core.halton import halton_jitter
-from multivolumes_tpu.render import composite
 
 _ZQ = float(1 << 24)  # depth quantization for the uint z-buffer
 # plain numpy scalar: a jnp constant here would initialize JAX backends at
@@ -227,42 +226,63 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
     return depth, tri_id
 
 
-def _interp_setup(verts_clip, indices, tri_id, width, height):
-    """Per-pixel perspective-correct barycentrics for the winning triangle.
+def _triangle_planes(verts_clip, pos, nrm, indices, width, height):
+    """Per-triangle screen-affine interpolation planes: (T, 23).
 
-    Returns (valid, bary (H, W, 3), tri vertex indices (H, W, 3))."""
-    t = jnp.clip(tri_id, 0, indices.shape[0] - 1)
-    vid = indices[t]  # (H,W,3)
+    Perspective-correct interpolation of attribute a is
+    (sum_i b_i a_i/w_i) / (sum_i b_i / w_i) with screen-affine
+    barycentrics b_i, so every per-pixel quantity is a ratio of two
+    AFFINE functions of (x, y). Baking (value at vertex 0, d/dx, d/dy)
+    per triangle for the 7 planes {pos/w (3), nrm/w (3), 1/w} turns the
+    deferred shade's THREE per-pixel vertex-row gathers + barycentric
+    setup (`VSBasePass`/rasterizer interpolators) into ONE 23-float
+    row gather + 14 FMAs — the gather bill is the mesh pass's dominant
+    cost at the measured ~65 Mtaps/s XLA rate.
 
-    vc = verts_clip[vid]  # (H,W,3,4)
-    return _interp_from_clip(vc, tri_id, width, height) + (vid,)
+    Layout: [x0, y0, v0(7), d/dx(7), d/dy(7)] anchored at vertex 0's
+    screen position (anchoring keeps the affine evaluation conditioned —
+    absolute-coordinate plane constants lose ~3 digits at 1280 px).
+    """
+    v = verts_clip
+    w_clip = jnp.maximum(v[:, 3], 1e-20)
+    px = (v[:, 0] / w_clip * 0.5 + 0.5) * width
+    py = (0.5 - v[:, 1] / w_clip * 0.5) * height
+    inv_w = 1.0 / w_clip
+    attrs = jnp.concatenate(
+        [pos * inv_w[:, None], nrm * inv_w[:, None], inv_w[:, None]],
+        axis=1)                                               # (V, 7)
+
+    t0, t1, t2 = indices[:, 0], indices[:, 1], indices[:, 2]
+    x0, y0 = px[t0], py[t0]
+    x1, y1 = px[t1], py[t1]
+    x2, y2 = px[t2], py[t2]
+    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+
+    a0, a1, a2 = attrs[t0], attrs[t1], attrs[t2]              # (T, 7)
+    e1, e2 = a1 - a0, a2 - a0
+    gx = (e1 * (y2 - y0)[:, None] - e2 * (y1 - y0)[:, None]) \
+        * inv_area[:, None]
+    gy = (e2 * (x1 - x0)[:, None] - e1 * (x2 - x0)[:, None]) \
+        * inv_area[:, None]
+    return jnp.concatenate(
+        [x0[:, None], y0[:, None], a0, gx, gy], axis=1)       # (T, 23)
 
 
-def _interp_from_clip(vc, tri_id, width, height):
-    w_clip = vc[..., 3]
-    ndc = vc[..., :3] / jnp.maximum(w_clip[..., None], 1e-20)
-    px = (ndc[..., 0] * 0.5 + 0.5) * width
-    py = (0.5 - ndc[..., 1] * 0.5) * height
+def _interp_planes(tbl, tri_id, width, height):
+    """tri_id (H, W) -> (valid, pos_local (H,W,3), nrm_local (H,W,3))
+    via one per-pixel plane-row gather."""
+    t = jnp.clip(tri_id, 0, tbl.shape[0] - 1)
+    row = tbl[t]                                              # (H, W, 23)
 
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
     xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
-
-    x0, x1, x2 = px[..., 0], px[..., 1], px[..., 2]
-    y0, y1, y2 = py[..., 0], py[..., 1], py[..., 2]
-    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
-    b1 = ((xg - x0) * (y2 - y0) - (x2 - x0) * (yg - y0)) * inv_area
-    b2 = ((x1 - x0) * (yg - y0) - (xg - x0) * (y1 - y0)) * inv_area
-    b0 = 1.0 - b1 - b2
-    bary_screen = jnp.stack([b0, b1, b2], -1)
-
-    # perspective correction: weights b_i / w_i, renormalized
-    pw = bary_screen / jnp.maximum(w_clip, 1e-20)
-    bary = pw / jnp.maximum(jnp.sum(pw, -1, keepdims=True), 1e-20)
-
-    valid = tri_id >= 0
-    return valid, bary
+    dx = (xg - row[..., 0])[..., None]
+    dy = (yg - row[..., 1])[..., None]
+    vals = row[..., 2:9] + row[..., 9:16] * dx + row[..., 16:23] * dy
+    inv_w = 1.0 / jnp.maximum(vals[..., 6:7], 1e-20)
+    return tri_id >= 0, vals[..., 0:3] * inv_w, vals[..., 3:6] * inv_w
 
 
 def render_shadow_map(state, config: RenderConfig) -> jnp.ndarray:
@@ -302,26 +322,16 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     clip_jit = clip.at[:, :2].add(jitter[None] * clip[:, 3:4])
     depth, tri_id = rasterize(clip_jit, idx, width, height)
 
-    # One packed per-vertex table -> ONE row gather per pixel-vertex.
-    # Barycentric interpolation commutes with affine maps, so only the
-    # local position + normal need interpolating (10 floats/vertex, with
-    # the jittered clip for the barycentric setup); every derived space
-    # (world, light-clip, current/previous clip) is one exact per-pixel
-    # matrix transform of the interpolated position.
-    attrs = jnp.concatenate([
-        clip_jit,                                          # 0:4 bary setup
-        pos,                                               # 4:7 local pos
-        nrm,                                               # 7:10 local nrm
-    ], axis=1)
-    t = jnp.clip(tri_id, 0, idx.shape[0] - 1)
-    vid = idx[t]                      # (H,W,3)
-    pk = attrs[vid]                   # (H,W,3,10) single gather
-    valid, bary = _interp_from_clip(pk[..., 0:4], tri_id, width, height)
-
-    fields = jnp.sum(pk[..., 4:] * bary[..., None], axis=-2)  # (H,W,6)
-    pos_i = fields[..., 0:3]
+    # One per-TRIANGLE plane table -> ONE row gather per pixel (vs three
+    # vertex rows + barycentric setup; see _triangle_planes). Barycentric
+    # interpolation commutes with affine maps, so only the local
+    # position + normal interpolate; every derived space (world,
+    # light-clip, current/previous clip) is one exact per-pixel matrix
+    # transform of the interpolated position.
+    tbl = _triangle_planes(clip_jit, pos, nrm, idx, width, height)
+    valid, pos_i, nrm_i = _interp_planes(tbl, tri_id, width, height)
     ws_pos = math3d.transform_point3(pos_i, world)
-    normal = math3d.transform_vector(fields[..., 3:6], world)
+    normal = math3d.transform_vector(nrm_i, world)
     ls_pos = math3d.transform_point(pos_i, shadow_wvp)[..., :3]
     cs_pos = math3d.transform_point(pos_i, wvp)
     ts_pos = math3d.transform_point(pos_i, state.mesh_prev_wvp)
@@ -388,17 +398,11 @@ def shade_base_pass(ws_pos, normal, ls_pos, cs_pos, ts_pos, eye,
 
     if has_light_probe:
         r = 2.0 * jnp.sum(v * n, -1, keepdims=True) * n - v  # reflect(-V, N)
-        size = radiance.shape[1]
-        # env-radiance reflection: ONE nearest packed-row tap per pixel
-        # (the reference bilinear-samples; at the radiance cube's
-        # resolution on a smooth environment, nearest + TAA jitter is
-        # indistinguishable and 12x cheaper in gather traffic)
-        face_id, uu, vv = composite.dir_to_face_uv_soa(
-            r[..., 0], r[..., 1], r[..., 2])
-        ui = jnp.clip((uu * size).astype(jnp.int32), 0, size - 1)
-        vi = jnp.clip((vv * size).astype(jnp.int32), 0, size - 1)
-        table = radiance.reshape(6 * size * size, radiance.shape[-1])
-        rad = table[face_id * (size * size) + vi * size + ui][..., :3]
+        # env-radiance reflection as an order-3 SH reconstruction: ZERO
+        # gathers per pixel (the reference bilinear-samples the radiance
+        # cube, `PSBasePass.hlsl:120-127`; at the Karis roughness 0.4
+        # the reflection is low-frequency — see sh.eval_radiance)
+        rad = sh_lib.eval_radiance(sh_coeffs, math3d.normalize(r))
     else:
         rad = jnp.zeros_like(ws_pos)
 
@@ -439,11 +443,13 @@ def _shadow_map_compare(ls_pos, shadow_map, bias: float = 0.0027):
     """`ShadowMap` (`PSBasePass.hlsl:73-79`): PCF compare at the light-clip
     position (no matrix transform — ls_pos is already light-space).
 
-    The 2x2 footprint costs TWO packed-row gathers instead of four
-    element gathers: the map is pre-paired along x twice (pairs starting
-    at even and at odd columns); each pixel picks the table matching its
-    x0 parity. (A (2, 2) block gather via lax.gather slice_sizes
-    measured 6x SLOWER — XLA lowers small-slice gathers poorly.)"""
+    The 2x2 footprint costs ONE packed-row gather: the map is pre-packed
+    into 2x2 quads at all four (row, column) parities; each pixel picks
+    the sub-table matching its tap origin's parity and fetches all four
+    taps in one row. (Element gathers run ~65 Mtaps/s on v5e; a (2, 2)
+    block gather via lax.gather slice_sizes measured 6x slower still —
+    packing is the only fast shape.) Odd map sizes fall back to the
+    two-row-pair formulation."""
     uv = ls_pos[..., :2] * 0.5 + 0.5
     uv = uv.at[..., 1].set(1.0 - uv[..., 1])
     z = ls_pos[..., 2] - bias
@@ -452,27 +458,47 @@ def _shadow_map_compare(ls_pos, shadow_map, bias: float = 0.0027):
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
     x0f, y0f = jnp.floor(x), jnp.floor(y)
-    fx, fy = x - x0f, y - y0f
 
     def cidx(vv, nn):
         return jnp.clip(vv.astype(jnp.int32), 0, nn - 1)
 
-    x0 = cidx(x0f, w - 1)   # pair start; tap1 = x0 + 1 always in range
-    y0, y1 = cidx(y0f, h), cidx(y0f + 1, h)
+    x0 = cidx(x0f, w - 1)   # tap origin; +1 neighbors in range via pad
+    y0 = cidx(y0f, h - 1)
     fx = jnp.clip(x - x0.astype(jnp.float32), 0.0, 1.0)
+    fy = jnp.clip(y - y0.astype(jnp.float32), 0.0, 1.0)
 
-    half = w // 2
-    sm_pad = jnp.pad(shadow_map, ((0, 0), (0, 1)), mode="edge")
-    even = sm_pad[:, : 2 * half].reshape(h * half, 2)
-    odd = sm_pad[:, 1: 1 + 2 * half].reshape(h * half, 2)
-    table = jnp.concatenate([even, odd], 0)     # (2*h*half, 2)
+    if h % 2 or w % 2:
+        # odd sizes: two row-pair gathers (previous formulation)
+        half = w // 2 + 1
+        sm_pad = jnp.pad(shadow_map, ((0, 1), (0, 2)), mode="edge")
+        even = sm_pad[:h, : 2 * half].reshape(h * half, 2)
+        odd = sm_pad[:h, 1: 1 + 2 * half].reshape(h * half, 2)
+        table = jnp.concatenate([even, odd], 0)
+        base = ((x0 & 1) * (h * half)).astype(jnp.int32)
 
-    par = x0 & 1
-    base = (par * (h * half)).astype(jnp.int32)
+        def row(yi):
+            pair = table[base + yi * half + (x0 >> 1)]
+            c = (z[..., None] <= pair).astype(jnp.float32)
+            return c[..., 0] * (1 - fx) + c[..., 1] * fx
 
-    def row(yi):
-        pair = table[base + yi * half + (x0 >> 1)]   # (..., 2)
-        c = (z[..., None] <= pair).astype(jnp.float32)
-        return c[..., 0] * (1 - fx) + c[..., 1] * fx
+        y1 = cidx(y0f + 1, h)
+        return row(y0) * (1 - fy) + row(y1) * fy
 
-    return row(y0) * (1 - fy) + row(y1) * fy
+    hh, ww = h // 2, w // 2
+    sm_pad = jnp.pad(shadow_map, ((0, 1), (0, 1)), mode="edge")
+    quads = []
+    for py in (0, 1):
+        for px_ in (0, 1):
+            sub = sm_pad[py:py + h, px_:px_ + w]
+            quads.append(jnp.stack(
+                [sub[0::2, 0::2], sub[0::2, 1::2],
+                 sub[1::2, 0::2], sub[1::2, 1::2]], -1
+            ).reshape(hh * ww, 4))
+    table = jnp.concatenate(quads, 0)            # (4*hh*ww, 4)
+
+    base = (((y0 & 1) * 2 + (x0 & 1)) * (hh * ww)).astype(jnp.int32)
+    quad = table[base + (y0 >> 1) * ww + (x0 >> 1)]   # (..., 4)
+    c = (z[..., None] <= quad).astype(jnp.float32)
+    c0 = c[..., 0] * (1 - fx) + c[..., 1] * fx
+    c1 = c[..., 2] * (1 - fx) + c[..., 3] * fx
+    return c0 * (1 - fy) + c1 * fy

@@ -457,6 +457,63 @@ def _occlusion_s_max(per_object, eye_local, eye_faces, depth_map, s,
     return s_max, z
 
 
+def ray_march_view_sweep_lod_sharded(
+    mesh,
+    volumes_oriented,     # (N_src, 3, D, 4, H, W) REPLICATED
+    vol_tex_ids,          # (N,) volume-sharded
+    light_maps_oriented,  # (N, 3, Dl, 3, Hl, Wl) REPLICATED
+    per_object: PerObject,  # volume-sharded
+    cull: CullResult,       # volume-sharded
+    eye,
+    depth_map,
+    cube_map_size: int,
+    dtype=jnp.float32,
+    bucket_caps=(8, 24, 1 << 30),
+    impl: str = "pallas",
+    pack: bool = False,
+):
+    """Multi-chip LOD sweep: genuinely partition the march over the
+    volume axis with `jax.shard_map` (GSPMD cannot partition the opaque
+    Mosaic kernel itself, so without this the sweep would run replicated
+    per device). Each device LOD-buckets and marches its own N/D volumes
+    (bucket caps scale down per device — per-chip caps are the honest
+    multi-chip reading of the work-graph capacity limits); the sharded
+    cube maps then all-gather (~0.8 MB/volume) into the replicated
+    screen-space composite — the SURVEY section-2.6 plan. The big
+    slow-changing stacks (source volumes, light maps) stay replicated:
+    their refresh is amortized, the per-frame march is not.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = "volumes"
+    nd = mesh.shape[axis]
+    n = vol_tex_ids.shape[0]
+    assert n % nd == 0, (n, nd)
+    caps = tuple(c if c >= (1 << 20) else max(1, c // nd)
+                 for c in bucket_caps)
+
+    def local_fn(vol_or, tex_l, lm_full, po_l, cull_l, eye_, depth_):
+        d = jax.lax.axis_index(axis)
+        nl = tex_l.shape[0]
+        lm_l = jax.lax.dynamic_slice_in_dim(lm_full, d * nl, nl, 0)
+        cm, mips = ray_march_view_sweep_lod(
+            vol_or, tex_l, lm_l, po_l, cull_l, eye_, depth_,
+            cube_map_size, dtype=dtype, bucket_caps=caps, impl=impl,
+            pack=pack,
+        )
+        return cm.color, cm.depth, mips
+
+    color, depth, mips = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )(volumes_oriented, vol_tex_ids, light_maps_oriented, per_object,
+      cull, eye, depth_map)
+    return CubeMaps(color=color, depth=depth), mips
+
+
 def lod_partition(cull: CullResult, n: int, cube_map_size: int,
                   bucket_caps):
     """Rank volumes for LOD bucketing; shared by the sweep and the warp

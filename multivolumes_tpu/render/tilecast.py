@@ -1,0 +1,174 @@
+"""Host-side prep for the Pallas screen-tile OIT composite.
+
+Drop-in alternative to `warp.composite_oit_warp` (same output contract:
+premultiplied under-blended (r, g, b, a) screen fields; reference anchor
+`PSCube.hlsli` + `PSDepthPeel.hlsl` + `PSResolveOIT.hlsl`). This module
+does the per-frame XLA-side geometry — per-volume homographies, the
+Catmull-Smith orientation choice, per-tile volume lists — and hands the
+pixel work to `ops/pallas/composite_kernel.py`.
+
+vs the warp module's per-volume scan:
+  * cost is per-(tile, overlapping volume), angle-INDEPENDENT — there is
+    no rectified/dense `lax.cond` (which doubled the composite graph and
+    its fresh-compile time, docs/ROADMAP.md);
+  * pass 2 is the exact dense warp (no anchor-correction approximation);
+  * the K-buffer never round-trips HBM per volume (the ~10k-tiny-copy
+    trace finding).
+
+The warp module remains the XLA semantics twin for tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multivolumes_tpu.core import math3d
+from multivolumes_tpu.ops.pallas.composite_kernel import tile_composite_pallas
+from multivolumes_tpu.render import warp as warp_lib
+from multivolumes_tpu.render.cull import CullResult
+from multivolumes_tpu.render.perframe import PerObject
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def tile_dims(width: int, height: int):
+    """Tile shape + padded screen dims (tiles are (th, tw) exactly)."""
+    tw = 256 if width > 128 else 128
+    th = 128 if height > 64 else _ceil_to(max(height, 8), 8)
+    wp = _ceil_to(width, tw)
+    hp = _ceil_to(height, th)
+    return th, tw, hp, wp
+
+
+def composite_oit_tile(
+    cube_maps,                      # color (N, 6, 4, S, S) UNPACKED
+    per_object: PerObject,
+    cull: CullResult,
+    eye,
+    screen_to_world,
+    depth_map,                      # (H, W) scene clip depth or None
+    width: int,
+    height: int,
+    num_layers: int,
+    interpret: bool | None = None,
+):
+    """Full OIT composite via the screen-tile kernel -> (r, g, b, a)."""
+    color = cube_maps.color
+    assert color.shape[2] == 4, "tile composite needs unpacked cube maps"
+    n = per_object.world.shape[0]
+    s = color.shape[-1]
+    k_layers = min(num_layers, n)
+
+    a_mat = warp_lib.screen_basis(screen_to_world, eye)       # (3, 3)
+    eye_local = math3d.transform_point3(eye, per_object.world_i)  # (N, 3)
+    wi3 = per_object.world_i[:, :3, :3]
+    b_mat = jnp.einsum("ij,njk->nik", a_mat, wi3)             # (N, 3, 3)
+    n_eff = (s >> jnp.clip(cull.mip_level, 0, 31)).astype(jnp.float32)
+
+    # --- per-(volume, face) homographies + Catmull-Smith orientation ----
+    # swap decision at the volume's projected centre (same granularity as
+    # the warp path's tile centre — the tile there is centred on the
+    # volume); in NDC via the clip image of the local origin
+    c0 = per_object.world_view_proj[:, 3, :]
+    c0w = jnp.where(jnp.abs(c0[:, 3]) > 1e-3, c0[:, 3], 1e-3)
+    xc = jnp.clip(c0[:, 0] / c0w, -1.0, 1.0)                  # (N,)
+    yc = jnp.clip(c0[:, 1] / c0w, -1.0, 1.0)
+
+    pu_f, pv_f, dn_f = [], [], []
+    for f in range(6):
+        nu, nv, den = jax.vmap(
+            lambda b, o, f=f: warp_lib.face_homography(b, o, f)
+        )(b_mat, eye_local)                                   # (N, 3) each
+        p_u = n_eff[:, None] * nu - 0.5 * den
+        p_v = n_eff[:, None] * nv - 0.5 * den
+        # resample rows along whichever face axis varies more with
+        # screen y (warp.composite_oit_warp's swap criterion)
+        dqc = den[:, 0] * xc + den[:, 1] * yc + den[:, 2]
+        vqc = p_v[:, 0] * xc + p_v[:, 1] * yc + p_v[:, 2]
+        uqc = p_u[:, 0] * xc + p_u[:, 1] * yc + p_u[:, 2]
+        dv_dy = p_v[:, 1] * dqc - den[:, 1] * vqc
+        du_dy = p_u[:, 1] * dqc - den[:, 1] * uqc
+        swap = jnp.abs(dv_dy) < jnp.abs(du_dy)                # (N,)
+        pu_f.append(jnp.where(swap[:, None], p_v, p_u))
+        pv_f.append(jnp.where(swap[:, None], p_u, p_v))
+        dn_f.append((den, swap))
+
+    face_flt = jnp.stack(
+        [jnp.concatenate([pu_f[f], pv_f[f], dn_f[f][0]], axis=1)
+         for f in range(6)], axis=1)                          # (N, 6, 9)
+    swap_nf = jnp.stack([dn_f[f][1] for f in range(6)], axis=1)  # (N, 6)
+
+    # pre-swapped face images (a swapped face samples the transposed
+    # image), minor-padded to the lane width
+    color_t = jnp.swapaxes(color, -1, -2)
+    color_sel = jnp.where(swap_nf[:, :, None, None, None], color_t, color
+                          ).astype(jnp.float32)
+    s_pad = _ceil_to(s, 128)
+    if s_pad != s:
+        color_sel = jnp.pad(
+            color_sel, ((0, 0),) * 4 + ((0, s_pad - s),))
+
+    # --- per-volume scalars ---------------------------------------------
+    wvp = per_object.world_view_proj                          # (N, 4, 4)
+    vol_flt = jnp.concatenate([
+        b_mat.reshape(n, 9),
+        eye_local,
+        wvp[:, :, 2],
+        wvp[:, :, 3],
+        n_eff[:, None],
+    ], axis=1)                                                # (N, 21)
+
+    # --- per-tile volume lists (bbox culled, capacity N) ----------------
+    th, tw, hp, wp = tile_dims(width, height)
+    tiles_x = wp // tw
+    tiles_y = hp // th
+    tiles = tiles_x * tiles_y
+
+    corners = jnp.asarray(
+        [[x, y, z] for x in (-1.0, 1.0) for y in (-1.0, 1.0)
+         for z in (-1.0, 1.0)], jnp.float32)
+    ch_ = math3d.transform_point(corners[None], wvp[:, None])  # (N, 8, 4)
+    cok = ch_[..., 3] > 1e-3
+    chw = jnp.maximum(ch_[..., 3], 1e-3)
+    px = (ch_[..., 0] / chw * 0.5 + 0.5) * width
+    py = (-ch_[..., 1] / chw * 0.5 + 0.5) * height
+    big = jnp.float32(1e9)
+    # any behind-camera corner projects garbage: treat the bbox as
+    # full-screen for that volume (conservative — never cull wrongly)
+    all_ok = jnp.all(cok, axis=-1)
+    vx_lo = jnp.where(all_ok, jnp.min(px, -1), -big)
+    vx_hi = jnp.where(all_ok, jnp.max(px, -1), big)
+    vy_lo = jnp.where(all_ok, jnp.min(py, -1), -big)
+    vy_hi = jnp.where(all_ok, jnp.max(py, -1), big)
+
+    t_idx = jnp.arange(tiles, dtype=jnp.int32)
+    tx0 = (t_idx % tiles_x * tw).astype(jnp.float32)          # (T,)
+    ty0 = (t_idx // tiles_x * th).astype(jnp.float32)
+    overlap = (
+        (vx_lo[None, :] < tx0[:, None] + tw)
+        & (vx_hi[None, :] > tx0[:, None])
+        & (vy_lo[None, :] < ty0[:, None] + th)
+        & (vy_hi[None, :] > ty0[:, None])
+        & cull.visible[None, :]
+    )                                                         # (T, N)
+    vids = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(overlap, vids[None], n + 1)
+    tlist = jnp.sort(key, axis=1).astype(jnp.int32)           # (T, N)
+    tlist = jnp.minimum(tlist, n - 1)  # sentinel slots never looped over
+    counts = jnp.sum(overlap, axis=1).astype(jnp.int32)       # (T,)
+
+    scene = depth_map if depth_map is not None else jnp.ones(
+        (height, width), jnp.float32)
+    # pad with 0: exit_z <= 0 never passes, so pad pixels stay empty
+    scene_p = jnp.pad(scene, ((0, hp - height), (0, wp - width)))
+
+    out = tile_composite_pallas(
+        color_sel, scene_p, tlist, counts, vol_flt, face_flt,
+        s=s, th=th, tw=tw, tiles_x=tiles_x, k_layers=k_layers,
+        width=width, height=height, interpret=interpret,
+    )
+    out = out[:, :height, :width]
+    return out[0], out[1], out[2], out[3]

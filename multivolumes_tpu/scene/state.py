@@ -33,6 +33,8 @@ from multivolumes_tpu.scene import volume as volume_lib
         "vol_tex_ids",
         "volume_worlds",
         "light_maps",
+        "light_maps_oriented",
+        "light_sout",
         "sh_coeffs",
         "radiance",
         "light_pos",
@@ -66,6 +68,16 @@ class SceneState:
     volume_worlds: jnp.ndarray    # (N, 4, 4) world transforms (row-vector)
     light_maps: jnp.ndarray       # (N, 3, L, L, L) channel-mid (trailing
                                   # 3 would be tile-padded 32x at rest)
+    light_maps_oriented: jnp.ndarray  # (N, 3, L, 3, L, L) slab-major
+                                  # 3-variant orientations in the sweep
+                                  # dtype — carried so the per-frame
+                                  # orient cost scales with the refreshed
+                                  # cohort, not N (the view sweep consumes
+                                  # this directly)
+    light_sout: jnp.ndarray       # (N, L, L) cached outgoing lateral
+                                  # light transmittance per volume
+                                  # (position-independent; see
+                                  # lightsweep.light_transmittance)
 
     # Lighting — `LightProbe` + cbPerFrame light params
     sh_coeffs: jnp.ndarray        # (9, 3) SH-projected radiance
@@ -154,6 +166,7 @@ def create_scene(config: RenderConfig,
 
     lgs = config.light_grid_size
     light_maps = jnp.ones((n, 3, lgs, lgs, lgs), dtype)
+    light_sout = jnp.ones((n, lgs, lgs), jnp.float32)
 
     if radiance is None:
         radiance = default_radiance(64)
@@ -177,6 +190,33 @@ def create_scene(config: RenderConfig,
     light_color = jnp.array([1.0, 0.7, 0.3, 3.0 * np.pi], jnp.float32)
     ambient = jnp.array([0.4, 0.6, 1.0, 2.0 * np.pi], jnp.float32)
 
+    sweep_dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
+    if config.light_mode == "sweep":
+        # initial full light refresh (no mesh shadow yet; engine setters
+        # re-refresh) so the per-frame cohort amortization starts from
+        # correct maps, and the oriented stacks + outgoing-footprint
+        # cache start coherent
+        from multivolumes_tpu.render import sweep as sweep_lib
+        from multivolumes_tpu.render.perframe import build_per_object
+
+        def _init_light(worlds_, rho_, ao_, gd_, sh_):
+            po0 = build_per_object(worlds_, jnp.eye(4, dtype=jnp.float32))
+            maps0, sout0 = lightsweep.ray_march_light_sweep_update(
+                rho_, ao_, gd_, vol_tex_ids, po0, None, None,
+                light_pos, light_color, ambient, sh_,
+                config.max_light_samples,
+                has_light_probe=config.has_light_probe,
+            )
+            return (maps0.astype(dtype),
+                    sweep_lib.orient_variants_cf(maps0.astype(sweep_dtype)),
+                    sout0)
+
+        light_maps, light_oriented, light_sout = jax.jit(_init_light)(
+            worlds, rho_light, ao_static, grad_dir, sh_coeffs)
+    else:
+        light_oriented = jnp.ones(
+            (n, 3, lgs, 3, lgs, lgs), sweep_dtype)
+
     return SceneState(
         frame_idx=jnp.asarray(0, jnp.int32),
         volumes=vols,
@@ -184,6 +224,8 @@ def create_scene(config: RenderConfig,
         vol_tex_ids=vol_tex_ids,
         volume_worlds=worlds,
         light_maps=light_maps,
+        light_maps_oriented=light_oriented,
+        light_sout=light_sout,
         sh_coeffs=sh_coeffs,
         radiance=jnp.asarray(radiance, dtype),
         light_pos=light_pos,

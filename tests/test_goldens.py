@@ -18,15 +18,18 @@ from tools.make_goldens import GOLDEN_DIR, golden_cases, render_case
 
 
 @pytest.mark.parametrize(
-    "name,cfg,frames", golden_cases(), ids=lambda c: c if isinstance(c, str) else ""
+    "name,cfg,frames,mesh_path", golden_cases(),
+    ids=lambda c: c if isinstance(c, str) else ""
 )
-def test_golden_frame(name, cfg, frames):
+def test_golden_frame(name, cfg, frames, mesh_path):
+    if mesh_path is not None and not os.path.exists(mesh_path):
+        pytest.skip(f"{mesh_path} not present")
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
     assert os.path.exists(path), (
         f"missing golden {path}; run tools/make_goldens.py"
     )
     want = np.load(path)["image"].astype(np.float32)
-    got = render_case(cfg, frames)
+    got = render_case(cfg, frames, mesh_path)
     assert got.shape == want.shape
     diff = np.abs(got - want)
     # display-mapped [0, 1] images; tolerances catch real regressions but

@@ -64,3 +64,37 @@ def test_taa_windowed_reprojection_matches_full():
     # centred at (75, 45); dilation spreads 1 px
     np.testing.assert_allclose(
         np.asarray(nh_win), np.asarray(nh_full), atol=2e-5)
+
+
+def test_reproj_window_boundary_fallback():
+    """A velocity writer larger than the reprojection window (round-2
+    weak item 6): pixels INSIDE the window must reproject exactly like
+    the full-screen path; pixels OUTSIDE must fall back to the
+    UNREPROJECTED history resolve (the documented degradation — no
+    garbage, no crash). The window is centred on reproj_center."""
+    h, w = 64, 128
+    win = 32
+    cur, hist, _ = _mk_inputs(h, w, seed=3)
+    # uniform 2px-right motion everywhere — a "mesh" covering the screen
+    vel = (jnp.full((h, w), 2.0 / w, jnp.float32),
+           jnp.zeros((h, w), jnp.float32))
+    center = (w / 2.0, h / 2.0)
+
+    (_, _, _), nh_win = taa.temporal_aa(
+        cur, hist, vel, use_pallas=True,
+        reproj_center=center, reproj_window=win)
+    (_, _, _), nh_full = taa.temporal_aa(cur, hist, vel, use_pallas=True)
+    (_, _, _), nh_none = taa.temporal_aa(cur, hist, None, use_pallas=True)
+
+    x0, y0 = (w - win) // 2, (h - win) // 2
+    inside = np.zeros((h, w), bool)
+    inside[y0:y0 + win, x0:x0 + win] = True
+    # interior of the window (velocity_max dilates 1px at the seam)
+    core = np.zeros((h, w), bool)
+    core[y0 + 2:y0 + win - 2, x0 + 2:x0 + win - 2] = True
+
+    nh_win, nh_full, nh_none = map(np.asarray, (nh_win, nh_full, nh_none))
+    np.testing.assert_allclose(nh_win[:, core], nh_full[:, core],
+                               atol=1e-5)
+    np.testing.assert_allclose(nh_win[:, ~inside], nh_none[:, ~inside],
+                               atol=1e-5)
