@@ -183,7 +183,10 @@ class MultiRayCaster:
         sm = jax.jit(
             mesh_lib.render_shadow_map, static_argnums=(1,)
         )(self.state, self.config)
-        self.state = dataclasses.replace(self.state, mesh_shadow_map=sm)
+        self.state = dataclasses.replace(
+            self.state, mesh_shadow_map=sm,
+            mesh_shadow_quads=jax.jit(mesh_lib.build_shadow_quads)(sm),
+        )
 
     def set_ambient(self, color, intensity: float) -> None:
         self.state = dataclasses.replace(

@@ -75,6 +75,7 @@ def state_shardings(mesh: Mesh, state: SceneState) -> SceneState:
         mesh_world=rep,
         mesh_prev_wvp=rep,
         mesh_shadow_map=rep,
+        mesh_shadow_quads=rep,
         scene_size=rep,
         rho_light=rep,
         ao_static=rep,

@@ -270,19 +270,25 @@ def _triangle_planes(verts_clip, pos, nrm, indices, width, height):
 
 
 def _interp_planes(tbl, tri_id, width, height):
-    """tri_id (H, W) -> (valid, pos_local (H,W,3), nrm_local (H,W,3))
-    via one per-pixel plane-row gather."""
+    """tri_id (H, W) -> (valid, pos_local (x, y, z), nrm_local (x, y, z))
+    scalar fields via one per-pixel plane-row gather (everything after
+    the gather is SoA — trailing-3 arrays lane-pad 42x)."""
     t = jnp.clip(tri_id, 0, tbl.shape[0] - 1)
     row = tbl[t]                                              # (H, W, 23)
 
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
     xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
-    dx = (xg - row[..., 0])[..., None]
-    dy = (yg - row[..., 1])[..., None]
-    vals = row[..., 2:9] + row[..., 9:16] * dx + row[..., 16:23] * dy
-    inv_w = 1.0 / jnp.maximum(vals[..., 6:7], 1e-20)
-    return tri_id >= 0, vals[..., 0:3] * inv_w, vals[..., 3:6] * inv_w
+    dx = xg - row[..., 0]
+    dy = yg - row[..., 1]
+
+    def plane(i):
+        return row[..., 2 + i] + row[..., 9 + i] * dx + row[..., 16 + i] * dy
+
+    inv_w = 1.0 / jnp.maximum(plane(6), 1e-20)
+    pos = tuple(plane(i) * inv_w for i in range(3))
+    nrm = tuple(plane(3 + i) * inv_w for i in range(3))
+    return tri_id >= 0, pos, nrm
 
 
 def render_shadow_map(state, config: RenderConfig) -> jnp.ndarray:
@@ -329,22 +335,36 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     # light-clip, current/previous clip) is one exact per-pixel matrix
     # transform of the interpolated position.
     tbl = _triangle_planes(clip_jit, pos, nrm, idx, width, height)
-    valid, pos_i, nrm_i = _interp_planes(tbl, tri_id, width, height)
-    ws_pos = math3d.transform_point3(pos_i, world)
-    normal = math3d.transform_vector(nrm_i, world)
-    ls_pos = math3d.transform_point(pos_i, shadow_wvp)[..., :3]
-    cs_pos = math3d.transform_point(pos_i, wvp)
-    ts_pos = math3d.transform_point(pos_i, state.mesh_prev_wvp)
+    valid, pl, nl = _interp_planes(tbl, tri_id, width, height)
+
+    def pt_soa(m, x, y, z):
+        return (x * m[0, 0] + y * m[1, 0] + z * m[2, 0] + m[3, 0],
+                x * m[0, 1] + y * m[1, 1] + z * m[2, 1] + m[3, 1],
+                x * m[0, 2] + y * m[1, 2] + z * m[2, 2] + m[3, 2],
+                x * m[0, 3] + y * m[1, 3] + z * m[2, 3] + m[3, 3])
+
+    def vec_soa(m, x, y, z):
+        return (x * m[0, 0] + y * m[1, 0] + z * m[2, 0],
+                x * m[0, 1] + y * m[1, 1] + z * m[2, 1],
+                x * m[0, 2] + y * m[1, 2] + z * m[2, 2])
+
+    wsx, wsy, wsz, _ = pt_soa(world, *pl)            # affine: w == 1
+    nrm_w = vec_soa(world, *nl)
+    lsx, lsy, lsz, _ = pt_soa(shadow_wvp, *pl)
+    csx, csy, _csz, csw = pt_soa(wvp, *pl)
+    tsx, tsy, _tsz, tsw = pt_soa(state.mesh_prev_wvp, *pl)
 
     color, velocity = shade_base_pass(
-        ws_pos, normal, ls_pos, cs_pos, ts_pos,
+        (wsx, wsy, wsz), nrm_w, (lsx, lsy, lsz),
+        (csx, csy, csw), (tsx, tsy, tsw),
         camera.eye, state.light_pos, state.light_color, state.ambient,
-        state.sh_coeffs, state.radiance, shadow_depth,
+        state.sh_coeffs, shadow_depth,
+        shadow_quads=state.mesh_shadow_quads,
         has_light_probe=config.has_light_probe,
     )
     zero = jnp.zeros_like(depth)
-    col = tuple(jnp.where(valid, color[..., c], zero) for c in range(3))
-    vel = tuple(jnp.where(valid, velocity[..., c], zero) for c in range(2))
+    col = tuple(jnp.where(valid, c, zero) for c in color)
+    vel = tuple(jnp.where(valid, c, zero) for c in velocity)
 
     # projected mesh bbox centre (pixels) — anchors TAA's windowed
     # history reprojection (velocity is zero off-mesh)
@@ -370,78 +390,111 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     )
 
 
-def shade_base_pass(ws_pos, normal, ls_pos, cs_pos, ts_pos, eye,
-                    light_pos, light_color, ambient, sh_coeffs, radiance,
-                    shadow_map, has_light_probe: bool = True):
-    """`PSBasePass.hlsl:94-153`."""
-    base_color = jnp.array([1.0, 0.6, 0.2], jnp.float32)
-    diffuse_brdf = base_color / jnp.pi
+def shade_base_pass(ws, nrm, ls, cs, ts, eye,
+                    light_pos, light_color, ambient, sh_coeffs,
+                    shadow_map, shadow_quads=None,
+                    has_light_probe: bool = True):
+    """`PSBasePass.hlsl:94-153`, SoA: every argument is a tuple of
+    scalar (H, W) fields — ws/nrm/ls are (x, y, z); cs/ts are clip
+    (x, y, w). Returns ((r, g, b), (vx, vy)). A trailing 3-channel dim
+    would lane-pad every elementwise op 42x (measured ~34 ms of the
+    round-3 mesh profile); the env reflection is an SH reconstruction
+    (zero gathers — see sh.eval_radiance)."""
+    base_color = (1.0, 0.6, 0.2)
+    diffuse_brdf = tuple(c / np.pi for c in base_color)
 
-    shadow = _shadow_map_compare(ls_pos, shadow_map)
+    wsx, wsy, wsz = ws
+    shadow = _shadow_map_compare(ls[0], ls[1], ls[2], shadow_map,
+                                 shadow_quads)
 
-    n = math3d.normalize(normal)
+    ninv = jax.lax.rsqrt(jnp.maximum(
+        nrm[0] * nrm[0] + nrm[1] * nrm[1] + nrm[2] * nrm[2], 1e-20))
+    nx, ny, nz = nrm[0] * ninv, nrm[1] * ninv, nrm[2] * ninv
 
-    if has_light_probe:
-        irradiance = sh_lib.eval_irradiance(sh_coeffs, n)
-    else:
-        irradiance = None
+    csx, csy, csw = cs
+    tsx, tsy, tsw = ts
+    csw = jnp.maximum(csw, 1e-20)
+    tsw = jnp.maximum(tsw, 1e-20)
+    velocity = ((csx / csw - tsx / tsw) * 0.5,
+                (csy / csw - tsy / tsw) * -0.5)
 
-    csp = cs_pos[..., :2] / jnp.maximum(cs_pos[..., 3:4], 1e-20)
-    tsp = ts_pos[..., :2] / jnp.maximum(ts_pos[..., 3:4], 1e-20)
-    velocity = (csp - tsp) * jnp.array([0.5, -0.5], jnp.float32)
+    l = light_pos[:3] / jnp.linalg.norm(light_pos[:3])
+    no_l = jnp.clip(nx * l[0] + ny * l[1] + nz * l[2], 0.0, 1.0)
 
-    l = math3d.normalize(light_pos[:3])
-    no_l = jnp.clip(jnp.sum(n * l, -1, keepdims=True), 0.0, 1.0)
+    vx_, vy_, vz_ = eye[0] - wsx, eye[1] - wsy, eye[2] - wsz
+    vinv = jax.lax.rsqrt(jnp.maximum(
+        vx_ * vx_ + vy_ * vy_ + vz_ * vz_, 1e-20))
+    vx_, vy_, vz_ = vx_ * vinv, vy_ * vinv, vz_ * vinv
+    no_v = jnp.clip(nx * vx_ + ny * vy_ + nz * vz_, 0.0, 1.0)
 
-    v = math3d.normalize(eye - ws_pos)
-    no_v = jnp.clip(jnp.sum(n * v, -1, keepdims=True), 0.0, 1.0)
-
-    if has_light_probe:
-        r = 2.0 * jnp.sum(v * n, -1, keepdims=True) * n - v  # reflect(-V, N)
-        # env-radiance reflection as an order-3 SH reconstruction: ZERO
-        # gathers per pixel (the reference bilinear-samples the radiance
-        # cube, `PSBasePass.hlsl:120-127`; at the Karis roughness 0.4
-        # the reflection is low-frequency — see sh.eval_radiance)
-        rad = sh_lib.eval_radiance(sh_coeffs, math3d.normalize(r))
-    else:
-        rad = jnp.zeros_like(ws_pos)
-
-    h = math3d.normalize(v + l)
-    no_h = jnp.clip(jnp.sum(n * h, -1, keepdims=True), 0.0, 1.0)
+    hx, hy, hz = vx_ + l[0], vy_ + l[1], vz_ + l[2]
+    hinv = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
+    no_h = jnp.clip((nx * hx + ny * hy + nz * hz) * hinv, 0.0, 1.0)
 
     lcol = light_color[:3] * light_color[3]
-    amb = ambient[:3] * ambient[3]
-    amb = amb * (0.5 + 0.5 * (n[..., 1:2] * 0.5 + 0.5))
     if has_light_probe:
-        amb = irradiance
-        # Karis analytic env BRDF (`PSBasePass.hlsl:135-141`), roughness 0.4
+        amb = sh_lib.eval_irradiance_soa(sh_coeffs, nx, ny, nz)
+        # reflect(-V, N), unit by construction
+        vn = nx * vx_ + ny * vy_ + nz * vz_
+        rx = 2.0 * vn * nx - vx_
+        ry = 2.0 * vn * ny - vy_
+        rz = 2.0 * vn * nz - vz_
+        rad = sh_lib.eval_radiance_soa(sh_coeffs, rx, ry, rz)
+        # Karis analytic env BRDF (`PSBasePass.hlsl:135-141`), rough 0.4
         rough = 0.4
-        c0 = jnp.array([-1.0, -0.0275, -0.572, 0.022], jnp.float32)
-        c1 = jnp.array([1.0, 0.0425, 1.04, -0.04], jnp.float32)
-        rv = rough * c0 + c1
-        a004 = jnp.minimum(rv[0] * rv[0], jnp.exp2(-9.28 * no_v)) * rv[0] + rv[1]
-        amb_x = -1.04 * a004 + rv[2]
-        amb_y = 1.04 * a004 + rv[3]
-        rad = rad * (0.04 * amb_x + amb_y)
+        c0 = (-1.0, -0.0275, -0.572, 0.022)
+        c1 = (1.0, 0.0425, 1.04, -0.04)
+        rv = tuple(rough * a + b for a, b in zip(c0, c1))
+        a004 = jnp.minimum(rv[0] * rv[0],
+                           jnp.exp2(-9.28 * no_v)) * rv[0] + rv[1]
+        env = 0.04 * (-1.04 * a004 + rv[2]) + (1.04 * a004 + rv[3])
+        rad = tuple(r * env for r in rad)
     else:
-        rad = jnp.zeros_like(rad)
+        ay = ambient[:3] * ambient[3]
+        scale = 0.5 + 0.5 * (ny * 0.5 + 0.5)
+        amb = tuple(ay[c] * scale for c in range(3))
+        rad = (0.0, 0.0, 0.0)
 
     fresnel = (1.0 - no_v) ** 5
     spec_ref = 0.08
-    fres = fresnel * (1.0 - spec_ref) + spec_ref  # lerp(fresnel, 1, specRef)
+    fres = fresnel * (1.0 - spec_ref) + spec_ref
+    spec = jnp.power(no_h, 64.0) * fres
 
-    result = diffuse_brdf * no_l
-    result = result + jnp.power(no_h, 64.0) * fres
-    result = result * lcol * shadow[..., None]
-    result = result + diffuse_brdf * amb + rad
-
-    color = jnp.concatenate([result, jnp.ones(result.shape[:-1] + (1,), jnp.float32)], -1)
+    color = tuple(
+        (diffuse_brdf[c] * no_l + spec) * (lcol[c] * shadow)
+        + diffuse_brdf[c] * amb[c] + rad[c]
+        for c in range(3)
+    )
     return color, velocity
 
 
-def _shadow_map_compare(ls_pos, shadow_map, bias: float = 0.0027):
+def build_shadow_quads(shadow_map):
+    """Pre-pack the shadow map into 2x2 quads at all four (row, col)
+    parities: (Sm, Sm) -> (4*(Sm/2)^2, 4), so the PCF footprint is ONE
+    row gather per pixel. The stride-2 deinterleave costs ~70 ms/Mpx on
+    v5e — build it ONCE per shadow-map refresh (the map is cached in
+    state; `engine._refresh_shadow_map`), never per frame. Returns a
+    (1, 4) placeholder for odd sizes (compare falls back to row pairs)."""
+    h, w = shadow_map.shape
+    if h % 2 or w % 2:
+        return jnp.zeros((1, 4), jnp.float32)
+    hh, ww = h // 2, w // 2
+    sm_pad = jnp.pad(shadow_map, ((0, 1), (0, 1)), mode="edge")
+    quads = []
+    for py in (0, 1):
+        for px_ in (0, 1):
+            sub = sm_pad[py:py + h, px_:px_ + w]
+            quads.append(jnp.stack(
+                [sub[0::2, 0::2], sub[0::2, 1::2],
+                 sub[1::2, 0::2], sub[1::2, 1::2]], -1
+            ).reshape(hh * ww, 4))
+    return jnp.concatenate(quads, 0)
+
+
+def _shadow_map_compare(lsx, lsy, lsz, shadow_map, quads=None,
+                        bias: float = 0.0027):
     """`ShadowMap` (`PSBasePass.hlsl:73-79`): PCF compare at the light-clip
-    position (no matrix transform — ls_pos is already light-space).
+    position (scalar fields; no matrix transform — already light-space).
 
     The 2x2 footprint costs ONE packed-row gather: the map is pre-packed
     into 2x2 quads at all four (row, column) parities; each pixel picks
@@ -450,13 +503,11 @@ def _shadow_map_compare(ls_pos, shadow_map, bias: float = 0.0027):
     block gather via lax.gather slice_sizes measured 6x slower still —
     packing is the only fast shape.) Odd map sizes fall back to the
     two-row-pair formulation."""
-    uv = ls_pos[..., :2] * 0.5 + 0.5
-    uv = uv.at[..., 1].set(1.0 - uv[..., 1])
-    z = ls_pos[..., 2] - bias
+    z = lsz - bias
 
     h, w = shadow_map.shape
-    x = uv[..., 0] * w - 0.5
-    y = uv[..., 1] * h - 0.5
+    x = (lsx * 0.5 + 0.5) * w - 0.5
+    y = (1.0 - (lsy * 0.5 + 0.5)) * h - 0.5
     x0f, y0f = jnp.floor(x), jnp.floor(y)
 
     def cidx(vv, nn):
@@ -468,7 +519,7 @@ def _shadow_map_compare(ls_pos, shadow_map, bias: float = 0.0027):
     fy = jnp.clip(y - y0.astype(jnp.float32), 0.0, 1.0)
 
     if h % 2 or w % 2:
-        # odd sizes: two row-pair gathers (previous formulation)
+        # odd sizes: two row-pair gathers (cheap contiguous build)
         half = w // 2 + 1
         sm_pad = jnp.pad(shadow_map, ((0, 1), (0, 2)), mode="edge")
         even = sm_pad[:h, : 2 * half].reshape(h * half, 2)
@@ -485,19 +536,11 @@ def _shadow_map_compare(ls_pos, shadow_map, bias: float = 0.0027):
         return row(y0) * (1 - fy) + row(y1) * fy
 
     hh, ww = h // 2, w // 2
-    sm_pad = jnp.pad(shadow_map, ((0, 1), (0, 1)), mode="edge")
-    quads = []
-    for py in (0, 1):
-        for px_ in (0, 1):
-            sub = sm_pad[py:py + h, px_:px_ + w]
-            quads.append(jnp.stack(
-                [sub[0::2, 0::2], sub[0::2, 1::2],
-                 sub[1::2, 0::2], sub[1::2, 1::2]], -1
-            ).reshape(hh * ww, 4))
-    table = jnp.concatenate(quads, 0)            # (4*hh*ww, 4)
+    if quads is None or quads.shape[0] != 4 * hh * ww:
+        quads = build_shadow_quads(shadow_map)   # uncached fallback
 
     base = (((y0 & 1) * 2 + (x0 & 1)) * (hh * ww)).astype(jnp.int32)
-    quad = table[base + (y0 >> 1) * ww + (x0 >> 1)]   # (..., 4)
+    quad = quads[base + (y0 >> 1) * ww + (x0 >> 1)]   # (..., 4)
     c = (z[..., None] <= quad).astype(jnp.float32)
     c0 = c[..., 0] * (1 - fx) + c[..., 1] * fx
     c1 = c[..., 2] * (1 - fx) + c[..., 3] * fx

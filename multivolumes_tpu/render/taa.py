@@ -159,44 +159,27 @@ def _temporal_aa_pallas(current, history, velocity, reproj_center=None,
               y0.astype(jnp.float32)) / h
         ug, vg = jnp.meshgrid(xs, ys, indexing="xy")
         ub, vb = ug - mvx, vg - mvy
+        # packed-row bilinear: all 4 history channels per tap in one row
+        # gather (4 row gathers/pixel; contiguous ROW gathers measured
+        # ~5.6 ms per million on v5e — 8x the element-gather rate. A
+        # 2x2-quad pre-pack would halve the gathers but its stride-2
+        # deinterleave build costs ~70 ms/Mpx and the history changes
+        # every frame, so rows win; the shadow map, static per frame,
+        # DOES use the cached quad pack — mesh._shadow_quad_table.)
+        table = jnp.moveaxis(history, 0, -1).reshape(h * w, 4)
         x = ub * w - 0.5
         y = vb * h - 0.5
         x0f, y0f = jnp.floor(x), jnp.floor(y)
-        xi0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 2)
-        yi0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 2)
-        fx = jnp.clip(x - xi0.astype(jnp.float32), 0.0, 1.0)[..., None]
-        fy = jnp.clip(y - yi0.astype(jnp.float32), 0.0, 1.0)[..., None]
-        if h % 2 == 0 and w % 2 == 0:
-            # quad-packed bilinear: the history is pre-packed into 2x2
-            # pixel quads at all four (row, col) parities, so the whole
-            # 4-tap x 4-channel footprint is ONE 16-float row gather per
-            # pixel (element gathers are the scalar-bound ~65 Mtaps/s
-            # cost this engine designs around; same trick as the mesh
-            # shadow PCF)
-            hh, ww = h // 2, w // 2
-            hc = jnp.moveaxis(history, 0, -1)             # (H, W, 4)
-            hp = jnp.pad(hc, ((0, 1), (0, 1), (0, 0)), mode="edge")
-            quads = []
-            for py in (0, 1):
-                for px_ in (0, 1):
-                    sub = hp[py:py + h, px_:px_ + w]
-                    quads.append(jnp.concatenate(
-                        [sub[0::2, 0::2], sub[0::2, 1::2],
-                         sub[1::2, 0::2], sub[1::2, 1::2]], -1
-                    ).reshape(hh * ww, 16))
-            table = jnp.concatenate(quads, 0)             # (4*hh*ww, 16)
-            base = ((yi0 & 1) * 2 + (xi0 & 1)) * (hh * ww)
-            q = table[base + (yi0 >> 1) * ww + (xi0 >> 1)]
-            c00, c01 = q[..., 0:4], q[..., 4:8]
-            c10, c11 = q[..., 8:12], q[..., 12:16]
-        else:
-            table = jnp.moveaxis(history, 0, -1).reshape(h * w, 4)
-            xi1 = jnp.minimum(xi0 + 1, w - 1)
-            yi1 = jnp.minimum(yi0 + 1, h - 1)
-            c00 = table[yi0 * w + xi0]
-            c01 = table[yi0 * w + xi1]
-            c10 = table[yi1 * w + xi0]
-            c11 = table[yi1 * w + xi1]
+        fx = (x - x0f)[..., None]
+        fy = (y - y0f)[..., None]
+        xi0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+        xi1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+        yi0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+        yi1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+        c00 = table[yi0 * w + xi0]
+        c01 = table[yi0 * w + xi1]
+        c10 = table[yi1 * w + xi0]
+        c11 = table[yi1 * w + xi1]
         hist_w = ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
                   + (c10 * (1 - fx) + c11 * fx) * fy)     # (win, win, 4)
         hist = jax.lax.dynamic_update_slice(

@@ -46,6 +46,7 @@ from multivolumes_tpu.scene import volume as volume_lib
         "mesh_world",
         "mesh_prev_wvp",
         "mesh_shadow_map",
+        "mesh_shadow_quads",
         "scene_size",
         "rho_light",
         "ao_static",
@@ -101,6 +102,11 @@ class SceneState:
                                   # the reference's per-frame RenderShadow
                                   # (`ObjectRenderer.cpp:220-243`)
                                   # rasterizes once here, not per frame
+    mesh_shadow_quads: jnp.ndarray  # (4*(Sm/2)^2, 4) quad-packed shadow
+                                  # map (mesh.build_shadow_quads) — the
+                                  # stride-2 pack costs ~70 ms/Mpx, so it
+                                  # is built once per shadow refresh, not
+                                  # per frame; one row gather per PCF
     scene_size: jnp.ndarray       # () max mesh extent * scale
                                   # (`ObjectRenderer.cpp:76`; drives the
                                   # shadow ortho size)
@@ -180,6 +186,10 @@ def create_scene(config: RenderConfig,
     mesh_world = math3d.scaling(ms) @ math3d.translation(jnp.array([mx, my, mz]))
 
     from multivolumes_tpu.render import lightsweep
+    from multivolumes_tpu.render import mesh as mesh_render
+
+    mesh_quads = jax.jit(mesh_render.build_shadow_quads)(
+        jnp.ones((config.shadow_map_size,) * 2, jnp.float32))
 
     rho_light, ao_static, grad_dir = jax.jit(
         lightsweep.precompute_static, static_argnums=(1, 2)
@@ -238,6 +248,7 @@ def create_scene(config: RenderConfig,
         mesh_prev_wvp=jnp.eye(4, dtype=jnp.float32),
         mesh_shadow_map=jnp.ones(
             (config.shadow_map_size,) * 2, jnp.float32),
+        mesh_shadow_quads=mesh_quads,
         scene_size=jnp.asarray(scene_size, jnp.float32),
         rho_light=rho_light,
         ao_static=ao_static,

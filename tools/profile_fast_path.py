@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--mesh", action="store_true")
+    ap.add_argument("--warp-composite", action="store_true",
+                    help="also time the XLA warp twin")
     args = ap.parse_args()
 
     from multivolumes_tpu.utils.platform import configure_for_host
@@ -41,7 +43,7 @@ def main() -> None:
     from multivolumes_tpu.render import cull as cull_lib, lightsweep
     from multivolumes_tpu.render import sweep as sweep_lib, warp as warp_lib
     from multivolumes_tpu.render import postprocess, taa as taa_lib
-    from multivolumes_tpu.render import mesh as mesh_lib
+    from multivolumes_tpu.render import mesh as mesh_lib, tilecast
     from multivolumes_tpu.render.perframe import build_per_object
     from multivolumes_tpu.scene import state as state_lib
     from multivolumes_tpu.utils.timing import sync
@@ -102,19 +104,26 @@ def main() -> None:
         cfg.num_cube_mips, adaptive=cfg.adaptive_raymarch)
     shadow_vp = mesh_lib.shadow_view_proj(state)
 
-    # light sweep (all N maps; with the mesh shadow map when --mesh)
+    # amortized light update (the production per-frame cohort) + orient
     shadow_for_sweep = (jnp.full((cfg.shadow_map_size,) * 2, 0.8, jnp.float32)
                         if args.mesh else None)
-    lm = timed("light_sweep", lambda rho, ao, gd: lightsweep.ray_march_light_sweep(
-        rho, ao, gd, state.vol_tex_ids, po, cull, shadow_for_sweep, shadow_vp,
-        state.light_pos, state.light_color, state.ambient, state.sh_coeffs,
-        cfg.max_light_samples, has_light_probe=cfg.has_light_probe,
-    ).astype(dtype), state.rho_light, state.ao_static, state.grad_dir)
+    c = min(cfg.light_refresh or cfg.num_volumes, cfg.num_volumes)
+    ids = jnp.arange(c, dtype=jnp.int32)
+    lm_c = timed(
+        f"light_update({c}/{cfg.num_volumes})",
+        lambda rho, ao, gd: lightsweep.ray_march_light_sweep_update(
+            rho, ao, gd, state.vol_tex_ids, po, shadow_for_sweep, shadow_vp,
+            state.light_pos, state.light_color, state.ambient,
+            state.sh_coeffs, cfg.max_light_samples,
+            has_light_probe=cfg.has_light_probe,
+            sub_ids=ids, sout_cache=state.light_sout)[0],
+        state.rho_light, state.ao_static, state.grad_dir)
 
-    # orient pass (light maps only; volume orientations are hoisted into
-    # SceneState.volumes_oriented)
     vol_or = state.volumes_oriented.astype(dtype)
-    lm_or = timed("orient_light", sweep_lib.orient_variants_cf, lm)
+    lm_or_c = timed("orient_cohort", sweep_lib.orient_variants_cf,
+                    lm_c.astype(dtype))
+    del lm_c, lm_or_c
+    lm_or = state.light_maps_oriented.astype(dtype)
 
     # LOD sweep
     lod_cull = cull._replace(use_cube_map=cull.visible)
@@ -126,7 +135,7 @@ def main() -> None:
             pack=False)
 
     cube_maps, sweep_mips = timed("sweep_lod", sweep_fn, vol_or, lm_or)
-    del vol_or, lm_or, lm  # free ~3.4 GB before the composite stages
+    del vol_or, lm_or  # free the oriented transients before compositing
 
     # warp composite (mip-aligned footprint classes)
     cull_c = cull._replace(
@@ -137,11 +146,17 @@ def main() -> None:
     cs = cfg.composite_scale
     cw, ch = (cfg.width // cs, cfg.height // cs) if cs > 1 else (cfg.width, cfg.height)
 
-    timed("warp_composite", lambda cm_color: warp_lib.composite_oit_warp(
+    timed("tile_composite", lambda cm_color: tilecast.composite_oit_tile(
         cube_maps._replace(color=cm_color), po, cull_c, camera.eye,
         camera.screen_to_world, None, cw, ch,
-        num_layers=cfg.oit_layers, tile=tile,
-        lod_order=lod_order, lod_buckets=lod_buckets), cube_maps.color)
+        num_layers=cfg.oit_layers)[0], cube_maps.color)
+    if args.warp_composite:
+        timed("warp_composite", lambda cm_color: warp_lib.composite_oit_warp(
+            cube_maps._replace(color=cm_color), po, cull_c, camera.eye,
+            camera.screen_to_world, None, cw, ch,
+            num_layers=cfg.oit_layers, tile=tile,
+            lod_order=lod_order, lod_buckets=lod_buckets),
+            cube_maps.color)
 
     # sky
     timed("sky", lambda: postprocess.render_environment(
