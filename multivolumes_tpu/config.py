@@ -121,7 +121,9 @@ class RenderConfig:
     # Sky (environment) pass resolution divisor: the radiance cube is
     # low-frequency, so sampling it per output pixel is wasted gathers —
     # render at 1/sky_scale and bilinear-upsample with two matmuls.
-    sky_scale: int = 4
+    # (Clamped so the low-res pass keeps >= ~160 columns; small
+    # viewports render the sky near full resolution regardless.)
+    sky_scale: int = 8
     # Static window (px) for TAA's velocity-based history reprojection,
     # centred on the mesh (the only velocity writer); pixels outside
     # reproject as identity. 0 = full-screen reprojection.

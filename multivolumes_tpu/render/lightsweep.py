@@ -12,12 +12,16 @@ direction's dominant axis:
 The per-slice lateral shift (du, dv) is constant, so the recurrence is two
 constant interp-matrix multiplies (MXU) and elementwise math per slice —
 zero gathers, O(L^3) total per volume. This computes every voxel's
-transmittance at once (the classic shear-warp shadow propagation), so all
-N light maps can refresh every frame instead of the reference's
-1-volume-per-frame amortization. The recurrence factors into a
-volume-only self term and the advected incoming occlusion
-(T_k = advect_k(T_in) * S_k), so all N volumes' sweeps run as two
-BATCHED L-step scans; only the global-map chain below is sequential.
+transmittance at once (the classic shear-warp shadow propagation). The
+per-frame graph refreshes a COHORT of `config.light_refresh` volumes
+round-robin — the reference's own temporal amortization
+(`MultiRayCaster::RayMarchL`, one volume/frame), but with exact
+inter-volume occlusion via cached outgoing footprints (see
+`light_transmittance`); a full refresh is the cohort = all case. The
+recurrence factors into a volume-only self term and the advected
+incoming occlusion (T_k = advect_k(T_in) * S_k), so the cohort's sweeps
+run as two BATCHED L-step scans, and the inter-volume chain is a
+vectorized exclusive cumulative product in light order.
 
 Inter-volume shadowing: each volume's outgoing 2D opacity footprint is
 composited into a shared lateral occlusion map processed in light order

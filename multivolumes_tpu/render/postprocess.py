@@ -48,8 +48,13 @@ def render_environment(radiance, screen_to_world, eye, width: int, height: int,
 
     Sampled at 1/scale resolution (the sky is low-frequency; per-pixel
     cube taps are gather-bound) and upsampled with two separable matmuls.
+    The effective scale is clamped so the low-res pass keeps >= ~160
+    columns: deep divisors only make sense on large viewports.
     """
-    if scale > 1 and width % scale == 0 and height % scale == 0:
+    scale = min(scale, max(1, width // 160))
+    while scale > 1 and (width % scale or height % scale):
+        scale -= 1
+    if scale > 1:
         wl, hl = width // scale, height // scale
     else:
         wl, hl = width, height

@@ -188,14 +188,33 @@ def _temporal_aa_pallas(current, history, velocity, reproj_center=None,
         blur = jax.lax.dynamic_update_slice(
             jnp.zeros_like(cr), blur_w, (y0, x0))
     else:
+        # full-screen reprojection (reproj_window == 0, or no centre):
+        # same packed-row bilinear as the windowed path — the
+        # per-channel element-gather formulation measured ~167 ms/frame
+        # at 1280x800 vs ~6 ms/M for row gathers
         vx, vy = velocity
         mvx, mvy = velocity_max(vx, vy)
         xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
         ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
         ug, vg = jnp.meshgrid(xs, ys, indexing="xy")
         ub, vb = ug - mvx, vg - mvy
-        hist = jnp.stack(
-            [_sample_bilinear_ch(history[c], ub, vb) for c in range(4)], 0)
+        table = jnp.moveaxis(history, 0, -1).reshape(h * w, 4)
+        x = ub * w - 0.5
+        y = vb * h - 0.5
+        x0f, y0f = jnp.floor(x), jnp.floor(y)
+        fx = (x - x0f)[..., None]
+        fy = (y - y0f)[..., None]
+        xi0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+        xi1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+        yi0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+        yi1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+        c00 = table[yi0 * w + xi0]
+        c01 = table[yi0 * w + xi1]
+        c10 = table[yi1 * w + xi0]
+        c11 = table[yi1 * w + xi1]
+        hist4 = ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
+                 + (c10 * (1 - fx) + c11 * fx) * fy)      # (H, W, 4)
+        hist = jnp.moveaxis(hist4, -1, 0)
         blur = jnp.abs(mvx) * (4.0 * w) + jnp.abs(mvy) * (4.0 * h)
 
     new_history = taa_kernel.taa_resolve(
