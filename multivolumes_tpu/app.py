@@ -78,6 +78,24 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def parse_volume_arg(tokens, default_file=None):
+    """-volume [FILE] x y z s (`MultiVolumes.cpp:559-568`): leading
+    non-numeric token = volume file; the numbers update vol_pos_scale
+    in order, keeping defaults for the rest (reference stof behavior).
+    Returns (volume_file, [x, y, z, scale])."""
+    volume_file = default_file
+    vol_pos_scale = [0.0, 0.0, 0.0, 10.0]
+    if tokens:
+        tokens = list(tokens)
+        try:
+            float(tokens[0])
+        except ValueError:
+            volume_file = tokens.pop(0)
+        for i, tok in enumerate(tokens[:4]):
+            vol_pos_scale[i] = float(tok)
+    return volume_file, vol_pos_scale
+
+
 def main(argv=None) -> None:
     args = build_arg_parser().parse_args(argv)
 
@@ -85,19 +103,8 @@ def main(argv=None) -> None:
 
     configure_for_host(force_cpu=args.warp)
 
-    # -volume [FILE] x y z s (`MultiVolumes.cpp:559-568`): leading
-    # non-numeric token = volume file; the numbers update vol_pos_scale
-    # in order, keeping defaults for the rest (reference stof behavior)
-    volume_file = args.volumeFile
-    vol_pos_scale = [0.0, 0.0, 0.0, 10.0]
-    if args.volume:
-        tokens = list(args.volume)
-        try:
-            float(tokens[0])
-        except ValueError:
-            volume_file = tokens.pop(0)
-        for i, tok in enumerate(tokens[:4]):
-            vol_pos_scale[i] = float(tok)
+    volume_file, vol_pos_scale = parse_volume_arg(
+        args.volume, default_file=args.volumeFile)
 
     cfg = RenderConfig(
         width=args.width,
