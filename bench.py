@@ -26,7 +26,7 @@ import jax
 _BUNNY = "/root/reference/Bin/Assets/bunny.obj"
 
 
-def _pass_breakdown(engine, cfg, lat_ms: float) -> None:
+def _pass_breakdown(state, cfg, lat_ms: float) -> None:
     """Time the major passes separately (stderr): localizes a headline
     regression without a separate profiling session. Mirrors
     tools/profile_fast_path.py but trimmed to one line."""
@@ -41,7 +41,6 @@ def _pass_breakdown(engine, cfg, lat_ms: float) -> None:
     from multivolumes_tpu.render.perframe import build_per_object
     from multivolumes_tpu.utils.timing import sync
 
-    state = engine.state
     camera = cam_lib.orbit_camera(0.5, cfg.aspect_ratio)
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     po = build_per_object(state.volume_worlds, camera.view_proj)
@@ -141,7 +140,9 @@ def main() -> None:
         out = frame_lib.render_frame(state, camera, cfg, use_taa=True)
         return out.image, out.state
 
-    step_jit = jax.jit(step)
+    # donated state: carried buffers update in place (no per-frame copy
+    # of the ~GB light stacks)
+    step_jit = jax.jit(step, donate_argnums=(0,))
     state = engine.state
 
     # warmup / compile (animated camera as in the demo's [A] toggle)
@@ -181,7 +182,9 @@ def main() -> None:
     # Never let a breakdown failure break the JSON deliverable.
     if on_tpu:
         try:
-            _pass_breakdown(engine, cfg, lat)
+            # the live carried state (engine.state's buffers were donated
+            # to the first frame)
+            _pass_breakdown(state, cfg, lat)
         except Exception as e:  # noqa: BLE001
             print(f"pass breakdown failed: {e!r}", file=sys.stderr)
 

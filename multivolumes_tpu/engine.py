@@ -244,7 +244,9 @@ class MultiRayCaster:
             def step(state, cam):
                 return frame_lib.render_frame(state, cam, cfg, use_taa=use_taa)
 
-            self._render_jit = jax.jit(step)
+            # donate the state: the carried buffers (light maps ~1.7 GB,
+            # TAA history) update in place instead of copying per frame
+            self._render_jit = jax.jit(step, donate_argnums=(0,))
             self._render_sig = key
         out = self._render_jit(self.state, camera)
         self.state = out.state
