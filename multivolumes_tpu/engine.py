@@ -23,6 +23,36 @@ from multivolumes_tpu.render import frame as frame_lib
 from multivolumes_tpu.scene import io_obj, state as state_lib, volume as volume_lib
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _refresh_light_jit(state, has_mesh: bool, max_light_samples: int,
+                       has_light_probe: bool):
+    """Jitted full light refresh (module-level so the jit cache survives
+    across engine setter calls — a per-call closure would retrace, which
+    on this host means a remote compile per set_light)."""
+    from multivolumes_tpu.render import lightsweep
+    from multivolumes_tpu.render import mesh as mesh_lib
+    from multivolumes_tpu.render import sweep as sweep_lib
+    from multivolumes_tpu.render.perframe import build_per_object
+
+    po = build_per_object(state.volume_worlds, jnp.eye(4, dtype=jnp.float32))
+    maps, sout = lightsweep.ray_march_light_sweep_update(
+        state.rho_light, state.ao_static, state.grad_dir,
+        state.vol_tex_ids, po,
+        state.mesh_shadow_map if has_mesh else None,
+        mesh_lib.shadow_view_proj(state),
+        state.light_pos, state.light_color, state.ambient,
+        state.sh_coeffs, max_light_samples,
+        has_light_probe=has_light_probe,
+    )
+    return (maps.astype(state.light_maps.dtype),
+            sweep_lib.orient_variants_cf(
+                maps.astype(state.light_maps_oriented.dtype)),
+            sout)
+
+
 class MultiRayCaster:
     """Volume-rendering engine with the reference's host API."""
 
@@ -90,33 +120,10 @@ class MultiRayCaster:
         direction + scale, so world moves alone do NOT require this."""
         if self.config.light_mode != "sweep":
             return
-        from multivolumes_tpu.render import lightsweep
-        from multivolumes_tpu.render import mesh as mesh_lib
-        from multivolumes_tpu.render import sweep as sweep_lib
-        from multivolumes_tpu.render.perframe import build_per_object
-
         st = self.state
-        has_mesh = st.mesh_indices.shape[0] > 1
-        cfg = self.config
-
-        def refresh(state):
-            po = build_per_object(state.volume_worlds,
-                                  jnp.eye(4, dtype=jnp.float32))
-            maps, sout = lightsweep.ray_march_light_sweep_update(
-                state.rho_light, state.ao_static, state.grad_dir,
-                state.vol_tex_ids, po,
-                state.mesh_shadow_map if has_mesh else None,
-                mesh_lib.shadow_view_proj(state),
-                state.light_pos, state.light_color, state.ambient,
-                state.sh_coeffs, cfg.max_light_samples,
-                has_light_probe=cfg.has_light_probe,
-            )
-            return (maps.astype(state.light_maps.dtype),
-                    sweep_lib.orient_variants_cf(
-                        maps.astype(state.light_maps_oriented.dtype)),
-                    sout)
-
-        maps, oriented, sout = jax.jit(refresh)(st)
+        maps, oriented, sout = _refresh_light_jit(
+            st, st.mesh_indices.shape[0] > 1,
+            self.config.max_light_samples, self.config.has_light_probe)
         self.state = dataclasses.replace(
             st, light_maps=maps, light_maps_oriented=oriented,
             light_sout=sout,
