@@ -439,7 +439,16 @@ def _occlusion_s_max(per_object, eye_local, eye_faces, depth_map, s,
     hd, wd = depth_map.shape
     xi = jnp.clip((uu * wd).astype(jnp.int32), 0, wd - 1)
     yi = jnp.clip((vv * hd).astype(jnp.int32), 0, hd - 1)
-    z = depth_map[yi, xi]
+    if wd % 2 == 0:
+        # nearest depth tap as a 1-D pair-row gather: the pair table is
+        # a free reshape and 1-D row gathers run ~2x the 2-D element
+        # rate (docs/ARCHITECTURE.md row-gather fact) — this pass taps
+        # ~1.6M texels per frame at the demo config
+        half = wd // 2
+        pair = depth_map.reshape(hd * half, 2)[yi * half + (xi >> 1)]
+        z = jnp.where((xi & 1) == 1, pair[..., 1], pair[..., 0])
+    else:
+        z = depth_map[yi, xi]
     t_max = get_t_max_soa(
         cx, cy, z, ox, oy, oz, dx, dy, dz,
         per_object.world_view_proj_i[:, None, None, None],

@@ -248,3 +248,38 @@ def test_sweep_mesh_shadow_matches_pervoxel_test():
     # the shadowed region must actually exist in both
     assert (want < 0.5).mean() > 0.1
     assert (got < 0.5).mean() > 0.1
+
+
+def test_cohort_amortization_matches_full_refresh_static_scene():
+    """The per-frame cohort refresh (reference-style temporal
+    amortization) must be invisible in a static scene: with geometry,
+    light and densities fixed, a config refreshing 2 volumes/frame
+    renders the same frames as one refreshing all 6 — the cached
+    outgoing footprints make inter-volume occlusion exact, and each
+    cohort recompute reproduces the create_scene-time maps."""
+    import dataclasses
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.render import frame as frame_lib
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg_full = RenderConfig(
+        width=96, height=64, grid_size=16, light_grid_size=8,
+        max_ray_samples=16, max_light_samples=8,
+        num_volumes=6, num_volume_srcs=2, cube_map_size=16,
+        shadow_map_size=32, use_bf16=False, light_refresh=0)
+    cfg_coh = cfg_full.with_(light_refresh=2)
+    cam = cam_lib.default_camera(cfg_full.aspect_ratio)
+
+    def run(cfg, frames=4):
+        st = state_lib.create_scene(cfg)
+        step = jax.jit(lambda s: frame_lib.render_frame(
+            s, cam, cfg, use_taa=False))
+        img = None
+        for _ in range(frames):
+            out = step(st)
+            img, st = out.image, out.state
+        return np.asarray(img)
+
+    diff = np.abs(run(cfg_full) - run(cfg_coh))
+    assert diff.max() < 1e-4, diff.max()
