@@ -8,8 +8,10 @@ animation `eye = (sin(t/2)*60, 6, cos(t/2)*60)` (`:328-337`).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from multivolumes_tpu.config import SharedConsts
@@ -31,11 +33,16 @@ class Camera(NamedTuple):
         return math3d.inverse(self.view_proj)
 
 
+# jitted: camera construction is per-frame host-side work, and eagerly
+# it is ~245 tiny dispatches (~47 ms/frame measured on this 1-core
+# host — enough to starve the device); one jit call replaces them
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def make_camera(eye, focus, aspect: float,
                 fov_y: float = SharedConsts.FOV_ANGLE_Y,
                 z_near: float = SharedConsts.Z_NEAR,
                 z_far: float = SharedConsts.Z_FAR) -> Camera:
     eye = jnp.asarray(eye, jnp.float32)
+    focus = jnp.asarray(focus, jnp.float32)
     view = math3d.look_at_lh(eye, focus, jnp.array([0.0, 1.0, 0.0], jnp.float32))
     proj = math3d.perspective_fov_lh(fov_y, aspect, z_near, z_far)
     return Camera(eye=eye, view=view, proj=proj)
@@ -50,6 +57,7 @@ def default_camera(aspect: float) -> Camera:
     )
 
 
+@partial(jax.jit, static_argnums=(1,))
 def orbit_camera(time_s, aspect: float) -> Camera:
     """Auto-animation pose from `MultiVolumes.cpp:328-337`."""
     t = jnp.asarray(time_s, jnp.float32) * 0.5
