@@ -124,6 +124,13 @@ class RenderConfig:
     # (Clamped so the low-res pass keeps >= ~160 columns; small
     # viewports render the sky near full resolution regardless.)
     sky_scale: int = 8
+    # Backface-cull the opaque mesh's base/depth raster (the reference's
+    # default CULL_BACK raster state). Culled triangles emit no scatter
+    # samples, and the raster's sample budget is capacity-limited to
+    # 60% of the triangle count (closed meshes are ~50% front-facing).
+    # Set False for open single-sided geometry: every triangle then
+    # rasterizes from both sides at full capacity.
+    mesh_backface_cull: bool = True
     # Static window (px) for TAA's velocity-based history reprojection,
     # centred on the mesh (the only velocity writer); pixels outside
     # reproject as identity. 0 = full-screen reprojection.

@@ -51,6 +51,14 @@ class MeshOutput(NamedTuple):
     screen_center: tuple = (0.0, 0.0)  # mesh bbox centre in pixels (traced)
 
 
+def _cull_capacity(num_tris: int) -> int:
+    """Scatter-sample capacity under backface culling: 60% of the
+    triangle count (closed meshes are ~50% front-facing at any view;
+    the bunny measures 43% over a full orbit). Overflow drops only the
+    smallest front-facing triangles — see `rasterize`."""
+    return (num_tris * 3) // 5
+
+
 def shadow_view_proj(state) -> jnp.ndarray:
     """Orthographic light view-proj (`ObjectRenderer::UpdateFrame`,
     `ObjectRenderer.cpp:175-185`): look-at from the light to the origin,
@@ -66,7 +74,8 @@ def shadow_view_proj(state) -> jnp.ndarray:
 
 def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
               big_tiers=((2048, 12), (128, 48), (8, 256)),
-              want_ids: bool = True):
+              want_ids: bool = True, cull: int = 0,
+              capacity: int | None = None, dense_top: int = 0):
     """Scatter z-buffer rasterization with tiered coverage.
 
     verts_clip: (V, 4) homogeneous clip positions; indices: (T, 3).
@@ -75,11 +84,30 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
     Every triangle gets a k x k sample grid over its bbox; triangles whose
     bbox exceeds k px would be sampled sparsely (interior holes), so the
     largest `count` triangles by bbox edge additionally sample at the
-    finer `kk` from big_tiers = ((count, kk), ...). The default ladder
-    (all at 4x4, top 2048 at 12x12, top 128 at 48x48, top 8 at 256x256)
-    gives gap-free coverage while keeping the scatter budget ~2x the
-    pixel-coverage lower bound (the bunny at demo distance averages
-    ~1 px/triangle; close-up robustness tested in test_passes).
+    finer `kk` from big_tiers = ((count, kk), ...) — nested prefixes of
+    the by-edge order (ranks [8,128) at 48, [128,2048) at 12, ...).
+
+    Three scatter-budget levers on top of the ladder (the scatter-min
+    costs a measured ~8 ns/update on v5e — every dead sample is real
+    time; this is the mesh pass's dominant cost):
+
+    - `cull`: +1/-1 drops triangles whose *signed screen area* has the
+      other sign (0 = keep both sides). The mesh base pass passes +1 —
+      with this loader's winding, area > 0 == front-facing — matching
+      the reference's default CULL_BACK raster state
+      (`ObjectRenderer.cpp` pipelines set no RS state; D3D12 default).
+    - `capacity`: only the top `capacity` triangles (facing-and-edge
+      sorted) emit scatter samples. With backface culling a closed mesh
+      needs ~0.5T + margin; overflow drops the SMALLEST front-facing
+      triangles (sub-pixel dots, z-buffer usually filled by neighbors'
+      bbox samples). Open single-sided sheets must run cull=0 +
+      capacity=None (config.mesh_backface_cull).
+    - `dense_top`: the `dense_top` LARGEST triangles skip the sample
+      grid entirely and are z-tested analytically at every pixel (edge
+      functions on the (H, W) grid — pure VPU elementwise, no scatter).
+      Exact coverage at any size for ~0.06 ms/triangle at 1280x800:
+      strictly stronger *and* cheaper than the old top-8 256x256 grid
+      tier (524k samples ~= 4 ms of scatter).
     """
     v = verts_clip
     w_clip = v[:, 3]
@@ -106,23 +134,30 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
     area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
     inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
     tri_ok = tri_ok & (jnp.abs(area) > 1e-12)
+    if cull:
+        tri_ok = tri_ok & (area * cull > 0)
 
     tids_all = jnp.arange(indices.shape[0], dtype=jnp.uint32)
+
+    # one (T, 16) row table so a tier selection is ONE contiguous-row
+    # gather (~5.6 ms/M rows) instead of 16 element gathers (~10 ms/M)
+    cols = jnp.stack(
+        [x0, y0, z0, x1, y1, z1, x2, y2, z2, inv_area,
+         jnp.where(tri_ok, 1.0, 0.0), tids_all.astype(jnp.float32),
+         xmin, ymin, xmax, ymax], axis=1)
 
     def emit(sel, kk: int):
         """Coverage samples for triangle subset `sel` (None = all) at a
         kk x kk grid -> (flat_pix, flat_zq, flat_tid)."""
-        def g(a):
-            return a if sel is None else a[sel]
-
-        x0c, y0c, z0c = g(x0), g(y0), g(z0)
-        x1c, y1c, z1c = g(x1), g(y1), g(z1)
-        x2c, y2c, z2c = g(x2), g(y2), g(z2)
-        xminc, xmaxc = g(xmin), g(xmax)
-        yminc, ymaxc = g(ymin), g(ymax)
-        inv_area_c = g(inv_area)
-        ok_c = g(tri_ok)
-        tid_c = g(tids_all)
+        rows = cols if sel is None else cols[sel]
+        x0c, y0c, z0c = rows[:, 0], rows[:, 1], rows[:, 2]
+        x1c, y1c, z1c = rows[:, 3], rows[:, 4], rows[:, 5]
+        x2c, y2c, z2c = rows[:, 6], rows[:, 7], rows[:, 8]
+        inv_area_c = rows[:, 9]
+        ok_c = rows[:, 10] > 0.5
+        tid_c = rows[:, 11].astype(jnp.uint32)
+        xminc, yminc = rows[:, 12], rows[:, 13]
+        xmaxc, ymaxc = rows[:, 14], rows[:, 15]
 
         sx = jnp.maximum((xmaxc - xminc) / kk, 1.0)  # stride >= 1 px
         sy = jnp.maximum((ymaxc - yminc) / kk, 1.0)
@@ -159,17 +194,28 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
         tid = jnp.broadcast_to(tid_c[:, None, None], pix.shape)
         return pix.reshape(-1), zq.reshape(-1), tid.reshape(-1)
 
-    parts = [emit(None, k)]
-    if big_tiers:
+    T = indices.shape[0]
+    tbits = 17
+    pack_ids = want_ids and T < (1 << tbits)
+
+    order = None
+    if big_tiers or dense_top or (capacity is not None and capacity < T):
         edge = jnp.where(tri_ok, jnp.maximum(xmax - xmin, ymax - ymin), -1.0)
         order = jnp.argsort(-edge)
-        at = 0
+
+    base_sel = None
+    if capacity is not None and capacity < T and order is not None:
+        base_sel = order[:capacity]
+    parts = [emit(base_sel, k)]
+    at = min(dense_top, T)  # ranks [0, dense_top) go to the dense pass
+    if big_tiers and order is not None:
         for count, kk in sorted(big_tiers):
-            count = min(count, indices.shape[0])
+            count = min(count, T)
             if count <= at:
                 continue
             # finer tiers cover the larger triangles: tiers sorted by
-            # count ascending so order[:8] gets kk=256, order[8:256] kk=32
+            # count ascending so order[8:128] gets kk=48, order[128:2048]
+            # kk=12 (ranks below 8 go dense or to the smallest count tier)
             parts.append(emit(order[at:count], kk))
             at = count
 
@@ -177,37 +223,24 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
     flat_zq = jnp.concatenate([p[1] for p in parts])
     tids = jnp.concatenate([p[2] for p in parts])
 
-    if not want_ids:
-        # depth-only (shadow maps): one full-precision scatter
-        zbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
-        zbuf = zbuf.at[flat_pix].min(flat_zq, mode="drop")
-        depth = jnp.where(
-            zbuf[: height * width] == _BIG, 1.0,
-            zbuf[: height * width].astype(jnp.float32) / _ZQ
-        ).reshape(height, width)
-        return depth, jnp.full((height, width), -1, jnp.int32)
-
-    # When the ids fit, pack (z15 | tid17) and scatter-min ONCE: nearest z
+    # Pack (z15 | tid17) when the ids fit and scatter-min ONCE: nearest z
     # wins, ties to the lowest tid. Replaces the separate depth scatter +
     # winner GATHER (zbuf[flat_pix]) + id scatter. Depth comes back at 15
     # bits (~3e-5 clip z) — the consumers are continuous-vs-quantized
     # compares (volume occlusion, composite z-test), where that is
     # invisible; the reference's 24/32-bit buffers matter for
     # raster-vs-raster fighting we do not have.
-    tbits = 17
-    if indices.shape[0] < (1 << tbits):
+    if pack_ids:
         zq15 = flat_zq >> jnp.uint32(24 - 15)
         packed = jnp.where(flat_zq == _BIG, _BIG,
                            (zq15 << jnp.uint32(tbits)) | tids)
         pbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
         pbuf = pbuf.at[flat_pix].min(packed, mode="drop")
-        tid_buf = jnp.where(pbuf == _BIG, _BIG,
-                            pbuf & jnp.uint32((1 << tbits) - 1))
-        zw = pbuf[: height * width] >> jnp.uint32(tbits)
-        depth = jnp.where(
-            pbuf[: height * width] == _BIG, 1.0,
-            zw.astype(jnp.float32) / float(1 << 15)
-        ).reshape(height, width)
+        winner = pbuf[: height * width].reshape(height, width)
+    elif not want_ids:
+        zbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
+        zbuf = zbuf.at[flat_pix].min(flat_zq, mode="drop")
+        winner = zbuf[: height * width].reshape(height, width)
     else:
         zbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
         zbuf = zbuf.at[flat_pix].min(flat_zq, mode="drop")
@@ -220,10 +253,51 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
             zbuf[: height * width] == _BIG, 1.0,
             zbuf[: height * width].astype(jnp.float32) / _ZQ
         ).reshape(height, width)
-    tri_id = jnp.where(
-        tid_buf[: height * width] == _BIG, -1, tid_buf[: height * width].astype(jnp.int32)
-    ).reshape(height, width)
-    return depth, tri_id
+        tri_id = jnp.where(
+            tid_buf[: height * width] == _BIG, -1,
+            tid_buf[: height * width].astype(jnp.int32)
+        ).reshape(height, width)
+        return depth, tri_id
+
+    # Dense analytic pass for the `dense_top` largest triangles: evaluate
+    # the edge functions at every pixel center (same barycentric z as the
+    # sample grid, same packing -> winner merge is one elementwise min).
+    if dense_top and order is not None:
+        dn = min(dense_top, T)
+        drows = cols[order[:dn]]                                  # (dn, 16)
+        xg = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+        yg = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+
+        def tri_min(i, acc):
+            r = drows[i]
+            dx0, dy0 = xg - r[0], yg - r[1]
+            b1 = (dx0 * (r[7] - r[1]) - (r[6] - r[0]) * dy0) * r[9]
+            b2 = ((r[3] - r[0]) * dy0 - dx0 * (r[4] - r[1])) * r[9]
+            b0 = 1.0 - b1 - b2
+            z = b0 * r[2] + b1 * r[5] + b2 * r[8]
+            ok = ((b0 >= 0) & (b1 >= 0) & (b2 >= 0) & (r[10] > 0.5)
+                  & (z >= 0.0) & (z <= 1.0))
+            zq = jnp.clip(z * _ZQ, 0, _ZQ - 1).astype(jnp.uint32)
+            if pack_ids:
+                p = ((zq >> jnp.uint32(24 - 15)) << jnp.uint32(tbits)
+                     ) | r[11].astype(jnp.uint32)
+            else:
+                p = zq
+            return jnp.minimum(acc, jnp.where(ok, p, _BIG))
+
+        winner = jax.lax.fori_loop(
+            0, dn, tri_min, jnp.broadcast_to(winner, (height, width)))
+
+    if pack_ids:
+        tid_w = winner & jnp.uint32((1 << tbits) - 1)
+        depth = jnp.where(winner == _BIG, 1.0,
+                          (winner >> jnp.uint32(tbits)).astype(jnp.float32)
+                          / float(1 << 15))
+        tri_id = jnp.where(winner == _BIG, -1, tid_w.astype(jnp.int32))
+        return depth, tri_id
+    depth = jnp.where(winner == _BIG, 1.0,
+                      winner.astype(jnp.float32) / _ZQ)
+    return depth, jnp.full((height, width), -1, jnp.int32)
 
 
 def _triangle_planes(verts_clip, pos, nrm, indices, width, height):
@@ -299,8 +373,13 @@ def render_shadow_map(state, config: RenderConfig) -> jnp.ndarray:
     sm = config.shadow_map_size
     shadow_wvp = state.mesh_world @ shadow_view_proj(state)
     clip_sh = math3d.transform_point(state.mesh_verts[:, :3], shadow_wvp)
+    cull = 1 if config.mesh_backface_cull else 0
+    cap = (_cull_capacity(state.mesh_indices.shape[0])
+           if config.mesh_backface_cull else None)
     depth, _ = rasterize(clip_sh, state.mesh_indices, sm, sm,
-                         want_ids=False)
+                         big_tiers=((2048, 12), (128, 48)),
+                         want_ids=False, cull=cull, capacity=cap,
+                         dense_top=16)
     return depth
 
 
@@ -326,7 +405,16 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     jitter = halton_jitter(state.frame_idx, float(width), float(height))
     clip = math3d.transform_point(pos, wvp)
     clip_jit = clip.at[:, :2].add(jitter[None] * clip[:, 3:4])
-    depth, tri_id = rasterize(clip_jit, idx, width, height)
+    # cull=+1: with this loader's CCW winding, positive signed screen
+    # area == front-facing (the reference's default CULL_BACK raster
+    # state); the top-16 largest triangles rasterize analytically
+    # (dense_top) so no 256x256 grid tier is needed.
+    cull = 1 if config.mesh_backface_cull else 0
+    cap = (_cull_capacity(idx.shape[0])
+           if config.mesh_backface_cull else None)
+    depth, tri_id = rasterize(clip_jit, idx, width, height,
+                              big_tiers=((2048, 12), (128, 48)),
+                              cull=cull, capacity=cap, dense_top=16)
 
     # One per-TRIANGLE plane table -> ONE row gather per pixel (vs three
     # vertex rows + barycentric setup; see _triangle_planes). Barycentric

@@ -190,3 +190,62 @@ def test_rasterize_large_triangle_no_holes():
     assert holes == 0, f"{holes} interior holes"
     d = np.asarray(depth)[40:280, 40:280]
     np.testing.assert_allclose(d, 0.5, atol=1e-4)
+
+
+def test_rasterize_backface_cull_and_capacity():
+    """cull=+1 (the reference's CULL_BACK) must drop negative-area
+    triangles and, with a front-capacity, still rasterize every front
+    face of a closed box exactly as the uncull path does."""
+    import jax.numpy as jnp
+
+    from multivolumes_tpu.render import mesh as mesh_lib
+
+    w, h = 160, 160
+    # a clip-space "box": front quad (CCW -> positive screen area, near)
+    # and back quad (wound the other way, far)
+    verts = jnp.asarray([
+        [-0.5, -0.5, 0.3, 1.0], [0.5, -0.5, 0.3, 1.0],
+        [0.5, 0.5, 0.3, 1.0], [-0.5, 0.5, 0.3, 1.0],
+        [-0.7, -0.7, 0.8, 1.0], [0.7, -0.7, 0.8, 1.0],
+        [0.7, 0.7, 0.8, 1.0], [-0.7, 0.7, 0.8, 1.0],
+    ], jnp.float32)
+    front = [[0, 2, 1], [0, 3, 2]]   # py flips y: this winding is area>0
+    back = [[4, 5, 6], [4, 6, 7]]    # reversed -> area<0 (culled)
+    idx = jnp.asarray(front + back, jnp.int32)
+
+    d_all, t_all = mesh_lib.rasterize(verts, idx, w, h)
+    d_cull, t_cull = mesh_lib.rasterize(
+        verts, idx, w, h, cull=1, capacity=3, dense_top=0)
+    t_all, t_cull = np.asarray(t_all), np.asarray(t_cull)
+    # the front quad's winners agree wherever the uncull path found them
+    fr = t_all < 2
+    assert fr.any()
+    np.testing.assert_array_equal(t_cull[fr], t_all[fr])
+    # the culled raster never shows the back quad
+    assert (t_cull < 2).all() or (t_cull[t_cull >= 0] < 2).all()
+    # and the back quad region outside the front quad is now empty
+    only_back = (t_all >= 2)
+    assert (t_cull[only_back] == -1).all()
+
+
+def test_rasterize_dense_top_exact_coverage():
+    """dense_top rasterizes the largest triangles analytically: a
+    screen-filling quad keeps gap-free coverage even with NO grid tiers
+    at all (the old 256x256 top tier had stride > 1 beyond 256 px)."""
+    import jax.numpy as jnp
+
+    from multivolumes_tpu.render import mesh as mesh_lib
+
+    w, h = 400, 300
+    verts = jnp.asarray([
+        [-0.9, -0.9, 0.4, 1.0], [0.9, -0.9, 0.4, 1.0],
+        [0.9, 0.9, 0.4, 1.0], [-0.9, 0.9, 0.4, 1.0],
+    ], jnp.float32)
+    idx = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    depth, tri_id = mesh_lib.rasterize(
+        verts, idx, w, h, k=1, big_tiers=(), dense_top=2)
+    tri_id = np.asarray(tri_id)
+    interior = tri_id[30:270, 40:360]
+    assert (interior >= 0).all(), f"{(interior < 0).sum()} holes"
+    np.testing.assert_allclose(
+        np.asarray(depth)[30:270, 40:360], 0.4, atol=1e-3)

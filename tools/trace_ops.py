@@ -1,0 +1,125 @@
+"""Device-op time breakdown of the full jitted frame via jax.profiler.
+
+Runs N animated frames of the bench workload under a profiler trace,
+then parses the emitted perfetto JSON and aggregates *device-lane* op
+durations by fusion/op name. This is the tool that localizes "frame
+glue": every XLA fusion that isn't one of the named passes shows up
+here with its real per-frame cost.
+
+    python tools/trace_ops.py [--frames 4] [--volumes 64] [--no-mesh]
+                              [--top 40] [--min-ms 0.05]
+
+Output: one line per op name — total ms/frame, count/frame — sorted by
+cost, plus the device-total. (The host lanes are excluded: on this
+1-core host they overlap the device and would double-count; use the
+raw trace in xprof for host-side stalls.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def summarize(trace_dir: str, frames: int, top: int, min_ms: float):
+    files = sorted(glob.glob(
+        os.path.join(trace_dir, "**/*.trace.json.gz"), recursive=True))
+    if not files:
+        print("no trace found under", trace_dir)
+        return
+    with gzip.open(files[-1]) as f:
+        tr = json.load(f)
+    ev = tr.get("traceEvents", [])
+
+    # device lanes: process-name metadata containing TPU/XLA Ops
+    dev_pids = set()
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            nm = e.get("args", {}).get("name", "")
+            if "TPU" in nm or "/device:" in nm or "XLA Ops" in nm:
+                dev_pids.add(e.get("pid"))
+
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        tot[name] += e.get("dur", 0) / 1000.0  # us -> ms
+        cnt[name] += 1
+    if not tot:
+        print("no device events; pids seen:", dev_pids)
+        return
+    total = sum(tot.values())
+    print(f"device total: {total / frames:8.2f} ms/frame "
+          f"({len(tot)} distinct ops, {frames} frames)")
+    for name, ms in tot.most_common(top):
+        ms_f = ms / frames
+        if ms_f < min_ms:
+            break
+        print(f"  {ms_f:8.3f} ms/f  x{cnt[name] / frames:6.1f}  {name}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--volumes", type=int, default=64)
+    ap.add_argument("--no-mesh", action="store_true")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--min-ms", type=float, default=0.05)
+    ap.add_argument("--dir", default="/tmp/mv_trace")
+    args = ap.parse_args()
+
+    from multivolumes_tpu.utils.platform import configure_for_host
+
+    configure_for_host()
+
+    import jax
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.engine import MultiRayCaster
+    from multivolumes_tpu.render import frame as frame_lib
+    from multivolumes_tpu.utils.timing import sync
+
+    cfg = RenderConfig(
+        width=1280, height=800, grid_size=128, light_grid_size=96,
+        max_ray_samples=256, max_light_samples=96,
+        num_volumes=args.volumes, num_volume_srcs=10,
+        cube_map_size=128, shadow_map_size=1024,
+    )
+    engine = MultiRayCaster(cfg)
+    bunny = "/root/reference/Bin/Assets/bunny.obj"
+    if not args.no_mesh and os.path.exists(bunny):
+        engine.set_mesh(bunny)
+    cfg = engine.config
+
+    def step(state, camera):
+        out = frame_lib.render_frame(state, camera, cfg, use_taa=True)
+        return out.image, out.state
+
+    step_jit = jax.jit(step, donate_argnums=(0,))
+    state = engine.state
+    camera = cam_lib.orbit_camera(0.0, cfg.aspect_ratio)
+    img, state = step_jit(state, camera)
+    sync(img)
+
+    os.makedirs(args.dir, exist_ok=True)
+    jax.profiler.start_trace(args.dir)
+    for f in range(args.frames):
+        camera = cam_lib.orbit_camera((f + 1) / 60.0, cfg.aspect_ratio)
+        img, state = step_jit(state, camera)
+    sync(img)
+    jax.profiler.stop_trace()
+    summarize(args.dir, args.frames, args.top, args.min_ms)
+
+
+if __name__ == "__main__":
+    main()
