@@ -307,15 +307,23 @@ def sweep_batched_pallas(
     dtype=jnp.float32,
     interpret: bool | None = None,
     n_eff_b=None,        # (N,) per-volume effective resolution (<= size)
+    light_ids=None,      # (N,) rows of light_oriented to use (default 0..N)
 ):
     """Drop-in twin of `sweep.sweep_batched`: (N, 6, 4, S, S) scatter.
 
     With n_eff_b, each volume's map occupies the top-left n_eff^2 corner
     at texel centers (i + 0.5) / n_eff — the adaptive-LOD contract; rays
-    outside a volume's corner must already be dead in params.active."""
+    outside a volume's corner must already be dead in params.active.
+
+    With light_ids, light_oriented may hold MORE volumes than the batch:
+    volume i reads light row light_ids[i]. The LOD buckets pass the full
+    HBM-resident stack this way — the kernel DMAs only the slab windows
+    it marches, where a host-side light_oriented[ids] gather copied the
+    whole multi-GB stack through HBM every frame."""
     if interpret is None:
         interpret = interpret_default()
     n = vol_tex_ids.shape[0]
+    n_light = light_oriented.shape[0]
     b = n * 6
     n_src, _, d, _, h, w = volumes_oriented.shape
     dl, hl, wl = (light_oriented.shape[2], light_oriented.shape[4],
@@ -332,7 +340,9 @@ def sweep_batched_pallas(
     tex_b = jnp.repeat(vol_tex_ids.astype(jnp.int32), 6)
     var_b = jnp.tile(jnp.asarray(FACE_VARIANT, jnp.int32), n)
     src_idx = tex_b * 3 + var_b
-    lm_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 6) * 3 + var_b
+    lm_base = (jnp.arange(n, dtype=jnp.int32) if light_ids is None
+               else light_ids.astype(jnp.int32))
+    lm_idx = jnp.repeat(lm_base, 6) * 3 + var_b
     flips = jnp.asarray(FACE_FLIPS, jnp.float32)           # (6, 3)
     zf_b = jnp.tile(flips[:, 0], n)
     vf_b = jnp.tile(flips[:, 1], n)
@@ -378,7 +388,8 @@ def sweep_batched_pallas(
     span_l = min(dl, int(math.ceil((p_block - 1) * dl / num_planes)) + 2)
 
     vol_flat = volumes_oriented.reshape(n_src * 3, d, 4, h, w).astype(dtype)
-    light_flat = light_oriented.reshape(n * 3, dl, 3, hl, wl).astype(dtype)
+    light_flat = light_oriented.reshape(
+        n_light * 3, dl, 3, hl, wl).astype(dtype)
 
     # Mosaic HBM slices must be lane-aligned: pad the minor (u) axis to a
     # multiple of 128. Padded texels get zero tent weights (coords clip to

@@ -118,11 +118,17 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
     py = (0.5 - ndc[:, 1] * 0.5) * height
     pz = ndc[:, 2]
 
+    # ONE (V, 4) screen table -> three contiguous-ROW gathers for the
+    # per-triangle corner fetch. The per-component form (px[t0], py[t0],
+    # ...: 12 element gathers over V) measured 7.4 ms/frame at 69k
+    # triangles — element gathers run ~65 Mtaps/s while row gathers are
+    # ~5.6 ms/M rows regardless of width.
+    vtab = jnp.stack([px, py, pz, w_clip], axis=1)           # (V, 4)
     t0, t1, t2 = indices[:, 0], indices[:, 1], indices[:, 2]
-    x0, y0, z0 = px[t0], py[t0], pz[t0]
-    x1, y1, z1 = px[t1], py[t1], pz[t1]
-    x2, y2, z2 = px[t2], py[t2], pz[t2]
-    w0, w1, w2 = w_clip[t0], w_clip[t1], w_clip[t2]
+    r0, r1, r2 = vtab[t0], vtab[t1], vtab[t2]                # (T, 4) each
+    x0, y0, z0, w0 = r0[:, 0], r0[:, 1], r0[:, 2], r0[:, 3]
+    x1, y1, z1, w1 = r1[:, 0], r1[:, 1], r1[:, 2], r1[:, 3]
+    x2, y2, z2, w2 = r2[:, 0], r2[:, 1], r2[:, 2], r2[:, 3]
 
     tri_ok = (w0 > 1e-6) & (w1 > 1e-6) & (w2 > 1e-6)
 
@@ -322,18 +328,22 @@ def _triangle_planes(verts_clip, pos, nrm, indices, width, height):
     px = (v[:, 0] / w_clip * 0.5 + 0.5) * width
     py = (0.5 - v[:, 1] / w_clip * 0.5) * height
     inv_w = 1.0 / w_clip
-    attrs = jnp.concatenate(
-        [pos * inv_w[:, None], nrm * inv_w[:, None], inv_w[:, None]],
-        axis=1)                                               # (V, 7)
+    # one (V, 9) table -> three row gathers (vs 6 element + 3 row: the
+    # per-component corner fetch was the raster's measured hot spot)
+    vtab = jnp.concatenate(
+        [px[:, None], py[:, None],
+         pos * inv_w[:, None], nrm * inv_w[:, None], inv_w[:, None]],
+        axis=1)                                               # (V, 9)
 
     t0, t1, t2 = indices[:, 0], indices[:, 1], indices[:, 2]
-    x0, y0 = px[t0], py[t0]
-    x1, y1 = px[t1], py[t1]
-    x2, y2 = px[t2], py[t2]
+    r0, r1, r2 = vtab[t0], vtab[t1], vtab[t2]                 # (T, 9) each
+    x0, y0 = r0[:, 0], r0[:, 1]
+    x1, y1 = r1[:, 0], r1[:, 1]
+    x2, y2 = r2[:, 0], r2[:, 1]
     area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
     inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
 
-    a0, a1, a2 = attrs[t0], attrs[t1], attrs[t2]              # (T, 7)
+    a0, a1, a2 = r0[:, 2:], r1[:, 2:], r2[:, 2:]              # (T, 7)
     e1, e2 = a1 - a0, a2 - a0
     gx = (e1 * (y2 - y0)[:, None] - e2 * (y1 - y0)[:, None]) \
         * inv_area[:, None]

@@ -169,6 +169,7 @@ def sweep_batched(
     size: int,
     dtype=jnp.float32,
     n_eff_b=None,        # (N,) per-volume effective resolution (<= size)
+    light_ids=None,      # (N,) rows of light_oriented to use (default 0..N)
 ):
     """March all (volume, face) pairs as one batched plane scan.
 
@@ -192,7 +193,9 @@ def sweep_batched(
     inv_gz = 1.0 / jnp.maximum(1.0 - ew, 1e-6)
 
     tex_b = jnp.repeat(vol_tex_ids.astype(jnp.int32), 6)   # (B,)
-    lm_b = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 6)
+    lm_b = jnp.repeat(
+        jnp.arange(n, dtype=jnp.int32) if light_ids is None
+        else light_ids.astype(jnp.int32), 6)
     var_b = jnp.tile(jnp.asarray(FACE_VARIANT, jnp.int32), n)
     flips = jnp.asarray(FACE_FLIPS, jnp.float32)           # (6, 3)
     zf_b = jnp.tile(flips[:, 0], n)                        # (B,)
@@ -667,9 +670,9 @@ def ray_march_view_sweep_lod(
         )
 
         scatter = _sweep_batched_impl(impl)(
-            volumes_oriented, light_maps_oriented[ids], vol_tex_ids[ids],
+            volumes_oriented, light_maps_oriented, vol_tex_ids[ids],
             eye_f_b, params, cull.smp_count[ids], run_mask_full[ids],
-            size_b, size_b, dtype, n_eff_b=n_eff_v,
+            size_b, size_b, dtype, n_eff_b=n_eff_v, light_ids=ids,
         )  # (count, 6, 4, size_b, size_b)
         scatter = scatter.at[:, :, :3].mul(1.0 / (2.0 * math.pi))
         scatter = scatter * run_mask_full[ids][:, :, None, None, None]

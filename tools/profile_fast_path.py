@@ -163,11 +163,15 @@ def main() -> None:
         state.radiance, camera.screen_to_world, camera.eye, cfg.width,
         cfg.height, scale=cfg.sky_scale))
 
-    # TAA (no-velocity path when no mesh, matching frame.py)
+    # TAA (no-velocity path when no mesh; the windowed mesh reprojection
+    # matching frame.py — passing no center would time the much larger
+    # full-screen reprojection the frame never runs)
     zero = jnp.zeros((cfg.height, cfg.width), jnp.float32)
     vel = (zero, zero) if args.mesh else None
+    center = ((cfg.width * 0.5, cfg.height * 0.5) if args.mesh else None)
     timed("taa", lambda r, h: taa_lib.temporal_aa(
-        (r, r, r, jnp.minimum(r, 0.9997)), h, vel),
+        (r, r, r, jnp.minimum(r, 0.9997)), h, vel,
+        reproj_center=center, reproj_window=cfg.taa_reproj_window),
         zero, state.taa_history)
 
     if args.mesh:
