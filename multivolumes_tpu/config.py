@@ -135,6 +135,13 @@ class RenderConfig:
     # centred on the mesh (the only velocity writer); pixels outside
     # reproject as identity. 0 = full-screen reprojection.
     taa_reproj_window: int = 512
+    # Static window (px) for the mesh's deferred shade (plane-table
+    # interpolation, shadow PCF, BRDF), centred on the mesh's projected
+    # bbox. The per-pixel gathers are the mesh pass's screen-space cost;
+    # the mesh covers a fraction of the frame. Mesh pixels OUTSIDE the
+    # window (mesh larger than the window) fall back to background —
+    # raise it (or set 0 = full screen) for meshes filling the frame.
+    mesh_shade_window: int = 640
     # Composite the volume layers at 1/composite_scale screen resolution
     # and upsample (the cube maps carry the detail — the screen pass is a
     # filter, per the paper's viewport-resolution-independence thesis).

@@ -353,15 +353,20 @@ def _triangle_planes(verts_clip, pos, nrm, indices, width, height):
         [x0[:, None], y0[:, None], a0, gx, gy], axis=1)       # (T, 23)
 
 
-def _interp_planes(tbl, tri_id, width, height):
-    """tri_id (H, W) -> (valid, pos_local (x, y, z), nrm_local (x, y, z))
+def _interp_planes(tbl, tri_id, width, height, origin=None):
+    """tri_id (h, w) -> (valid, pos_local (x, y, z), nrm_local (x, y, z))
     scalar fields via one per-pixel plane-row gather (everything after
-    the gather is SoA — trailing-3 arrays lane-pad 42x)."""
+    the gather is SoA — trailing-3 arrays lane-pad 42x). `origin` offsets
+    the pixel grid when tri_id is a window of the full screen."""
     t = jnp.clip(tri_id, 0, tbl.shape[0] - 1)
-    row = tbl[t]                                              # (H, W, 23)
+    row = tbl[t]                                              # (h, w, 23)
 
-    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
-    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    h_w, w_w = tri_id.shape
+    xs = jnp.arange(w_w, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(h_w, dtype=jnp.float32) + 0.5
+    if origin is not None:
+        xs = xs + origin[0].astype(jnp.float32)
+        ys = ys + origin[1].astype(jnp.float32)
     xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
     dx = xg - row[..., 0]
     dy = yg - row[..., 1]
@@ -426,6 +431,38 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
                               big_tiers=((2048, 12), (128, 48)),
                               cull=cull, capacity=cap, dense_top=16)
 
+    # projected mesh bbox centre (pixels) — anchors the deferred-shade
+    # window here and TAA's windowed history reprojection downstream
+    wc = clip[:, 3]
+    okv = wc > 1e-6
+    cxs = (clip[:, 0] / jnp.maximum(wc, 1e-6) * 0.5 + 0.5) * width
+    cys = (0.5 - clip[:, 1] / jnp.maximum(wc, 1e-6) * 0.5) * height
+    big = jnp.float32(1e9)
+    cx = (jnp.min(jnp.where(okv, cxs, big))
+          + jnp.max(jnp.where(okv, cxs, -big))) * 0.5
+    cy = (jnp.min(jnp.where(okv, cys, big))
+          + jnp.max(jnp.where(okv, cys, -big))) * 0.5
+
+    # Deferred-shade window (config.mesh_shade_window): the plane-row
+    # gather, shadow PCF and BRDF run only in a static window around the
+    # mesh bbox — the per-pixel gathers are this pass's dominant screen
+    # cost and the mesh covers a fraction of the frame. The depth buffer
+    # stays full-screen (volume occlusion is exact everywhere); mesh
+    # pixels outside the window (mesh larger than the window) show
+    # background.
+    win = config.mesh_shade_window
+    use_window = 0 < win < min(width, height)
+    if use_window:
+        x0w = jnp.clip(jnp.round(cx - win * 0.5),
+                       0, width - win).astype(jnp.int32)
+        y0w = jnp.clip(jnp.round(cy - win * 0.5),
+                       0, height - win).astype(jnp.int32)
+        tri_w = jax.lax.dynamic_slice(tri_id, (y0w, x0w), (win, win))
+        origin = (x0w, y0w)
+    else:
+        tri_w = tri_id
+        origin = None
+
     # One per-TRIANGLE plane table -> ONE row gather per pixel (vs three
     # vertex rows + barycentric setup; see _triangle_planes). Barycentric
     # interpolation commutes with affine maps, so only the local
@@ -433,7 +470,8 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     # light-clip, current/previous clip) is one exact per-pixel matrix
     # transform of the interpolated position.
     tbl = _triangle_planes(clip_jit, pos, nrm, idx, width, height)
-    valid, pl, nl = _interp_planes(tbl, tri_id, width, height)
+    valid, pl, nl = _interp_planes(tbl, tri_w, width, height,
+                                   origin=origin)
 
     def pt_soa(m, x, y, z):
         return (x * m[0, 0] + y * m[1, 0] + z * m[2, 0] + m[3, 0],
@@ -460,21 +498,17 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
         shadow_quads=state.mesh_shadow_quads,
         has_light_probe=config.has_light_probe,
     )
-    zero = jnp.zeros_like(depth)
-    col = tuple(jnp.where(valid, c, zero) for c in color)
-    vel = tuple(jnp.where(valid, c, zero) for c in velocity)
-
-    # projected mesh bbox centre (pixels) — anchors TAA's windowed
-    # history reprojection (velocity is zero off-mesh)
-    wc = clip[:, 3]
-    okv = wc > 1e-6
-    cxs = (clip[:, 0] / jnp.maximum(wc, 1e-6) * 0.5 + 0.5) * width
-    cys = (0.5 - clip[:, 1] / jnp.maximum(wc, 1e-6) * 0.5) * height
-    big = jnp.float32(1e9)
-    cx = (jnp.min(jnp.where(okv, cxs, big))
-          + jnp.max(jnp.where(okv, cxs, -big))) * 0.5
-    cy = (jnp.min(jnp.where(okv, cys, big))
-          + jnp.max(jnp.where(okv, cys, -big))) * 0.5
+    zero_w = jnp.zeros_like(valid, dtype=jnp.float32)
+    col = tuple(jnp.where(valid, c, zero_w) for c in color)
+    vel = tuple(jnp.where(valid, c, zero_w) for c in velocity)
+    if use_window:
+        zero = jnp.zeros_like(depth)
+        col = tuple(jax.lax.dynamic_update_slice(zero, c, (y0w, x0w))
+                    for c in col)
+        vel = tuple(jax.lax.dynamic_update_slice(zero, c, (y0w, x0w))
+                    for c in vel)
+        valid = jax.lax.dynamic_update_slice(
+            jnp.zeros_like(depth, dtype=bool), valid, (y0w, x0w))
 
     return MeshOutput(
         color=col,

@@ -228,6 +228,45 @@ def test_rasterize_backface_cull_and_capacity():
     assert (t_cull[only_back] == -1).all()
 
 
+def test_mesh_shade_window_matches_fullscreen():
+    """The deferred-shade window (config.mesh_shade_window) must be
+    invisible when the mesh's projected bbox fits inside it: color,
+    velocity and valid match the full-screen shade exactly."""
+    import os
+
+    import pytest
+
+    bunny = "/root/reference/Bin/Assets/bunny.obj"
+    if not os.path.exists(bunny):
+        pytest.skip("bunny asset missing")
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.engine import MultiRayCaster
+
+    cfg = RenderConfig(
+        width=160, height=96, grid_size=16, light_grid_size=8,
+        max_ray_samples=32, max_light_samples=8, num_volumes=4,
+        num_volume_srcs=2, cube_map_size=16, shadow_map_size=64)
+    eng = MultiRayCaster(cfg)
+    eng.set_mesh(bunny)
+    cam = cam_lib.orbit_camera(0.1, cfg.aspect_ratio)
+
+    out_full = jax.jit(lambda s: mesh_lib.render_mesh(
+        s, cam, eng.config.with_(mesh_shade_window=0)))(eng.state)
+    out_win = jax.jit(lambda s: mesh_lib.render_mesh(
+        s, cam, eng.config.with_(mesh_shade_window=80)))(eng.state)
+
+    v_full = np.asarray(out_full.valid)
+    v_win = np.asarray(out_win.valid)
+    assert v_full.any(), "mesh not on screen — test config broken"
+    np.testing.assert_array_equal(v_win, v_full)
+    for c_w, c_f in zip(out_win.color + out_win.velocity,
+                        out_full.color + out_full.velocity):
+        np.testing.assert_allclose(
+            np.asarray(c_w), np.asarray(c_f), atol=1e-6)
+
+
 def test_rasterize_dense_top_exact_coverage():
     """dense_top rasterizes the largest triangles analytically: a
     screen-filling quad keeps gap-free coverage even with NO grid tiers
