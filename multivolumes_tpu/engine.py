@@ -48,8 +48,8 @@ def _refresh_light_jit(state, has_mesh: bool, max_light_samples: int,
         has_light_probe=has_light_probe,
     )
     return (maps.astype(state.light_maps.dtype),
-            sweep_lib.orient_variants_cf(
-                maps.astype(state.light_maps_oriented.dtype)),
+            sweep_lib.pad_light_lanes(sweep_lib.orient_variants_cf(
+                maps.astype(state.light_maps_oriented.dtype))),
             sout)
 
 

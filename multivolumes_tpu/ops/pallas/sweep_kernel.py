@@ -292,7 +292,8 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_planes", "size", "dtype", "interpret"),
+    static_argnames=("num_planes", "size", "dtype", "interpret",
+                     "light_w"),
 )
 def sweep_batched_pallas(
     volumes_oriented,   # (N_src, 3, D, 4, H, W) slab-major variants
@@ -308,6 +309,9 @@ def sweep_batched_pallas(
     interpret: bool | None = None,
     n_eff_b=None,        # (N,) per-volume effective resolution (<= size)
     light_ids=None,      # (N,) rows of light_oriented to use (default 0..N)
+    light_w: int | None = None,   # true light u extent when the input is
+                                  # already lane-padded (state carries it
+                                  # padded; see sweep.pad_light_lanes)
 ):
     """Drop-in twin of `sweep.sweep_batched`: (N, 6, 4, S, S) scatter.
 
@@ -326,8 +330,9 @@ def sweep_batched_pallas(
     n_light = light_oriented.shape[0]
     b = n * 6
     n_src, _, d, _, h, w = volumes_oriented.shape
-    dl, hl, wl = (light_oriented.shape[2], light_oriented.shape[4],
-                  light_oriented.shape[5])
+    dl, hl, wl_s = (light_oriented.shape[2], light_oriented.shape[4],
+                    light_oriented.shape[5])
+    wl = light_w if light_w else wl_s   # TRUE u extent (coords clip here)
 
     eye_b = eye_faces.reshape(b, 3)
     eu, ev, ew = eye_b[:, 0], eye_b[:, 1], eye_b[:, 2]
@@ -389,7 +394,7 @@ def sweep_batched_pallas(
 
     vol_flat = volumes_oriented.reshape(n_src * 3, d, 4, h, w).astype(dtype)
     light_flat = light_oriented.reshape(
-        n_light * 3, dl, 3, hl, wl).astype(dtype)
+        n_light * 3, dl, 3, hl, wl_s).astype(dtype)
 
     # Mosaic HBM slices must be lane-aligned: pad the minor (u) axis to a
     # multiple of 128. Padded texels get zero tent weights (coords clip to
@@ -400,9 +405,15 @@ def sweep_batched_pallas(
     if w_p != w:
         vol_flat = jnp.pad(vol_flat,
                            ((0, 0), (0, 0), (0, 0), (0, 0), (0, w_p - w)))
-    if wl_p != wl:
+    if wl_s == wl_p:
+        pass  # caller carries the stack pre-padded (pad_light_lanes)
+    elif wl_s == wl:
         light_flat = jnp.pad(light_flat,
                              ((0, 0), (0, 0), (0, 0), (0, 0), (0, wl_p - wl)))
+    else:
+        raise ValueError(
+            f"light stack minor dim {wl_s} matches neither light_w={wl} "
+            f"nor its lane pad {wl_p}")
 
     kernel = _make_kernel(num_planes, size, d, h, w, dl, hl, wl,
                           p_block, span_v, span_l, n_blocks,

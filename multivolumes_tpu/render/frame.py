@@ -127,9 +127,11 @@ def render_frame(
         )
         light_maps = state.light_maps.at[ids].set(
             maps_c.astype(state.light_maps.dtype))
+        # the carried stack is lane-padded (sweep.pad_light_lanes): pad
+        # the refreshed cohort to match before the in-place update
         light_oriented = state.light_maps_oriented.at[ids].set(
-            sweep_lib.orient_variants_cf(
-                maps_c.astype(state.light_maps_oriented.dtype)))
+            sweep_lib.pad_light_lanes(sweep_lib.orient_variants_cf(
+                maps_c.astype(state.light_maps_oriented.dtype))))
     else:
         # reference semantics: gather march, one volume per frame
         light_maps = lightmarch.ray_march_light(
@@ -171,10 +173,12 @@ def render_frame(
         use_tile = config.composite_mode in ("auto", "tile")
         lod_order = lod_buckets = None
         vol_or = state.volumes_oriented.astype(dtype)
+        light_w = config.light_grid_size  # true u extent of the padded stack
         if light_oriented is not None:
             lm_or = light_oriented.astype(dtype)  # carried; cohort-updated
         else:
-            lm_or = sweep_lib.orient_variants_cf(light_maps.astype(dtype))
+            lm_or = sweep_lib.pad_light_lanes(
+                sweep_lib.orient_variants_cf(light_maps.astype(dtype)))
         if config.lod_bucket_caps is not None and config.adaptive_raymarch:
             # bucket assignment needs the real projected mips; the sweep
             # itself marches every visible face (use_cube_map forced on
@@ -195,6 +199,7 @@ def render_frame(
                         dtype=dtype,
                         bucket_caps=config.lod_bucket_caps,
                         pack=not use_warp,
+                        light_w=light_w,
                     )
             else:
                 cube_maps, sweep_mips = sweep_lib.ray_march_view_sweep_lod(
@@ -209,6 +214,7 @@ def render_frame(
                     dtype=dtype,
                     bucket_caps=config.lod_bucket_caps,
                     pack=not use_warp,
+                    light_w=light_w,
                 )
             cull_for_composite = cull_for_composite._replace(
                 mip_level=sweep_mips
@@ -231,6 +237,7 @@ def render_frame(
                 config.cube_map_size,
                 num_planes=config.sweep_planes,
                 dtype=dtype,
+                light_w=light_w,
             )
         if (config.packed_composite and not use_warp
                 and cube_maps.color.shape[2] == 4):

@@ -75,7 +75,8 @@ def shadow_view_proj(state) -> jnp.ndarray:
 def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
               big_tiers=((2048, 12), (128, 48), (8, 256)),
               want_ids: bool = True, cull: int = 0,
-              capacity: int | None = None, dense_top: int = 0):
+              capacity: int | None = None, dense_top: int = 0,
+              tail: tuple | None = None):
     """Scatter z-buffer rasterization with tiered coverage.
 
     verts_clip: (V, 4) homogeneous clip positions; indices: (T, 3).
@@ -108,6 +109,11 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
       Exact coverage at any size for ~0.06 ms/triangle at 1280x800:
       strictly stronger *and* cheaper than the old top-8 256x256 grid
       tier (524k samples ~= 4 ms of scatter).
+    - `tail=(frac, kk)`: the smallest `frac` of the emitted set (by the
+      same edge order) samples at kk x kk instead of k x k. At demo
+      distance the median triangle bbox is ~1 px — a 4x4 grid on it is
+      12 dead scatter updates; (0.5, 2) keeps identical coverage for
+      bboxes <= 2 px and leans on bbox-overlapping neighbors beyond.
     """
     v = verts_clip
     w_clip = v[:, 3]
@@ -205,14 +211,20 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
     pack_ids = want_ids and T < (1 << tbits)
 
     order = None
-    if big_tiers or dense_top or (capacity is not None and capacity < T):
+    if (big_tiers or dense_top or tail
+            or (capacity is not None and capacity < T)):
         edge = jnp.where(tri_ok, jnp.maximum(xmax - xmin, ymax - ymin), -1.0)
         order = jnp.argsort(-edge)
 
-    base_sel = None
-    if capacity is not None and capacity < T and order is not None:
-        base_sel = order[:capacity]
-    parts = [emit(base_sel, k)]
+    n_emit = capacity if (capacity is not None and capacity < T) else T
+    if tail and order is not None and n_emit > 8:
+        frac, tail_k = tail
+        mid = max(int(n_emit * (1.0 - frac)), 1)
+        parts = [emit(order[:mid], k), emit(order[mid:n_emit], tail_k)]
+    elif n_emit < T and order is not None:
+        parts = [emit(order[:n_emit], k)]
+    else:
+        parts = [emit(None, k)]
     at = min(dense_top, T)  # ranks [0, dense_top) go to the dense pass
     if big_tiers and order is not None:
         for count, kk in sorted(big_tiers):
@@ -394,7 +406,7 @@ def render_shadow_map(state, config: RenderConfig) -> jnp.ndarray:
     depth, _ = rasterize(clip_sh, state.mesh_indices, sm, sm,
                          big_tiers=((2048, 12), (128, 48)),
                          want_ids=False, cull=cull, capacity=cap,
-                         dense_top=16)
+                         dense_top=16, tail=(0.5, 2))
     return depth
 
 
@@ -429,7 +441,8 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
            if config.mesh_backface_cull else None)
     depth, tri_id = rasterize(clip_jit, idx, width, height,
                               big_tiers=((2048, 12), (128, 48)),
-                              cull=cull, capacity=cap, dense_top=16)
+                              cull=cull, capacity=cap, dense_top=16,
+                              tail=(0.5, 2))
 
     # projected mesh bbox centre (pixels) — anchors the deferred-shade
     # window here and TAA's windowed history reprojection downstream

@@ -83,6 +83,20 @@ def orient_variants(vol):
     return orient_variants_cf(jnp.moveaxis(vol, -1, -4))
 
 
+def pad_light_lanes(lm):
+    """Pad an oriented light stack's minor (u) axis to the 128-lane
+    multiple the sweep kernel consumes. The stack is carried PADDED in
+    SceneState so the full-stack pad (measured ~4 ms/frame at n=64)
+    never runs inside the frame; padded texels get zero tent weights
+    because interp coords clip to the TRUE extent (the `light_w`
+    argument threaded through the sweep entry points)."""
+    w = lm.shape[-1]
+    wp = -(-w // 128) * 128
+    if wp == w:
+        return lm
+    return jnp.pad(lm, ((0, 0),) * (lm.ndim - 1) + ((0, wp - w),))
+
+
 def eye_to_face_frames(eye_local):
     """(..., 3) local eye -> (..., 6, 3) (eu, ev, ew) per face."""
     ex, ey, ez = eye_local[..., 0], eye_local[..., 1], eye_local[..., 2]
@@ -170,6 +184,7 @@ def sweep_batched(
     dtype=jnp.float32,
     n_eff_b=None,        # (N,) per-volume effective resolution (<= size)
     light_ids=None,      # (N,) rows of light_oriented to use (default 0..N)
+    light_w: int | None = None,   # true light u extent (lane-padded input)
 ):
     """March all (volume, face) pairs as one batched plane scan.
 
@@ -177,6 +192,8 @@ def sweep_batched(
     step does per-channel slab gathers and two batched einsums.
     Returns (N, 6, 4, S, S) scatter (channel-mid, see CubeMaps).
     """
+    if light_w is not None and light_oriented.shape[-1] != light_w:
+        light_oriented = light_oriented[..., :light_w]  # twin: drop pad
     n = vol_tex_ids.shape[0]
     b = n * 6
     d, h, w = (volumes_oriented.shape[2], volumes_oriented.shape[4],
@@ -348,6 +365,7 @@ def ray_march_view_sweep(
     num_planes: int | None = None,
     dtype=jnp.float32,
     impl: str = "pallas",
+    light_w: int | None = None,
 ) -> CubeMaps:
     """Sweep-march every (volume, face) cube map. Output contract matches
     `raymarch.ray_march_view` marched at mip 0 (consumers should treat the
@@ -384,7 +402,7 @@ def ray_march_view_sweep(
 
     scatter = _sweep_batched_impl(impl)(
         volumes_oriented, light_maps_oriented, vol_tex_ids, eye_faces,
-        params, cull.smp_count, run_mask, k, s, dtype,
+        params, cull.smp_count, run_mask, k, s, dtype, light_w=light_w,
     )
     scatter = scatter.at[:, :, :3].mul(1.0 / (2.0 * math.pi))
     scatter = scatter * run_mask[:, :, None, None, None]
@@ -483,6 +501,7 @@ def ray_march_view_sweep_lod_sharded(
     bucket_caps=(8, 24, 1 << 30),
     impl: str = "pallas",
     pack: bool = False,
+    light_w: int | None = None,
 ):
     """Multi-chip LOD sweep: genuinely partition the march over the
     volume axis with `jax.shard_map` (GSPMD cannot partition the opaque
@@ -511,7 +530,7 @@ def ray_march_view_sweep_lod_sharded(
         cm, mips = ray_march_view_sweep_lod(
             vol_or, tex_l, lm_l, po_l, cull_l, eye_, depth_,
             cube_map_size, dtype=dtype, bucket_caps=caps, impl=impl,
-            pack=pack,
+            pack=pack, light_w=light_w,
         )
         return cm.color, cm.depth, mips
 
@@ -575,6 +594,7 @@ def ray_march_view_sweep_lod(
     bucket_caps=(8, 24, 1 << 30),
     impl: str = "pallas",
     pack: bool = True,
+    light_w: int | None = None,
 ):
     """LOD-bucketed sweep: the honest work-graph equivalent.
 
@@ -673,6 +693,7 @@ def ray_march_view_sweep_lod(
             volumes_oriented, light_maps_oriented, vol_tex_ids[ids],
             eye_f_b, params, cull.smp_count[ids], run_mask_full[ids],
             size_b, size_b, dtype, n_eff_b=n_eff_v, light_ids=ids,
+            light_w=light_w,
         )  # (count, 6, 4, size_b, size_b)
         scatter = scatter.at[:, :, :3].mul(1.0 / (2.0 * math.pi))
         scatter = scatter * run_mask_full[ids][:, :, None, None, None]

@@ -90,6 +90,40 @@ def velocity_max(vx, vy):
     return best_x, best_y
 
 
+def _bilinear_rows16(history, ub, vb, h, w):
+    """All four bilinear corners of the 4-channel history in ONE row
+    gather per pixel.
+
+    Build: edge-pad to (h+1, w+1, 4), flatten to rows of 4, then
+    lane-CONCAT four row-shifted views into a (R, 16) table — row r
+    holds [c00, c01, c10, c11] for base pixel r. The shifts are row-axis
+    slices (sublane-cheap, ~0.1 ms at 1280x800); no stride-2
+    deinterleave (the ~70 ms/Mpx shape) is involved. The tap is then
+    one contiguous-row gather (~5.6 ms/M rows) instead of four
+    (the four-corner form measured 5.9 ms/frame at a 512 px window).
+    """
+    x = ub * w - 0.5
+    y = vb * h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    # below-zero bases clamp BOTH corners to texel 0 (matching the
+    # clipped-corner formulation): zero the fraction there
+    fx = jnp.where(x0f < 0, 0.0, x - x0f)[..., None]
+    fy = jnp.where(y0f < 0, 0.0, y - y0f)[..., None]
+    xi0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    yi0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+
+    img = jnp.moveaxis(history, 0, -1)                   # (h, w, 4)
+    pad = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    flat = pad.reshape((h + 1) * (w + 1), 4)
+    wp = w + 1
+    table = jnp.concatenate(
+        [flat[: -wp - 1], flat[1: -wp], flat[wp: -1], flat[wp + 1:]],
+        axis=1)                                          # (R, 16)
+    row = table[yi0 * wp + xi0]                          # (..., 16)
+    return ((row[..., 0:4] * (1 - fx) + row[..., 4:8] * fx) * (1 - fy)
+            + (row[..., 8:12] * (1 - fx) + row[..., 12:16] * fx) * fy)
+
+
 def _sample_bilinear_ch(img, u, v):
     """img (H, W), u/v (H, W) normalized -> (H, W). Linear clamp."""
     h, w = img.shape
@@ -159,29 +193,8 @@ def _temporal_aa_pallas(current, history, velocity, reproj_center=None,
               y0.astype(jnp.float32)) / h
         ug, vg = jnp.meshgrid(xs, ys, indexing="xy")
         ub, vb = ug - mvx, vg - mvy
-        # packed-row bilinear: all 4 history channels per tap in one row
-        # gather (4 row gathers/pixel; contiguous ROW gathers measured
-        # ~5.6 ms per million on v5e — 8x the element-gather rate. A
-        # 2x2-quad pre-pack would halve the gathers but its stride-2
-        # deinterleave build costs ~70 ms/Mpx and the history changes
-        # every frame, so rows win; the shadow map, static per frame,
-        # DOES use the cached quad pack — mesh._shadow_quad_table.)
-        table = jnp.moveaxis(history, 0, -1).reshape(h * w, 4)
-        x = ub * w - 0.5
-        y = vb * h - 0.5
-        x0f, y0f = jnp.floor(x), jnp.floor(y)
-        fx = (x - x0f)[..., None]
-        fy = (y - y0f)[..., None]
-        xi0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-        xi1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
-        yi0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-        yi1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
-        c00 = table[yi0 * w + xi0]
-        c01 = table[yi0 * w + xi1]
-        c10 = table[yi1 * w + xi0]
-        c11 = table[yi1 * w + xi1]
-        hist_w = ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
-                  + (c10 * (1 - fx) + c11 * fx) * fy)     # (win, win, 4)
+        # one quad-row gather per pixel (see _bilinear_rows16)
+        hist_w = _bilinear_rows16(history, ub, vb, h, w)  # (win, win, 4)
         hist = jax.lax.dynamic_update_slice(
             history, jnp.moveaxis(hist_w, -1, 0), (0, y0, x0))
         blur_w = jnp.abs(mvx) * (4.0 * w) + jnp.abs(mvy) * (4.0 * h)
@@ -189,31 +202,15 @@ def _temporal_aa_pallas(current, history, velocity, reproj_center=None,
             jnp.zeros_like(cr), blur_w, (y0, x0))
     else:
         # full-screen reprojection (reproj_window == 0, or no centre):
-        # same packed-row bilinear as the windowed path — the
-        # per-channel element-gather formulation measured ~167 ms/frame
-        # at 1280x800 vs ~6 ms/M for row gathers
+        # same quad-row gather as the windowed path — the per-channel
+        # element-gather formulation measured ~167 ms/frame at 1280x800
         vx, vy = velocity
         mvx, mvy = velocity_max(vx, vy)
         xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
         ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
         ug, vg = jnp.meshgrid(xs, ys, indexing="xy")
         ub, vb = ug - mvx, vg - mvy
-        table = jnp.moveaxis(history, 0, -1).reshape(h * w, 4)
-        x = ub * w - 0.5
-        y = vb * h - 0.5
-        x0f, y0f = jnp.floor(x), jnp.floor(y)
-        fx = (x - x0f)[..., None]
-        fy = (y - y0f)[..., None]
-        xi0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-        xi1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
-        yi0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-        yi1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
-        c00 = table[yi0 * w + xi0]
-        c01 = table[yi0 * w + xi1]
-        c10 = table[yi1 * w + xi0]
-        c11 = table[yi1 * w + xi1]
-        hist4 = ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
-                 + (c10 * (1 - fx) + c11 * fx) * fy)      # (H, W, 4)
+        hist4 = _bilinear_rows16(history, ub, vb, h, w)   # (H, W, 4)
         hist = jnp.moveaxis(hist4, -1, 0)
         blur = jnp.abs(mvx) * (4.0 * w) + jnp.abs(mvy) * (4.0 * h)
 

@@ -69,7 +69,8 @@ class SceneState:
     volume_worlds: jnp.ndarray    # (N, 4, 4) world transforms (row-vector)
     light_maps: jnp.ndarray       # (N, 3, L, L, L) channel-mid (trailing
                                   # 3 would be tile-padded 32x at rest)
-    light_maps_oriented: jnp.ndarray  # (N, 3, L, 3, L, L) slab-major
+    light_maps_oriented: jnp.ndarray  # (N, 3, L, 3, L, Lp) slab-major,
+    #                        minor axis lane-padded (sweep.pad_light_lanes)
                                   # 3-variant orientations in the sweep
                                   # dtype — carried so the per-frame
                                   # orient cost scales with the refreshed
@@ -218,14 +219,17 @@ def create_scene(config: RenderConfig,
                 has_light_probe=config.has_light_probe,
             )
             return (maps0.astype(dtype),
-                    sweep_lib.orient_variants_cf(maps0.astype(sweep_dtype)),
+                    sweep_lib.pad_light_lanes(sweep_lib.orient_variants_cf(
+                        maps0.astype(sweep_dtype))),
                     sout0)
 
         light_maps, light_oriented, light_sout = jax.jit(_init_light)(
             worlds, rho_light, ao_static, grad_dir, sh_coeffs)
     else:
-        light_oriented = jnp.ones(
-            (n, 3, lgs, 3, lgs, lgs), sweep_dtype)
+        from multivolumes_tpu.render import sweep as sweep_lib
+
+        light_oriented = sweep_lib.pad_light_lanes(jnp.ones(
+            (n, 3, lgs, 3, lgs, lgs), sweep_dtype))
 
     return SceneState(
         frame_idx=jnp.asarray(0, jnp.int32),

@@ -267,6 +267,47 @@ def test_mesh_shade_window_matches_fullscreen():
             np.asarray(c_w), np.asarray(c_f), atol=1e-6)
 
 
+def test_rasterize_tail_tier_no_holes():
+    """The production ladder's small-triangle tail tier (half the
+    emitted set at 2x2) must not open coverage holes vs the plain 4x4
+    base on a real mesh at a mid-distance view."""
+    import os
+
+    import pytest
+
+    bunny = "/root/reference/Bin/Assets/bunny.obj"
+    if not os.path.exists(bunny):
+        pytest.skip("bunny asset missing")
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib, math3d
+    from multivolumes_tpu.engine import MultiRayCaster
+
+    w, h = 320, 200
+    cfg = RenderConfig(
+        width=w, height=h, grid_size=16, light_grid_size=8,
+        max_ray_samples=32, max_light_samples=8, num_volumes=4,
+        num_volume_srcs=2, cube_map_size=16, shadow_map_size=64)
+    eng = MultiRayCaster(cfg)
+    eng.set_mesh(bunny)
+    st = eng.state
+    cam = cam_lib.orbit_camera(0.0, cfg.aspect_ratio)
+    clip = math3d.transform_point(
+        st.mesh_verts[:, :3], st.mesh_world @ cam.view_proj)
+    cap = mesh_lib._cull_capacity(st.mesh_indices.shape[0])
+    kw = dict(big_tiers=((2048, 12), (128, 48)), cull=1, capacity=cap,
+              dense_top=16)
+    _, t_base = mesh_lib.rasterize(clip, st.mesh_indices, w, h, **kw)
+    _, t_tail = mesh_lib.rasterize(clip, st.mesh_indices, w, h,
+                                   tail=(0.5, 2), **kw)
+    cov_b = np.asarray(t_base) >= 0
+    cov_t = np.asarray(t_tail) >= 0
+    assert cov_b.sum() > 500
+    holes = (cov_b & ~cov_t).sum()
+    assert holes <= 0.003 * cov_b.sum(), (
+        f"{holes} holes / {cov_b.sum()} covered")
+
+
 def test_rasterize_dense_top_exact_coverage():
     """dense_top rasterizes the largest triangles analytically: a
     screen-filling quad keeps gap-free coverage even with NO grid tiers

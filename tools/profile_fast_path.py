@@ -132,7 +132,7 @@ def main() -> None:
         return sweep_lib.ray_march_view_sweep_lod(
             v, state.vol_tex_ids, l, po, lod_cull, camera.eye, None,
             cfg.cube_map_size, dtype=dtype, bucket_caps=cfg.lod_bucket_caps,
-            pack=False)
+            pack=False, light_w=cfg.light_grid_size)
 
     cube_maps, sweep_mips = timed("sweep_lod", sweep_fn, vol_or, lm_or)
     del vol_or, lm_or  # free the oriented transients before compositing
