@@ -116,10 +116,6 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
         def vol_body(slot, _):
             vid = tlist[t, slot]
 
-            cp = pltpu.make_async_copy(color_hbm.at[vid], vol_scr,
-                                       sem.at[0])
-            cp.start()
-
             b00 = vol_flt[vid, 0]
             b01 = vol_flt[vid, 1]
             b02 = vol_flt[vid, 2]
@@ -182,54 +178,67 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
             valid = (hit & (hw > 0.0) & (exit_z <= scene_z)
                      & (exit_z > 0.0))
 
-            cp.wait()
+            # a listed volume can still touch no pixel of THIS tile
+            # (bbox overlap but fully occluded/missed): skip its face
+            # DMA, warps and K-insert entirely
+            @pl.when(jnp.max(valid.astype(jnp.int32)) > 0)
+            def _():
+                cp = pltpu.make_async_copy(color_hbm.at[vid], vol_scr,
+                                           sem.at[0])
+                cp.start()
+                cp.wait()
 
-            rr = jnp.zeros((th, tw), jnp.float32)
-            gg = jnp.zeros((th, tw), jnp.float32)
-            bb = jnp.zeros((th, tw), jnp.float32)
-            aa = jnp.zeros((th, tw), jnp.float32)
+                rr = jnp.zeros((th, tw), jnp.float32)
+                gg = jnp.zeros((th, tw), jnp.float32)
+                bb = jnp.zeros((th, tw), jnp.float32)
+                aa = jnp.zeros((th, tw), jnp.float32)
 
-            for f in range(6):
-                use_f = valid & (face == f)
-                # face skip via pl.when; the select below is safe even
-                # against a stale face_scr because use_f is then empty
-                _face_warp(f, use_f, vid, face_flt, vol_scr, tmp_scr,
-                           face_scr, xg, yg, x_row, r_col, sel_row,
-                           sel_col, y_top, y_bot, hi)
-                rr = jnp.where(use_f, face_scr[0], rr)
-                gg = jnp.where(use_f, face_scr[1], gg)
-                bb = jnp.where(use_f, face_scr[2], bb)
-                aa = jnp.where(use_f, face_scr[3], aa)
+                for f in range(6):
+                    use_f = valid & (face == f)
+                    # face skip via pl.when; the select below is safe
+                    # even against a stale face_scr because use_f is
+                    # then empty
+                    _face_warp(f, use_f, vid, face_flt, vol_scr,
+                               tmp_scr, face_scr, xg, yg, x_row, r_col,
+                               sel_row, sel_col, y_top, y_bot, hi)
+                    rr = jnp.where(use_f, face_scr[0], rr)
+                    gg = jnp.where(use_f, face_scr[1], gg)
+                    bb = jnp.where(use_f, face_scr[2], bb)
+                    aa = jnp.where(use_f, face_scr[3], aa)
 
-            # `PSCube.hlsl:57` store-if semantics (see warp.py on the
-            # alpha clamp)
-            aa = jnp.minimum(aa, 1.0)
-            store_ok = (aa > 0.0) & valid
-            zero = jnp.zeros_like(aa)
-            z_new = jnp.where(store_ok, exit_z, FLT_MAX)
-            r_new = jnp.where(store_ok, rr, zero)
-            g_new = jnp.where(store_ok, gg, zero)
-            b_new = jnp.where(store_ok, bb, zero)
-            a_new = jnp.where(store_ok, aa, zero)
+                # `PSCube.hlsl:57` store-if semantics (see warp.py on
+                # the alpha clamp)
+                aa = jnp.minimum(aa, 1.0)
+                store_ok = (aa > 0.0) & valid
+                zero = jnp.zeros_like(aa)
+                z_new = jnp.where(store_ok, exit_z, FLT_MAX)
+                r_new = jnp.where(store_ok, rr, zero)
+                g_new = jnp.where(store_ok, gg, zero)
+                b_new = jnp.where(store_ok, bb, zero)
+                a_new = jnp.where(store_ok, aa, zero)
 
-            # streaming nearest-K insert, VMEM-resident
-            for k in range(k_layers):
-                z_k = layers_scr[0, k]
-                take = z_new < z_k
-                layers_scr[0, k] = jnp.where(take, z_new, z_k)
-                z_new = jnp.where(take, z_k, z_new)
-                for ch, new in ((1, r_new), (2, g_new), (3, b_new),
-                                (4, a_new)):
-                    old = layers_scr[ch, k]
-                    layers_scr[ch, k] = jnp.where(take, new, old)
-                    if ch == 1:
-                        r_new = jnp.where(take, old, new)
-                    elif ch == 2:
-                        g_new = jnp.where(take, old, new)
-                    elif ch == 3:
-                        b_new = jnp.where(take, old, new)
-                    else:
-                        a_new = jnp.where(take, old, new)
+                # streaming nearest-K insert, VMEM-resident; skipped
+                # when the warp left every pixel transparent
+                @pl.when(jnp.max(store_ok.astype(jnp.int32)) > 0)
+                def _():
+                    zn, rn, gn, bn, an = z_new, r_new, g_new, b_new, a_new
+                    for k in range(k_layers):
+                        z_k = layers_scr[0, k]
+                        take = zn < z_k
+                        layers_scr[0, k] = jnp.where(take, zn, z_k)
+                        zn = jnp.where(take, z_k, zn)
+                        for ch, new in ((1, rn), (2, gn), (3, bn),
+                                        (4, an)):
+                            old = layers_scr[ch, k]
+                            layers_scr[ch, k] = jnp.where(take, new, old)
+                            if ch == 1:
+                                rn = jnp.where(take, old, new)
+                            elif ch == 2:
+                                gn = jnp.where(take, old, new)
+                            elif ch == 3:
+                                bn = jnp.where(take, old, new)
+                            else:
+                                an = jnp.where(take, old, new)
             return 0
 
         @pl.when(count > 0)

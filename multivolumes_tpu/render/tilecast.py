@@ -102,10 +102,12 @@ def composite_oit_tile(
     swap_nf = jnp.stack([dn_f[f][1] for f in range(6)], axis=1)  # (N, 6)
 
     # pre-swapped face images (a swapped face samples the transposed
-    # image), minor-padded to the lane width
+    # image), minor-padded to the lane width; kept in the sweep's
+    # compute dtype (bf16) — the kernel's one-hot column hoists are
+    # MXU matmuls with f32 accumulation, so precision matches the
+    # sweep's own output path while halving the per-volume DMA
     color_t = jnp.swapaxes(color, -1, -2)
-    color_sel = jnp.where(swap_nf[:, :, None, None, None], color_t, color
-                          ).astype(jnp.float32)
+    color_sel = jnp.where(swap_nf[:, :, None, None, None], color_t, color)
     s_pad = _ceil_to(s, 128)
     if s_pad != s:
         color_sel = jnp.pad(
