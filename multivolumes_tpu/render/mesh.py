@@ -52,11 +52,13 @@ class MeshOutput(NamedTuple):
 
 
 def _cull_capacity(num_tris: int) -> int:
-    """Scatter-sample capacity under backface culling: 60% of the
-    triangle count (closed meshes are ~50% front-facing at any view;
-    the bunny measures 43% over a full orbit). Overflow drops only the
-    smallest front-facing triangles — see `rasterize`."""
-    return (num_tris * 3) // 5
+    """Scatter-sample capacity under backface culling: 50% of the
+    triangle count (the bunny measures a 43% front-facing max over a
+    full orbit — 16% margin; back-facing rows sort to the end of the
+    edge order, so slack rows emit dead samples that still pay the
+    ~10 ns/update scatter). Overflow drops only the smallest
+    front-facing triangles — see `rasterize`."""
+    return num_tris // 2
 
 
 def shadow_view_proj(state) -> jnp.ndarray:
@@ -111,9 +113,13 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
       tier (524k samples ~= 4 ms of scatter).
     - `tail=(frac, kk)`: the smallest `frac` of the emitted set (by the
       same edge order) samples at kk x kk instead of k x k. At demo
-      distance the median triangle bbox is ~1 px — a 4x4 grid on it is
-      12 dead scatter updates; (0.5, 2) keeps identical coverage for
-      bboxes <= 2 px and leans on bbox-overlapping neighbors beyond.
+      distance the MEDIAN front-facing bbox is 2.7 px and the p99 is
+      4.4 px — a 4x4 grid on those is mostly dead scatter updates;
+      (0.6, 2) keeps identical coverage for bboxes <= 2 px and leans on
+      bbox-overlapping neighbors beyond (no-hole-bounded by test).
+
+    Ranks covered by a finer big tier are excluded from the base grid
+    (their tier grids are strictly denser).
     """
     v = verts_clip
     w_clip = v[:, 3]
@@ -217,12 +223,17 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
         order = jnp.argsort(-edge)
 
     n_emit = capacity if (capacity is not None and capacity < T) else T
+    # ranks already covered by a finer big tier (or the dense pass) are
+    # excluded from the base grid — their tier grids are strictly denser
+    big_max = min(max((c for c, _ in big_tiers), default=0), n_emit) \
+        if order is not None else 0
     if tail and order is not None and n_emit > 8:
         frac, tail_k = tail
-        mid = max(int(n_emit * (1.0 - frac)), 1)
-        parts = [emit(order[:mid], k), emit(order[mid:n_emit], tail_k)]
-    elif n_emit < T and order is not None:
-        parts = [emit(order[:n_emit], k)]
+        mid = max(int(n_emit * (1.0 - frac)), big_max + 1)
+        parts = [emit(order[big_max:mid], k),
+                 emit(order[mid:n_emit], tail_k)]
+    elif order is not None and (n_emit < T or big_max):
+        parts = [emit(order[big_max:n_emit], k)]
     else:
         parts = [emit(None, k)]
     at = min(dense_top, T)  # ranks [0, dense_top) go to the dense pass
@@ -406,7 +417,7 @@ def render_shadow_map(state, config: RenderConfig) -> jnp.ndarray:
     depth, _ = rasterize(clip_sh, state.mesh_indices, sm, sm,
                          big_tiers=((2048, 12), (128, 48)),
                          want_ids=False, cull=cull, capacity=cap,
-                         dense_top=16, tail=(0.5, 2))
+                         dense_top=16, tail=(0.6, 2))
     return depth
 
 
@@ -442,7 +453,7 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     depth, tri_id = rasterize(clip_jit, idx, width, height,
                               big_tiers=((2048, 12), (128, 48)),
                               cull=cull, capacity=cap, dense_top=16,
-                              tail=(0.5, 2))
+                              tail=(0.6, 2))
 
     # projected mesh bbox centre (pixels) — anchors the deferred-shade
     # window here and TAA's windowed history reprojection downstream
