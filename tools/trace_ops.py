@@ -28,7 +28,41 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def summarize(trace_dir: str, frames: int, top: int, min_ms: float):
+def _file_of_ops(hlo_path: str):
+    """fusion.N -> dominant source file, from an HLO text dump (see
+    tools/hlo_map.py for the format)."""
+    import collections as c
+    import re as re_
+
+    comp_of_op = {}
+    meta = c.defaultdict(c.Counter)
+    cur = None
+    mre = re_.compile(r'source_file="([^"]*)"')
+    with open(hlo_path) as f:
+        for line in f:
+            m = re_.match(r"%?([\w\-.]+) \(", line)
+            if m and not line.startswith(" "):
+                cur = m.group(1)
+                continue
+            im = re_.match(r"\s+(?:ROOT )?%?([\w\-.]+) = ", line)
+            if not im:
+                continue
+            cm = re_.search(r"(?:calls|to_apply|fusion|body)=%?([\w\-.]+)",
+                            line)
+            if cm:
+                comp_of_op[im.group(1)] = cm.group(1)
+            mm = mre.search(line)
+            if mm and cur:
+                meta[cur][os.path.basename(mm.group(1))] += 1
+    out = {}
+    for op, comp in comp_of_op.items():
+        if meta.get(comp):
+            out[op] = meta[comp].most_common(1)[0][0]
+    return out
+
+
+def summarize(trace_dir: str, frames: int, top: int, min_ms: float,
+              hlo: str | None = None):
     files = sorted(glob.glob(
         os.path.join(trace_dir, "**/*.trace.json.gz"), recursive=True))
     if not files:
@@ -66,6 +100,21 @@ def summarize(trace_dir: str, frames: int, top: int, min_ms: float):
             break
         print(f"  {ms_f:8.3f} ms/f  x{cnt[name] / frames:6.1f}  {name}")
 
+    if hlo and os.path.exists(hlo):
+        # aggregate by dominant source file — names the long tail
+        fof = _file_of_ops(hlo)
+        by_file = collections.Counter()
+        for name, ms in tot.items():
+            if name.startswith("jit_") or name.startswith("jit("):
+                continue  # parent span double-counts children
+            by_file[fof.get(name.rstrip("}"), f"<{name.split('.')[0]}>")] \
+                += ms
+        print("\nby source file (device ms/frame):")
+        for fname, ms in by_file.most_common(30):
+            if ms / frames < 0.02:
+                break
+            print(f"  {ms / frames:8.3f}  {fname}")
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -75,6 +124,9 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--min-ms", type=float, default=0.05)
     ap.add_argument("--dir", default="/tmp/mv_trace")
+    ap.add_argument("--hlo", default=None,
+                    help="HLO text dump (tools/hlo_map.py --dump) to "
+                         "aggregate the trace by source file")
     args = ap.parse_args()
 
     from multivolumes_tpu.utils.platform import configure_for_host
@@ -118,7 +170,7 @@ def main() -> None:
         img, state = step_jit(state, camera)
     sync(img)
     jax.profiler.stop_trace()
-    summarize(args.dir, args.frames, args.top, args.min_ms)
+    summarize(args.dir, args.frames, args.top, args.min_ms, hlo=args.hlo)
 
 
 if __name__ == "__main__":
