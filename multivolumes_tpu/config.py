@@ -129,21 +129,29 @@ class RenderConfig:
     # Backface-cull the opaque mesh's base/depth raster (the reference's
     # default CULL_BACK raster state). Culled triangles emit no scatter
     # samples, and the raster's sample budget is capacity-limited to
-    # 60% of the triangle count (closed meshes are ~50% front-facing).
-    # Set False for open single-sided geometry: every triangle then
-    # rasterizes from both sides at full capacity.
+    # 50% of the triangle count (the bunny measures a 43% front-facing
+    # max over a full orbit). Set False for open single-sided geometry:
+    # every triangle then rasterizes from both sides at full capacity.
     mesh_backface_cull: bool = True
+    # Raster small-triangle tail tier (frac, kk): the smallest `frac`
+    # of emitted triangles samples at kk x kk instead of 4x4 (~2 ms at
+    # the demo config). SAFE when the median triangle is ~<= kk px
+    # (demo-orbit distances); a strongly zoomed-in camera (median
+    # bbox >> kk) under-samples those triangles — set None for
+    # close-up-heavy content. Capacity/cull/tier levers stay exact at
+    # any distance (pinned by test).
+    raster_tail: tuple | None = (0.6, 2)
     # Static window (px) for TAA's velocity-based history reprojection,
     # centred on the mesh (the only velocity writer); pixels outside
     # reproject as identity. 0 = full-screen reprojection.
-    taa_reproj_window: int = 512
+    taa_reproj_window: int = 448
     # Static window (px) for the mesh's deferred shade (plane-table
     # interpolation, shadow PCF, BRDF), centred on the mesh's projected
     # bbox. The per-pixel gathers are the mesh pass's screen-space cost;
     # the mesh covers a fraction of the frame. Mesh pixels OUTSIDE the
     # window (mesh larger than the window) fall back to background —
     # raise it (or set 0 = full screen) for meshes filling the frame.
-    mesh_shade_window: int = 640
+    mesh_shade_window: int = 448
     # Composite the volume layers at 1/composite_scale screen resolution
     # and upsample (the cube maps carry the detail — the screen pass is a
     # filter, per the paper's viewport-resolution-independence thesis).

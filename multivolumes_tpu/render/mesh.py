@@ -415,9 +415,9 @@ def render_shadow_map(state, config: RenderConfig) -> jnp.ndarray:
     cap = (_cull_capacity(state.mesh_indices.shape[0])
            if config.mesh_backface_cull else None)
     depth, _ = rasterize(clip_sh, state.mesh_indices, sm, sm,
-                         big_tiers=((2048, 12), (128, 48)),
+                         big_tiers=((2048, 10), (128, 36)),
                          want_ids=False, cull=cull, capacity=cap,
-                         dense_top=16, tail=(0.6, 2))
+                         dense_top=16, tail=config.raster_tail)
     return depth
 
 
@@ -451,9 +451,9 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     cap = (_cull_capacity(idx.shape[0])
            if config.mesh_backface_cull else None)
     depth, tri_id = rasterize(clip_jit, idx, width, height,
-                              big_tiers=((2048, 12), (128, 48)),
+                              big_tiers=((2048, 10), (128, 36)),
                               cull=cull, capacity=cap, dense_top=16,
-                              tail=(0.6, 2))
+                              tail=config.raster_tail)
 
     # projected mesh bbox centre (pixels) — anchors the deferred-shade
     # window here and TAA's windowed history reprojection downstream

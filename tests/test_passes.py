@@ -308,6 +308,67 @@ def test_rasterize_tail_tier_no_holes():
         f"{holes} holes / {cov_b.sum()} covered")
 
 
+def test_rasterize_production_ladder_closeup_no_holes():
+    """The production ladder (cull + capacity + tail + tightened tiers
+    + dense top) must stay essentially hole-free at a CLOSE-UP camera,
+    where triangle bboxes are largest and the tier grids sparsest."""
+    import os
+
+    import pytest
+
+    bunny = "/root/reference/Bin/Assets/bunny.obj"
+    if not os.path.exists(bunny):
+        pytest.skip("bunny asset missing")
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib, math3d
+    from multivolumes_tpu.engine import MultiRayCaster
+
+    w, h = 400, 300
+    cfg = RenderConfig(
+        width=w, height=h, grid_size=16, light_grid_size=8,
+        max_ray_samples=32, max_light_samples=8, num_volumes=4,
+        num_volume_srcs=2, cube_map_size=16, shadow_map_size=64)
+    eng = MultiRayCaster(cfg)
+    eng.set_mesh(bunny)
+    st = eng.state
+    # close-up: camera 4x nearer than the demo orbit -> bboxes ~4x bigger
+    cam = cam_lib.make_camera(
+        jnp.array([2.0, -6.0, -16.0]), jnp.array([0.0, -8.0, 0.0]),
+        cfg.aspect_ratio)
+    clip = math3d.transform_point(
+        st.mesh_verts[:, :3], st.mesh_world @ cam.view_proj)
+    cap = mesh_lib._cull_capacity(st.mesh_indices.shape[0])
+    # baseline: cull-only at the FULL default ladder. (An uncull
+    # baseline is wrong here: the Stanford bunny's base is open, and
+    # this camera sees interior backfaces that the reference's
+    # CULL_BACK raster state drops identically.)
+    _, t_ref = mesh_lib.rasterize(clip, st.mesh_indices, w, h, cull=1)
+    cov_r = np.asarray(t_ref) >= 0
+    assert cov_r.sum() > 3000, "camera missed the mesh"
+
+    # capacity + tightened tiers + dense top (raster_tail=None): must
+    # be hole-free at ANY distance — this is the all-distance contract
+    _, t_solid = mesh_lib.rasterize(
+        clip, st.mesh_indices, w, h,
+        big_tiers=((2048, 10), (128, 36)), cull=1, capacity=cap,
+        dense_top=16)
+    holes = (cov_r & ~(np.asarray(t_solid) >= 0)).sum()
+    assert holes <= 0.005 * cov_r.sum(), (
+        f"{holes} holes / {cov_r.sum()} covered")
+
+    # the default tail is a demo-distance trade (config.raster_tail
+    # documents it): at this zoom its under-sampling is bounded, not
+    # zero — canary so it degrades no further
+    _, t_tail = mesh_lib.rasterize(
+        clip, st.mesh_indices, w, h,
+        big_tiers=((2048, 10), (128, 36)), cull=1, capacity=cap,
+        dense_top=16, tail=(0.6, 2))
+    holes_t = (cov_r & ~(np.asarray(t_tail) >= 0)).sum()
+    assert holes_t <= 0.20 * cov_r.sum(), (
+        f"{holes_t} tail holes / {cov_r.sum()} covered")
+
+
 def test_rasterize_dense_top_exact_coverage():
     """dense_top rasterizes the largest triangles analytically: a
     screen-filling quad keeps gap-free coverage even with NO grid tiers
