@@ -95,12 +95,13 @@ class RenderConfig:
     # Temporal amortization for the sweep light maps: refresh this many
     # volumes per frame round-robin (the reference refreshes ONE,
     # `MultiRayCaster::RayMarchL` — at n=64 each map there is 64 frames
-    # stale; 4/frame keeps ours 16x fresher than that while costing
-    # ~2 ms/frame less than 8/frame. Inter-volume occlusion stays
-    # exact via cached outgoing footprints — see
-    # lightsweep.ray_march_light_sweep_update). 0 = all volumes every
-    # frame. At the demo counts <= 4 this is a full refresh either way.
-    light_refresh: int = 4
+    # stale; 2/frame keeps ours 2x fresher than that. What goes stale
+    # between refreshes is only each map's mesh-shadow/incoming-
+    # occlusion term — the same lag the reference's round-robin has.
+    # Inter-volume occlusion stays exact via cached outgoing
+    # footprints — see lightsweep.ray_march_light_sweep_update. 0 = all
+    # volumes every frame. At demo counts <= 2 this is a full refresh.
+    light_refresh: int = 2
     # Pack cube-map RGBA as f16 pairs before compositing (halves the
     # dominant per-pixel gather cost; ~3-digit precision).
     packed_composite: bool = True
