@@ -105,9 +105,11 @@ class MultiRayCaster:
         rho, ao, gd = jax.jit(
             lightsweep.precompute_static, static_argnums=(1, 2)
         )(volumes, self.config.light_grid_size, self.config.max_light_samples)
+        oriented = state_lib.orient_sources(volumes, self.config)
         self.state = dataclasses.replace(
             self.state, volumes=volumes,
-            volumes_oriented=state_lib.orient_sources(volumes, self.config),
+            volumes_oriented=oriented,
+            vol_zmax=state_lib.slab_density_max(oriented),
             rho_light=rho, ao_static=ao, grad_dir=gd,
         )
         self._refresh_light_cache()

@@ -49,12 +49,20 @@ FLT_MAX = 3.402823466e38
 
 
 def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
-                 span_v, span_l, n_blocks, w_p=None, wl_p=None):
+                 span_v, span_l, n_blocks, w_p=None, wl_p=None,
+                 use_zmax=False):
     """Bind the static geometry; returns the kernel body."""
 
-    def kernel(int_sc, flt_sc, vol_hbm, light_hbm, s_in_ref, s_end_ref,
-               f_corr_ref, out_ref, vol_scr, light_scr, transm_scr,
-               scat_scr, state_smem, sem):
+    def kernel(int_sc, flt_sc, *rest):
+        if use_zmax:
+            (zmax_sc, vol_hbm, light_hbm, s_in_ref, s_end_ref,
+             f_corr_ref, out_ref, vol_scr, light_scr, transm_scr,
+             scat_scr, state_smem, sem) = rest
+        else:
+            zmax_sc = None
+            (vol_hbm, light_hbm, s_in_ref, s_end_ref,
+             f_corr_ref, out_ref, vol_scr, light_scr, transm_scr,
+             scat_scr, state_smem, sem) = rest
         b = pl.program_id(0)
         src = int_sc[b, 0]
         lm = int_sc[b, 1]
@@ -168,6 +176,18 @@ def _make_kernel(num_planes, size, d, h, w, dl, hl, wl, p_block,
             k0f = (blk * p_block).astype(jnp.float32)
             z_start, zl_start = slab_windows(blk)
             alive = state_smem[0] >= 0.01
+            if zmax_sc is not None:
+                # transparent-block skip: interpolation is convex, so a
+                # slab window whose per-slice density max stays <=
+                # ZERO_THRESHOLD can produce no live sample (the kernel's
+                # live test requires rho > ZERO_THRESHOLD) — skipping its
+                # compute is EXACT. The (N_src*3, D) table is static per
+                # source (scene.state.slab_density_max).
+                dmax = jnp.float32(0.0)
+                for dz in range(span_v):
+                    zi = jnp.minimum(z_start + dz, d - 1)
+                    dmax = jnp.maximum(dmax, zmax_sc[src, zi])
+                alive = alive & (dmax > ZERO_THRESHOLD)
 
             @pl.when(alive)
             def _():
@@ -312,6 +332,8 @@ def sweep_batched_pallas(
     light_w: int | None = None,   # true light u extent when the input is
                                   # already lane-padded (state carries it
                                   # padded; see sweep.pad_light_lanes)
+    vol_zmax=None,       # (N_src, 3, D) per-slab density max — enables
+                         # the kernel's exact transparent-block skip
 ):
     """Drop-in twin of `sweep.sweep_batched`: (N, 6, 4, S, S) scatter.
 
@@ -417,10 +439,16 @@ def sweep_batched_pallas(
 
     kernel = _make_kernel(num_planes, size, d, h, w, dl, hl, wl,
                           p_block, span_v, span_l, n_blocks,
-                          w_p=w_p, wl_p=wl_p)
+                          w_p=w_p, wl_p=wl_p,
+                          use_zmax=vol_zmax is not None)
+
+    prefetch = [int_sc, flt_sc]
+    if vol_zmax is not None:
+        prefetch.append(
+            vol_zmax.reshape(n_src * 3, d).astype(jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # volumes (HBM)
@@ -449,5 +477,5 @@ def sweep_batched_pallas(
         out_shape=jax.ShapeDtypeStruct((b, 4, size, size), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(int_sc, flt_sc, vol_flat, light_flat, s_in, s_end, f_corr)
+    )(*prefetch, vol_flat, light_flat, s_in, s_end, f_corr)
     return scatter.reshape(n, 6, 4, size, size)

@@ -53,6 +53,7 @@ def state_shardings(mesh: Mesh, state: SceneState) -> SceneState:
         frame_idx=rep,
         volumes=rep,               # source textures replicated (shared reads)
         volumes_oriented=rep,
+        vol_zmax=rep,
         vol_tex_ids=vol,
         volume_worlds=vol,
         # The big slow-changing light stacks stay REPLICATED: the view

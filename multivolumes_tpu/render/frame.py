@@ -200,6 +200,7 @@ def render_frame(
                         bucket_caps=config.lod_bucket_caps,
                         pack=not use_warp,
                         light_w=light_w,
+                        vol_zmax=state.vol_zmax,
                     )
             else:
                 cube_maps, sweep_mips = sweep_lib.ray_march_view_sweep_lod(
@@ -215,6 +216,7 @@ def render_frame(
                     bucket_caps=config.lod_bucket_caps,
                     pack=not use_warp,
                     light_w=light_w,
+                    vol_zmax=state.vol_zmax,
                 )
             cull_for_composite = cull_for_composite._replace(
                 mip_level=sweep_mips
@@ -238,6 +240,7 @@ def render_frame(
                 num_planes=config.sweep_planes,
                 dtype=dtype,
                 light_w=light_w,
+                vol_zmax=state.vol_zmax,
             )
         if (config.packed_composite and not use_warp
                 and cube_maps.color.shape[2] == 4):

@@ -17,8 +17,10 @@ scatter z-buffer plus deferred per-pixel shading —
 
 Scatter-based rasterization maps to XLA `scatter_min` (deterministic),
 needs no dynamic binning, and the deferred shade runs once per pixel —
-the TPU-friendly trade. Triangles larger than KxK pixels are sampled
-sparsely (the bunny averages ~1 px/triangle; K=8 default).
+the TPU-friendly trade. Sample budget levers (backface cull, capacity,
+size-tiered grids, small-triangle tail, dense analytic top) are
+documented on `rasterize`; the deferred shade runs in a static window
+around the projected mesh bbox (config.mesh_shade_window).
 """
 
 from __future__ import annotations

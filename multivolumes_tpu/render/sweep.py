@@ -185,6 +185,8 @@ def sweep_batched(
     n_eff_b=None,        # (N,) per-volume effective resolution (<= size)
     light_ids=None,      # (N,) rows of light_oriented to use (default 0..N)
     light_w: int | None = None,   # true light u extent (lane-padded input)
+    vol_zmax=None,       # accepted for pallas-twin symmetry; the twin's
+                         # dense scan gains nothing from block skipping
 ):
     """March all (volume, face) pairs as one batched plane scan.
 
@@ -366,6 +368,7 @@ def ray_march_view_sweep(
     dtype=jnp.float32,
     impl: str = "pallas",
     light_w: int | None = None,
+    vol_zmax=None,
 ) -> CubeMaps:
     """Sweep-march every (volume, face) cube map. Output contract matches
     `raymarch.ray_march_view` marched at mip 0 (consumers should treat the
@@ -403,6 +406,7 @@ def ray_march_view_sweep(
     scatter = _sweep_batched_impl(impl)(
         volumes_oriented, light_maps_oriented, vol_tex_ids, eye_faces,
         params, cull.smp_count, run_mask, k, s, dtype, light_w=light_w,
+        vol_zmax=vol_zmax,
     )
     scatter = scatter.at[:, :, :3].mul(1.0 / (2.0 * math.pi))
     scatter = scatter * run_mask[:, :, None, None, None]
@@ -536,6 +540,7 @@ def ray_march_view_sweep_lod_sharded(
     impl: str = "pallas",
     pack: bool = False,
     light_w: int | None = None,
+    vol_zmax=None,
 ):
     """Multi-chip LOD sweep: genuinely partition the march over the
     volume axis with `jax.shard_map` (GSPMD cannot partition the opaque
@@ -557,25 +562,25 @@ def ray_march_view_sweep_lod_sharded(
     caps = tuple(c if c >= (1 << 20) else max(1, c // nd)
                  for c in bucket_caps)
 
-    def local_fn(vol_or, tex_l, lm_full, po_l, cull_l, eye_, depth_):
+    def local_fn(vol_or, tex_l, lm_full, po_l, cull_l, eye_, depth_, vz_):
         d = jax.lax.axis_index(axis)
         nl = tex_l.shape[0]
         lm_l = jax.lax.dynamic_slice_in_dim(lm_full, d * nl, nl, 0)
         cm, mips = ray_march_view_sweep_lod(
             vol_or, tex_l, lm_l, po_l, cull_l, eye_, depth_,
             cube_map_size, dtype=dtype, bucket_caps=caps, impl=impl,
-            pack=pack, light_w=light_w,
+            pack=pack, light_w=light_w, vol_zmax=vz_,
         )
         return cm.color, cm.depth, mips
 
     color, depth, mips = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(axis), P(axis), P(), P()),
+        in_specs=(P(), P(axis), P(), P(axis), P(axis), P(), P(), P()),
         out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False,
     )(volumes_oriented, vol_tex_ids, light_maps_oriented, per_object,
-      cull, eye, depth_map)
+      cull, eye, depth_map, vol_zmax)
     return CubeMaps(color=color, depth=depth), mips
 
 
@@ -629,6 +634,7 @@ def ray_march_view_sweep_lod(
     impl: str = "pallas",
     pack: bool = True,
     light_w: int | None = None,
+    vol_zmax=None,
 ):
     """LOD-bucketed sweep: the honest work-graph equivalent.
 
@@ -747,7 +753,7 @@ def ray_march_view_sweep_lod(
             volumes_oriented, light_maps_oriented, vol_tex_ids[ids],
             eye_f_b, params, cull.smp_count[ids], run_mask_full[ids],
             size_b, size_b, dtype, n_eff_b=n_eff_v, light_ids=ids,
-            light_w=light_w,
+            light_w=light_w, vol_zmax=vol_zmax,
         )  # (count, 6, 4, size_b, size_b)
         scatter = scatter.at[:, :, :3].mul(1.0 / (2.0 * math.pi))
         scatter = scatter * run_mask_full[ids][:, :, None, None, None]

@@ -30,6 +30,7 @@ from multivolumes_tpu.scene import volume as volume_lib
         "frame_idx",
         "volumes",
         "volumes_oriented",
+        "vol_zmax",
         "vol_tex_ids",
         "volume_worlds",
         "light_maps",
@@ -65,6 +66,12 @@ class SceneState:
                                   # sweep's compute dtype) — precomputed
                                   # here so the per-frame step never pays
                                   # the 6-way transpose of a static stack
+    vol_zmax: jnp.ndarray         # (N_src, 3, D) per-slab max density of
+                                  # the oriented stacks (static per
+                                  # source) — the sweep kernel skips the
+                                  # compute of fully-transparent slab
+                                  # windows (max <= ZERO_THRESHOLD:
+                                  # exact, interpolation is convex)
     vol_tex_ids: jnp.ndarray      # (N,) int32 source id per volume
     volume_worlds: jnp.ndarray    # (N, 4, 4) world transforms (row-vector)
     light_maps: jnp.ndarray       # (N, 3, L, L, L) channel-mid (trailing
@@ -235,6 +242,7 @@ def create_scene(config: RenderConfig,
         frame_idx=jnp.asarray(0, jnp.int32),
         volumes=vols,
         volumes_oriented=vols_oriented,
+        vol_zmax=slab_density_max(vols_oriented),
         vol_tex_ids=vol_tex_ids,
         volume_worlds=worlds,
         light_maps=light_maps,
@@ -269,6 +277,15 @@ def orient_sources(vols, config: RenderConfig):
     return jax.jit(
         lambda v: sweep_lib.orient_variants(v.astype(sweep_dtype))
     )(vols)
+
+
+def slab_density_max(vols_oriented):
+    """(N_src, 3, D, 4, H, W) -> (N_src, 3, D) per-slab max density
+    (channel 3). Static per source; drives the sweep kernel's
+    transparent-block skip."""
+    return jax.jit(
+        lambda v: jnp.max(v[:, :, :, 3].astype(jnp.float32), axis=(-1, -2))
+    )(vols_oriented)
 
 
 def default_radiance(size: int = 64) -> np.ndarray:

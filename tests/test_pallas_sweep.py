@@ -77,3 +77,43 @@ def test_pallas_sweep_full_wrapper():
     np.testing.assert_allclose(
         np.asarray(out_p.color), np.asarray(out_x.color),
         atol=2e-3, rtol=2e-2)
+
+
+def test_pallas_sweep_block_skip_is_exact():
+    """vol_zmax enables the kernel's transparent-block skip; with a
+    volume whose lower-z half is empty, the output must be IDENTICAL to
+    the no-skip kernel (interpolation is convex, so a window with
+    max density <= ZERO_THRESHOLD can produce no live sample)."""
+    rng = np.random.RandomState(3)
+    n, n_src, d, dl, s = 2, 2, 12, 8, 8
+    dens = rng.rand(n_src, d, d, d).astype(np.float32)
+    dens[:, : d // 2] = 0.0          # empty lower-z half
+    vols = np.concatenate(
+        [rng.rand(n_src, d, d, d, 3).astype(np.float32),
+         dens[..., None]], axis=-1)
+    vols = jnp.asarray(vols)
+    lights = jnp.asarray(rng.rand(n, 3, dl, dl, dl).astype(np.float32))
+    vol_or = sweep.orient_variants(vols)
+    light_or = sweep.orient_variants_cf(lights)
+
+    from multivolumes_tpu.scene.state import slab_density_max
+
+    zmax = slab_density_max(vol_or)
+    ids = jnp.asarray([0, 1], jnp.int32)
+    eye_local = jnp.asarray([[0.3, -0.4, -2.5], [0.2, 0.1, 0.3]],
+                            jnp.float32)
+    eye_faces = sweep.eye_to_face_frames(eye_local)
+    u = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s * 2.0 - 1.0
+    params = face_ray_params(eye_faces.reshape(n * 6, 3), u, -u, None)
+    params = SweepParams(*(x.reshape(n, 6, s, s) for x in params))
+    smp = jnp.full((n,), 24.0, jnp.float32)
+    run = jnp.ones((n, 6), bool)
+
+    from multivolumes_tpu.ops.pallas.sweep_kernel import sweep_batched_pallas
+
+    base = sweep_batched_pallas(
+        vol_or, light_or, ids, eye_faces, params, smp, run, s, s)
+    skip = sweep_batched_pallas(
+        vol_or, light_or, ids, eye_faces, params, smp, run, s, s,
+        vol_zmax=zmax)
+    np.testing.assert_array_equal(np.asarray(skip), np.asarray(base))
