@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from multivolumes_tpu.config import SharedConsts
-from multivolumes_tpu.core import math3d, sh as sh_lib
+from multivolumes_tpu.core import sh as sh_lib
 from multivolumes_tpu.ops.trilinear import indexed_trilinear_soa
 from multivolumes_tpu.render import raymarch
 from multivolumes_tpu.render.cull import CullResult

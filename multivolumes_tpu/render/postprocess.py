@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from multivolumes_tpu.core import math3d
 from multivolumes_tpu.render import composite
 
 
