@@ -76,10 +76,14 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
                  u_block=8):
     """Bind static geometry; return the kernel body."""
 
-    def kernel(tlist, counts, vol_flt, face_flt, color_hbm, scene_ref,
-               out_ref, vol_scr, tmp_scr, face_scr, layers_scr, sem):
+    def kernel(tlist, counts, vol_flt, face_flt, row0, color_hbm,
+               scene_ref, out_ref, vol_scr, tmp_scr, face_scr,
+               layers_scr, sem):
         t = pl.program_id(0)
-        ty = t // tiles_x
+        # row0: global tile-row offset of this shard (0 single-device;
+        # the row-sharded path composites a contiguous band of tile
+        # rows per device, but NDC needs GLOBAL pixel coordinates)
+        ty = t // tiles_x + row0[0]
         tx = t % tiles_x
         count = counts[t]
 
@@ -381,6 +385,7 @@ def tile_composite_pallas(
     width: int,   # UNPADDED screen dims (NDC mapping)
     height: int,
     interpret: bool | None = None,
+    tile_row0=None,  # (1,) int32 global tile-row offset (row sharding)
 ):
     """-> (4, Hp, Wp) premultiplied under-blended RGBA (crop to H, W)."""
     if interpret is None:
@@ -390,12 +395,14 @@ def tile_composite_pallas(
     hp, wp = scene_z.shape
     tiles = (hp // th) * (wp // tw)
     assert tiles == tlist.shape[0]
+    if tile_row0 is None:
+        tile_row0 = jnp.zeros((1,), jnp.int32)
 
     kernel = _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers,
                           width, height)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # face images (HBM)
@@ -420,4 +427,4 @@ def tile_composite_pallas(
         out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tlist, counts, vol_flt, face_flt, color_sel, scene_z)
+    )(tlist, counts, vol_flt, face_flt, tile_row0, color_sel, scene_z)

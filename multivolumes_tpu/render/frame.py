@@ -294,17 +294,33 @@ def render_frame(
     if use_warp and use_tile:
         from multivolumes_tpu.render import tilecast
 
-        vr, vg, vb, va = tilecast.composite_oit_tile(
-            cube_maps,
-            per_object,
-            cull_for_composite,
-            eye,
-            screen_to_world,
-            depth_map,
-            cw,
-            ch,
-            num_layers=config.oit_layers,
-        )
+        if mesh is not None and "rows" in mesh.axis_names:
+            # 2-D device mesh: the screen composite shards over pixel
+            # rows (the sweep already sharded over volumes)
+            vr, vg, vb, va = tilecast.composite_oit_tile_sharded(
+                mesh,
+                cube_maps,
+                per_object,
+                cull_for_composite,
+                eye,
+                screen_to_world,
+                depth_map,
+                cw,
+                ch,
+                num_layers=config.oit_layers,
+            )
+        else:
+            vr, vg, vb, va = tilecast.composite_oit_tile(
+                cube_maps,
+                per_object,
+                cull_for_composite,
+                eye,
+                screen_to_world,
+                depth_map,
+                cw,
+                ch,
+                num_layers=config.oit_layers,
+            )
     elif use_warp:
         from multivolumes_tpu.render import warp as warp_lib
 

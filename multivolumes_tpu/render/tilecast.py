@@ -56,6 +56,82 @@ def composite_oit_tile(
     interpret: bool | None = None,
 ):
     """Full OIT composite via the screen-tile kernel -> (r, g, b, a)."""
+    prep = _tile_prep(cube_maps, per_object, cull, eye, screen_to_world,
+                      depth_map, width, height, num_layers=num_layers)
+    (color_sel, scene_p, tlist, counts, vol_flt, face_flt,
+     s, th, tw, tiles_x, k_layers) = prep
+    out = tile_composite_pallas(
+        color_sel, scene_p, tlist, counts, vol_flt, face_flt,
+        s=s, th=th, tw=tw, tiles_x=tiles_x, k_layers=k_layers,
+        width=width, height=height, interpret=interpret,
+    )
+    out = out[:, :height, :width]
+    return out[0], out[1], out[2], out[3]
+
+
+def composite_oit_tile_sharded(
+    mesh,                           # jax.sharding.Mesh with a "rows" axis
+    cube_maps,
+    per_object: PerObject,
+    cull: CullResult,
+    eye,
+    screen_to_world,
+    depth_map,
+    width: int,
+    height: int,
+    num_layers: int,
+    interpret: bool | None = None,
+):
+    """Row-sharded screen composite: each device runs the tile kernel on
+    a contiguous band of tile rows (SURVEY section-2.6's screen-space
+    data-parallel axis). The per-tile prep stays replicated (it is
+    per-volume geometry, a few KB); inputs are the post-all-gather
+    replicated cube maps, so the only sharded tensors are the scene
+    depth band and the output band — zero extra collectives."""
+    from jax.sharding import PartitionSpec as P
+
+    rows = mesh.shape["rows"]
+    prep = _tile_prep(cube_maps, per_object, cull, eye, screen_to_world,
+                      depth_map, width, height, rows_mult=rows,
+                      num_layers=num_layers)
+    (color_sel, scene_p, tlist, counts, vol_flt, face_flt,
+     s, th, tw, tiles_x, k_layers) = prep
+    ty_local = (scene_p.shape[0] // th) // rows
+
+    def local_fn(tl, cn, sz, cs, vf, ff):
+        r = jax.lax.axis_index("rows")
+        off = (r * ty_local).astype(jnp.int32)[None]
+        return tile_composite_pallas(
+            cs, sz, tl, cn, vf, ff, s=s, th=th, tw=tw, tiles_x=tiles_x,
+            k_layers=k_layers, width=width, height=height,
+            interpret=interpret, tile_row0=off,
+        )
+
+    out = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("rows"), P("rows"), P("rows"), P(), P(), P()),
+        out_specs=P(None, "rows", None),
+        check_vma=False,
+    )(tlist, counts, scene_p, color_sel, vol_flt, face_flt)
+    out = out[:, :height, :width]
+    return out[0], out[1], out[2], out[3]
+
+
+def _tile_prep(
+    cube_maps,
+    per_object: PerObject,
+    cull: CullResult,
+    eye,
+    screen_to_world,
+    depth_map,
+    width: int,
+    height: int,
+    rows_mult: int = 1,             # pad tile rows to this multiple
+    num_layers: int = 8,
+):
+    """Per-frame host-side geometry for the tile kernel (docstring at
+    module top)."""
     color = cube_maps.color
     assert color.shape[2] == 4, "tile composite needs unpacked cube maps"
     n = per_object.world.shape[0]
@@ -125,6 +201,8 @@ def composite_oit_tile(
 
     # --- per-tile volume lists (bbox culled, capacity N) ----------------
     th, tw, hp, wp = tile_dims(width, height)
+    if rows_mult > 1:
+        hp = _ceil_to(hp, th * rows_mult)  # even tile-row bands per device
     tiles_x = wp // tw
     tiles_y = hp // th
     tiles = tiles_x * tiles_y
@@ -167,10 +245,5 @@ def composite_oit_tile(
     # pad with 0: exit_z <= 0 never passes, so pad pixels stay empty
     scene_p = jnp.pad(scene, ((0, hp - height), (0, wp - width)))
 
-    out = tile_composite_pallas(
-        color_sel, scene_p, tlist, counts, vol_flt, face_flt,
-        s=s, th=th, tw=tw, tiles_x=tiles_x, k_layers=k_layers,
-        width=width, height=height, interpret=interpret,
-    )
-    out = out[:, :height, :width]
-    return out[0], out[1], out[2], out[3]
+    return (color_sel, scene_p, tlist, counts, vol_flt, face_flt,
+            s, th, tw, tiles_x, k_layers)
