@@ -108,6 +108,9 @@ def light_transmittance(
     sub_ids=None,     # (C,) volume indices being refreshed (None = all N)
     sout_cache=None,  # (N, L, L) cached outgoing lateral transmittance
     return_sout: bool = False,
+    impl: str = "pallas",  # "pallas": one kernel invocation per volume
+                           # for each L-step march; "xla": the lax.scan
+                           # twin (goldens/tests)
 ):
     """Per-volume transmittance fields toward the light, with inter-volume
     occlusion chained through a shared lateral map.
@@ -318,38 +321,58 @@ def light_transmittance(
             sm_vol = z_entry = None
 
         f_corr_s = f_corr[sub]
-        rho_steps = jnp.moveaxis(rho_o, 1, 0)                # (L, C, L, L)
         ones_c = jnp.ones((c, l, l), jnp.float32)
 
         def bshift(x):
             return jnp.einsum("nab,nbc,ndc->nad", mv_sub, x, mu_sub)
 
-        # self-sweep: volume-only transmittance + per-slice mesh factor
-        def self_body(carry, inp):
-            s_c, sm_c, z_c = carry
-            rho_k, kf = inp
-            shifted = bshift(s_c)
-            if has_sm:
-                sm_c = bshift(sm_c)
-                z_c = bshift(z_c)
-                zk = z_c + ((kf + 0.5) * dz_slice)[:, None, None]
-                lit = jnp.clip((sm_c - zk) / soft[:, None, None] + 1.0,
-                               0.0, 1.0)
-                here = shifted * lit
-            else:
-                here = shifted
-            atten = jnp.exp2(
-                f_corr_s[:, None, None]
-                * jnp.log2(jnp.maximum(1.0 - rho_k * ABSORPTION, 1e-7)))
-            return (shifted * atten, sm_c, z_c), here
+        # Self-sweep: volume-only transmittance + per-slice mesh factor.
+        # Production runs the L-step march in ONE Pallas invocation per
+        # volume (the XLA scan's 2 tiny (L, L) matmuls per step are
+        # launch-bound — see ops/pallas/lightsweep_kernel.py); the scan
+        # below is the semantics twin (impl="xla").
+        if impl == "pallas":
+            from multivolumes_tpu.ops.pallas import lightsweep_kernel
 
-        ks = jnp.arange(l, dtype=jnp.float32)
-        (s_out_c, _sm, _z), self_here = jax.lax.scan(
-            self_body,
-            (ones_c,
-             sm_vol if has_sm else ones_c,
-             z_entry if has_sm else ones_c),
-            (rho_steps, ks))                                  # (L, C, L, L)
+            here_wm, s_out_c = lightsweep_kernel.light_self_scan_pallas(
+                rho_o, mv_sub, mu_sub,
+                sm_vol if has_sm else ones_c,
+                z_entry if has_sm else ones_c,
+                f_corr_s,
+                dz_slice if has_sm else jnp.zeros_like(f_corr_s),
+                soft if has_sm else jnp.ones_like(f_corr_s),
+                has_sm=has_sm,
+            )                                # here_wm (C, L, L, L)
+            self_here = None
+        else:
+            rho_steps = jnp.moveaxis(rho_o, 1, 0)            # (L, C, L, L)
+
+            def self_body(carry, inp):
+                s_c, sm_c, z_c = carry
+                rho_k, kf = inp
+                shifted = bshift(s_c)
+                if has_sm:
+                    sm_c = bshift(sm_c)
+                    z_c = bshift(z_c)
+                    zk = z_c + ((kf + 0.5) * dz_slice)[:, None, None]
+                    lit = jnp.clip((sm_c - zk) / soft[:, None, None] + 1.0,
+                                   0.0, 1.0)
+                    here = shifted * lit
+                else:
+                    here = shifted
+                atten = jnp.exp2(
+                    f_corr_s[:, None, None]
+                    * jnp.log2(jnp.maximum(1.0 - rho_k * ABSORPTION, 1e-7)))
+                return (shifted * atten, sm_c, z_c), here
+
+            ks = jnp.arange(l, dtype=jnp.float32)
+            (s_out_c, _sm, _z), self_here = jax.lax.scan(
+                self_body,
+                (ones_c,
+                 sm_vol if has_sm else ones_c,
+                 z_entry if has_sm else ones_c),
+                (rho_steps, ks))                             # (L, C, L, L)
+            here_wm = None
 
         # outgoing footprint cache: refreshed cohort entries replace the
         # cached ones; every volume's footprint feeds the chain below
@@ -372,13 +395,18 @@ def light_transmittance(
         t_ins = jnp.einsum("cvg,cgh,cuh->cvu", mv_in, g_in, mu_in)
 
         # advect the incoming occlusion through the volumes (batched)
-        def adv_body(t_c, _):
-            t_c = bshift(t_c)
-            return t_c, t_c
+        if impl == "pallas":
+            from multivolumes_tpu.ops.pallas import lightsweep_kernel
 
-        _t, t_adv = jax.lax.scan(adv_body, t_ins, None, length=l)
+            t_fields = lightsweep_kernel.light_advect_mul_pallas(
+                here_wm, t_ins, mv_sub, mu_sub)               # (C, L, L, L)
+        else:
+            def adv_body(t_c, _):
+                t_c = bshift(t_c)
+                return t_c, t_c
 
-        t_fields = jnp.moveaxis(self_here * t_adv, 0, 1)      # (C, L, L, L)
+            _t, t_adv = jax.lax.scan(adv_body, t_ins, None, length=l)
+            t_fields = jnp.moveaxis(self_here * t_adv, 0, 1)  # (C, L, L, L)
         t_fields = jnp.where(flip_s[:, None, None, None],
                              jnp.flip(t_fields, axis=1), t_fields)
 
@@ -488,6 +516,7 @@ def ray_march_light_sweep_update(
     max_light_samples: int, has_light_probe: bool = True,
     sub_ids=None,     # (C,) volume indices refreshed this frame
     sout_cache=None,  # (N, L, L)
+    impl: str = "pallas",
 ):
     """Refresh the light maps of a volume cohort (the reference's
     temporal amortization, `MultiRayCaster::RayMarchL` one volume per
@@ -508,7 +537,8 @@ def ray_march_light_sweep_update(
     shadow, sout = light_transmittance(
         rho, per_object, light_dir, step_scale,
         shadow_map=shadow_map, shadow_vp=shadow_vp,
-        sub_ids=sub_ids, sout_cache=sout_cache, return_sout=True)
+        sub_ids=sub_ids, sout_cache=sout_cache, return_sout=True,
+        impl=impl)
 
     maps = _shade_light_fields(shadow, rho, tex_sub, ao_src, grad_dir_src,
                                sh_coeffs, ambient, light_color,

@@ -283,3 +283,35 @@ def test_cohort_amortization_matches_full_refresh_static_scene():
 
     diff = np.abs(run(cfg_full) - run(cfg_coh))
     assert diff.max() < 1e-4, diff.max()
+
+
+def test_light_transmittance_pallas_matches_xla():
+    """The Pallas shear-warp march kernels (self scan + advect-multiply,
+    ops/pallas/lightsweep_kernel.py) vs the lax.scan twin — both with
+    and without the mesh shadow term."""
+    import jax
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.render import mesh as mesh_lib
+    from multivolumes_tpu.render.perframe import build_per_object
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(
+        width=64, height=64, grid_size=16, light_grid_size=16,
+        max_ray_samples=16, max_light_samples=16, num_volumes=4,
+        num_volume_srcs=2, cube_map_size=16, shadow_map_size=32)
+    st = state_lib.create_scene(cfg)
+    po = build_per_object(st.volume_worlds, jnp.eye(4))
+    light_dir = st.light_pos[:3] / jnp.linalg.norm(st.light_pos[:3])
+    rho = st.rho_light[st.vol_tex_ids]
+    svp = mesh_lib.shadow_view_proj(st)
+    sm = jnp.full((32, 32), 0.7, jnp.float32)
+    for use_sm in (None, sm):
+        a = jax.jit(lambda r, s=use_sm: lightsweep.light_transmittance(
+            r, po, light_dir, 0.2165, shadow_map=s, shadow_vp=svp,
+            impl="xla"))(rho)
+        b = jax.jit(lambda r, s=use_sm: lightsweep.light_transmittance(
+            r, po, light_dir, 0.2165, shadow_map=s, shadow_vp=svp,
+            impl="pallas"))(rho)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5)
