@@ -161,6 +161,43 @@ def _taa_band_kernel(cm_ref, c0_ref, cp_ref, hist_ref, blur_ref, out_ref):
     out_ref[3] = meta
 
 
+def _pad_views(cur, hist, blur, h_mult: int):
+    """Edge-pad to (h_mult-multiple rows, 128-multiple lanes) and build
+    the dy = -1/0/+1 row-shifted views of the current frame (the row
+    halo — Pallas blocks cannot overlap)."""
+    _, h, w = cur.shape
+    wp = -(-w // 128) * 128
+    hp = -(-h // h_mult) * h_mult
+    # edge padding keeps the clamp-shift taps exact at the crop boundary
+    pad_cur = jnp.pad(cur, ((0, 0), (1, 1 + hp - h), (0, wp - w)),
+                      mode="edge")
+    cur_m = pad_cur[:, 0:hp]          # rows shifted dy=-1
+    cur_0 = pad_cur[:, 1:hp + 1]
+    cur_p = pad_cur[:, 2:hp + 2]      # rows shifted dy=+1
+    hist_p = jnp.pad(hist, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+    blur_p = jnp.pad(blur[None], ((0, 0), (0, hp - h), (0, wp - w)),
+                     mode="edge")
+    return cur_m, cur_0, cur_p, hist_p, blur_p
+
+
+def _resolve_bands(cur_m, cur_0, cur_p, hist_p, blur_p, interpret: bool):
+    """The band pallas_call on already-padded, already-shifted inputs
+    ((4, HP, WP) each, HP a _TH multiple). Purely local row bands."""
+    _, hp, wp = cur_0.shape
+    spec = pl.BlockSpec((4, _TH, wp), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _taa_band_kernel,
+        out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        grid=(hp // _TH,),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((1, _TH, wp), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        interpret=interpret,
+    )(cur_m, cur_0, cur_p, hist_p, blur_p)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def taa_resolve(cur, hist, blur, interpret: bool | None = None):
     """cur (4, H, W) current rgba fields; hist (4, H, W) reprojected
@@ -172,29 +209,39 @@ def taa_resolve(cur, hist, blur, interpret: bool | None = None):
     hist = hist.astype(jnp.float32)
     blur = blur.astype(jnp.float32)
     _, h, w = cur.shape
+    views = _pad_views(cur, hist, blur, _TH)
+    out = _resolve_bands(*views, interpret)
+    return out[:, :h, :w]
 
-    wp = -(-w // 128) * 128
-    hp = -(-h // _TH) * _TH
-    # edge padding keeps the clamp-shift taps exact at the crop boundary
-    pad_cur = jnp.pad(cur, ((0, 0), (1, 1 + hp - h), (0, wp - w)),
-                      mode="edge")
-    cur_m = pad_cur[:, 0:hp]          # rows shifted dy=-1
-    cur_0 = pad_cur[:, 1:hp + 1]
-    cur_p = pad_cur[:, 2:hp + 2]      # rows shifted dy=+1
-    hist_p = jnp.pad(hist, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
-    blur_p = jnp.pad(blur[None], ((0, 0), (0, hp - h), (0, wp - w)),
-                     mode="edge")
 
-    spec = pl.BlockSpec((4, _TH, wp), lambda i: (0, i, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _taa_band_kernel,
-        out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
-        grid=(hp // _TH,),
-        in_specs=[spec, spec, spec, spec,
-                  pl.BlockSpec((1, _TH, wp), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=spec,
-        interpret=interpret,
-    )(cur_m, cur_0, cur_p, hist_p, blur_p)
+def taa_resolve_sharded(device_mesh, cur, hist, blur,
+                        interpret: bool | None = None):
+    """Row-sharded resolve for 2-D device meshes (SURVEY section 2.6's
+    screen-space data-parallel axis): each device runs the band kernel on
+    a contiguous band of pixel rows. The dy = +-1 row-shifted views are
+    built globally BEFORE the shard_map, so the only cross-device traffic
+    is GSPMD's one-row halo exchange on those views; the opaque
+    pallas_call itself is partitioned by construction."""
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = interpret_default()
+    rows = device_mesh.shape["rows"]
+    cur = cur.astype(jnp.float32)
+    hist = hist.astype(jnp.float32)
+    blur = blur.astype(jnp.float32)
+    _, h, w = cur.shape
+    views = _pad_views(cur, hist, blur, _TH * rows)
+
+    def local_fn(cm, c0, cp, hi, bl):
+        return _resolve_bands(cm, c0, cp, hi, bl, interpret)
+
+    row_spec = P(None, "rows", None)
+    out = jax.shard_map(
+        local_fn,
+        mesh=device_mesh,
+        in_specs=(row_spec,) * 5,
+        out_specs=row_spec,
+        check_vma=False,
+    )(*views)
     return out[:, :h, :w]

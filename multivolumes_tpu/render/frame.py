@@ -376,6 +376,7 @@ def render_frame(
             (sc_r, sc_g, sc_b, sc_a), state.taa_history, velocity,
             reproj_center=(mesh_out.screen_center if has_mesh else None),
             reproj_window=config.taa_reproj_window,
+            device_mesh=mesh,
         )
     else:
         rr, rg, rb = sc_r, sc_g, sc_b

@@ -143,7 +143,8 @@ def _sample_bilinear_ch(img, u, v):
 
 
 def temporal_aa(current, history, velocity, use_pallas: bool = True,
-                reproj_center=None, reproj_window: int = 0):
+                reproj_center=None, reproj_window: int = 0,
+                device_mesh=None):
     """current: (r, g, b, a) scalar fields ((H, W) each; a <= 0.9997 marks
     transparency); history: (4, H, W) channel-leading previous output +
     metadata; velocity: (vx, vy) fields, or None when the frame has no
@@ -158,12 +159,13 @@ def temporal_aa(current, history, velocity, use_pallas: bool = True,
     is the semantics twin, kept for goldens (use_pallas=False)."""
     if use_pallas:
         return _temporal_aa_pallas(current, history, velocity,
-                                   reproj_center, reproj_window)
+                                   reproj_center, reproj_window,
+                                   device_mesh)
     return _temporal_aa_jnp(current, history, velocity)
 
 
 def _temporal_aa_pallas(current, history, velocity, reproj_center=None,
-                        reproj_window: int = 0):
+                        reproj_window: int = 0, device_mesh=None):
     from multivolumes_tpu.ops.pallas import taa_kernel
 
     cr, cg_, cb, ca = current
@@ -214,8 +216,13 @@ def _temporal_aa_pallas(current, history, velocity, reproj_center=None,
         hist = jnp.moveaxis(hist4, -1, 0)
         blur = jnp.abs(mvx) * (4.0 * w) + jnp.abs(mvy) * (4.0 * h)
 
-    new_history = taa_kernel.taa_resolve(
-        jnp.stack([cr, cg_, cb, ca], 0), hist, blur)
+    cur = jnp.stack([cr, cg_, cb, ca], 0)
+    if device_mesh is not None and "rows" in device_mesh.axis_names:
+        # 2-D device mesh: band-resolve a contiguous row band per device
+        new_history = taa_kernel.taa_resolve_sharded(
+            device_mesh, cur, hist, blur)
+    else:
+        new_history = taa_kernel.taa_resolve(cur, hist, blur)
     return (new_history[0], new_history[1], new_history[2]), new_history
 
 
