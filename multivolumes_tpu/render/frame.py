@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from multivolumes_tpu.config import RenderConfig
@@ -397,3 +398,31 @@ def render_frame(
         mesh_prev_wvp=new_prev_wvp,
     )
     return FrameOutput(image=image, hdr=hdr, state=new_state)
+
+
+def render_frames(
+    state: SceneState,
+    cameras: Camera,     # pytree with a leading K (frame) axis
+    config: RenderConfig,
+    show_mesh: Optional[bool] = None,
+    use_taa: bool = True,
+    mesh: object = None,
+    unroll: int = 1,
+):
+    """Render K frames in ONE dispatch via `lax.scan` — the TPU-native
+    analog of the reference's frames-in-flight pipelining (triple
+    buffering, `MultiVolumes.h FrameCount=3` + fences
+    `MultiVolumes.cpp:709-742`). The carried SceneState (light-map
+    cohorts, TAA history, frame index) threads through the scan exactly
+    as through repeated `render_frame` calls; the win is host-side — one
+    dispatch amortizes the 1-core host's per-call overhead over K frames
+    — and, with unroll > 1, XLA may also schedule across frame
+    boundaries. Returns ((K, H, W, 3) images, final state)."""
+
+    def body(st, cam):
+        out = render_frame(st, cam, config, show_mesh=show_mesh,
+                           use_taa=use_taa, mesh=mesh)
+        return out.state, out.image
+
+    new_state, images = jax.lax.scan(body, state, cameras, unroll=unroll)
+    return images, new_state

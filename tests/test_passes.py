@@ -390,3 +390,46 @@ def test_rasterize_dense_top_exact_coverage():
     assert (interior >= 0).all(), f"{(interior < 0).sum()} holes"
     np.testing.assert_allclose(
         np.asarray(depth)[30:270, 40:360], 0.4, atol=1e-3)
+
+
+def test_render_frames_scan_matches_sequential():
+    """`render_frames` (K frames in ONE lax.scan dispatch — the
+    frames-in-flight analog) must carry state identically to K
+    sequential `render_frame` calls, for unroll 1 and 2."""
+    import jax
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.render import frame as frame_lib
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
+                       max_ray_samples=16, max_light_samples=8,
+                       num_volumes=4, num_volume_srcs=2,
+                       cube_map_size=16, shadow_map_size=32)
+    st = state_lib.create_scene(cfg)
+    k = 3
+    cams = [cam_lib.orbit_camera((f + 1) / 60.0, cfg.aspect_ratio)
+            for f in range(k)]
+
+    seq_imgs = []
+    s = st
+    step = jax.jit(lambda s_, c_: frame_lib.render_frame(
+        s_, c_, cfg, use_taa=True))
+    for c in cams:
+        out = step(s, c)
+        seq_imgs.append(np.asarray(out.image))
+        s = out.state
+
+    cams_stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, 0), *cams)
+    for unroll in (1, 2):
+        imgs, s_end = jax.jit(
+            lambda s_, c_: frame_lib.render_frames(
+                s_, c_, cfg, use_taa=True, unroll=unroll)
+        )(st, cams_stacked)
+        assert imgs.shape == (k, cfg.height, cfg.width, 3)
+        for f in range(k):
+            np.testing.assert_allclose(
+                np.asarray(imgs[f]), seq_imgs[f], atol=2e-5)
+        assert int(s_end.frame_idx) == k
