@@ -7,7 +7,9 @@ Per screen tile:
 
   for each volume overlapping the tile (per-tile bbox-culled lists,
   scalar-prefetched):
-    DMA the volume's 6 face images (HBM -> VMEM, ~1.5 MB);
+    DMA the volume's 6 face images (HBM -> VMEM, ~0.8 MB bf16),
+    double-buffered: the next listed volume's faces prefetch while the
+    current one warps, so the copy latency rides under compute;
     per pixel: analytic ray/box exit, exit-face select, exit clip-z,
     scene-depth occlusion (one fused elementwise block);
     per exit face: the Catmull-Smith two-pass projective warp evaluated
@@ -117,8 +119,22 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
         sel_row = jax.lax.broadcasted_iota(jnp.int32, (s_pad, u_block), 0)
         sel_col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, u_block), 1)
 
-        def vol_body(slot, _):
-            vid = tlist[t, slot]
+        def face_copy(i, slot):
+            return pltpu.make_async_copy(
+                color_hbm.at[tlist[t, i]], vol_scr.at[slot], sem.at[slot])
+
+        def vol_body(i, _):
+            vid = tlist[t, i]
+            slot = jax.lax.rem(i, 2)
+
+            # prefetch the NEXT listed volume's faces into the other slot
+            # while this volume computes (the copy chain is unconditional
+            # — a skipped volume's ~0.8 MB copy is cheap, and an
+            # unconditional chain cannot leak an unwaited semaphore; the
+            # expensive warps + K-insert below stay validity-gated)
+            @pl.when(i + 1 < count)
+            def _():
+                face_copy(i + 1, 1 - slot).start()
 
             b00 = vol_flt[vid, 0]
             b01 = vol_flt[vid, 1]
@@ -182,16 +198,13 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
             valid = (hit & (hw > 0.0) & (exit_z <= scene_z)
                      & (exit_z > 0.0))
 
+            face_copy(i, slot).wait()
+
             # a listed volume can still touch no pixel of THIS tile
-            # (bbox overlap but fully occluded/missed): skip its face
-            # DMA, warps and K-insert entirely
+            # (bbox overlap but fully occluded/missed): skip its warps
+            # and K-insert entirely (its faces were prefetched above)
             @pl.when(jnp.max(valid.astype(jnp.int32)) > 0)
             def _():
-                cp = pltpu.make_async_copy(color_hbm.at[vid], vol_scr,
-                                           sem.at[0])
-                cp.start()
-                cp.wait()
-
                 rr = jnp.zeros((th, tw), jnp.float32)
                 gg = jnp.zeros((th, tw), jnp.float32)
                 bb = jnp.zeros((th, tw), jnp.float32)
@@ -202,7 +215,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
                     # face skip via pl.when; the select below is safe
                     # even against a stale face_scr because use_f is
                     # then empty
-                    _face_warp(f, use_f, vid, face_flt, vol_scr,
+                    _face_warp(f, use_f, vid, slot, face_flt, vol_scr,
                                tmp_scr, face_scr, xg, yg, x_row, r_col,
                                sel_row, sel_col, y_top, y_bot, hi)
                     rr = jnp.where(use_f, face_scr[0], rr)
@@ -247,6 +260,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
 
         @pl.when(count > 0)
         def _():
+            face_copy(0, 0).start()
             jax.lax.fori_loop(0, count, vol_body, 0)
 
         # front-to-back under-blend (`PSResolveOIT.hlsl:17-24`)
@@ -269,7 +283,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
     return kernel
 
 
-def _face_warp(f, use_f, vid, face_flt, vol_scr, tmp_scr, face_scr,
+def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                xg, yg, x_row, r_col, sel_row, sel_col,
                y_top, y_bot, hi):
     """Exact two-pass projective warp of face f onto the tile, written
@@ -322,7 +336,7 @@ def _face_warp(f, use_f, vid, face_flt, vol_scr, tmp_scr, face_scr,
     @pl.when(any_f)
     def _():
         tmp_scr[:] = jnp.zeros((4, s, tw), jnp.float32)
-        img_all = vol_scr[f].reshape(4 * s, vol_scr.shape[-1])
+        img_all = vol_scr[slot, f].reshape(4 * s, vol_scr.shape[-1])
 
         def u_blk(b, _):
             ub0 = u_lo + b * u_block
@@ -414,11 +428,11 @@ def tile_composite_pallas(
             (4, th, tw), lambda i, *_: (0, i // tiles_x, i % tiles_x),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((6, 4, s, s_pad), color_sel.dtype),
+            pltpu.VMEM((2, 6, 4, s, s_pad), color_sel.dtype),  # 2 DMA slots
             pltpu.VMEM((4, s, tw), jnp.float32),      # pass-1 tmp
             pltpu.VMEM((4, th, tw), jnp.float32),     # per-face result
             pltpu.VMEM((5, k_layers, th, tw), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
