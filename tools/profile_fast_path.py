@@ -185,6 +185,16 @@ def main() -> None:
 
     timed("FULL FRAME", step, state, camera)
 
+    # multi-frame scan dispatch (bench.py's amortized headline mode):
+    # per-frame time = the printed number / 8
+    k = 8
+    cams = [cam_lib.orbit_camera((i + 1) / 60.0, cfg.aspect_ratio)
+            for i in range(k)]
+    cams_st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *cams)
+    timed(f"FULL FRAME (scan x{k})",
+          lambda s, c: frame_lib.render_frames(s, c, cfg, use_taa=True),
+          state, cams_st)
+
 
 if __name__ == "__main__":
     main()
