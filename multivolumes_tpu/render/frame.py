@@ -417,12 +417,22 @@ def render_frames(
     as through repeated `render_frame` calls; the win is host-side — one
     dispatch amortizes the 1-core host's per-call overhead over K frames
     — and, with unroll > 1, XLA may also schedule across frame
-    boundaries. Returns ((K, H, W, 3) images, final state)."""
+    boundaries. Returns ((K, H, W, 3) images, final state).
 
-    def body(st, cam):
+    Only the fields a frame actually advances ride the scan carry
+    (mirrors the `dataclasses.replace` in `render_frame` above); the
+    multi-GB invariant fields (volume/light source stacks, mesh tables)
+    enter as closed-over scan constants, so no iteration can copy
+    them."""
+    _CARRIED = ("frame_idx", "light_maps", "light_maps_oriented",
+                "light_sout", "taa_history", "mesh_prev_wvp")
+
+    def body(mut, cam):
+        st = dataclasses.replace(state, **dict(zip(_CARRIED, mut)))
         out = render_frame(st, cam, config, show_mesh=show_mesh,
                            use_taa=use_taa, mesh=mesh)
-        return out.state, out.image
+        return tuple(getattr(out.state, f) for f in _CARRIED), out.image
 
-    new_state, images = jax.lax.scan(body, state, cameras, unroll=unroll)
-    return images, new_state
+    mut0 = tuple(getattr(state, f) for f in _CARRIED)
+    mut_end, images = jax.lax.scan(body, mut0, cameras, unroll=unroll)
+    return images, dataclasses.replace(state, **dict(zip(_CARRIED, mut_end)))
