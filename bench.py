@@ -152,8 +152,11 @@ def main() -> None:
     # FrameCount=3): one host call amortizes the 1-core host's dispatch
     # overhead over K frames. p50/p95 below stay single-frame-synced.
     k_frames = 8 if on_tpu and frames % 8 == 0 else 1
+    k_frames = int(os.environ.get("MV_SCAN_K", k_frames))  # A/B knob
+    unroll = int(os.environ.get("MV_SCAN_UNROLL", "1"))
     scan_jit = jax.jit(
-        lambda s, c: frame_lib.render_frames(s, c, cfg, use_taa=True),
+        lambda s, c: frame_lib.render_frames(s, c, cfg, use_taa=True,
+                                             unroll=unroll),
         donate_argnums=(0,))
 
     def cam_block(f0: int):
