@@ -50,6 +50,11 @@ def render_frame(
     use_taa: bool = True,
     mesh: object = None,  # jax.sharding.Mesh: partition the view sweep
                           # over the volume axis (parallel/sharding.py)
+    planar: bool = False,  # emit image/hdr channel-LEADING (3/4, H, W):
+                           # a channel-last minor dim lane-pads 42x on
+                           # TPU (docs/ARCHITECTURE.md), so the
+                           # throughput path (render_frames) keeps the
+                           # jit boundary planar and converts on host
 ) -> FrameOutput:
     width, height = config.width, config.height
     show_mesh = config.show_mesh if show_mesh is None else show_mesh
@@ -384,8 +389,9 @@ def render_frame(
         new_history = state.taa_history
 
     ir, ig, ib = postprocess.tone_map_ch(rr, rg, rb)
-    image = jnp.stack([ir, ig, ib], -1)
-    hdr = jnp.stack([sc_r, sc_g, sc_b, sc_a], -1)
+    ax = 0 if planar else -1
+    image = jnp.stack([ir, ig, ib], ax)
+    hdr = jnp.stack([sc_r, sc_g, sc_b, sc_a], ax)
 
     new_state = dataclasses.replace(
         state,
@@ -417,7 +423,10 @@ def render_frames(
     as through repeated `render_frame` calls; the win is host-side — one
     dispatch amortizes the 1-core host's per-call overhead over K frames
     — and, with unroll > 1, XLA may also schedule across frame
-    boundaries. Returns ((K, H, W, 3) images, final state).
+    boundaries. Returns ((K, 3, H, W) PLANAR images, final state) — a
+    channel-last result buffer lane-pads 42x on TPU (~0.5 GB/frame of
+    padded stores); display-layout conversion belongs on the host
+    (`np.moveaxis` after readback, see app.py/utils.png).
 
     Only the fields a frame actually advances ride the scan carry
     (mirrors the `dataclasses.replace` in `render_frame` above); the
@@ -430,7 +439,7 @@ def render_frames(
     def body(mut, cam):
         st = dataclasses.replace(state, **dict(zip(_CARRIED, mut)))
         out = render_frame(st, cam, config, show_mesh=show_mesh,
-                           use_taa=use_taa, mesh=mesh)
+                           use_taa=use_taa, mesh=mesh, planar=True)
         return tuple(getattr(out.state, f) for f in _CARRIED), out.image
 
     mut0 = tuple(getattr(state, f) for f in _CARRIED)

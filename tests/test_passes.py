@@ -428,8 +428,10 @@ def test_render_frames_scan_matches_sequential():
             lambda s_, c_: frame_lib.render_frames(
                 s_, c_, cfg, use_taa=True, unroll=unroll)
         )(st, cams_stacked)
-        assert imgs.shape == (k, cfg.height, cfg.width, 3)
+        # the throughput API emits planar frames (host converts layout)
+        assert imgs.shape == (k, 3, cfg.height, cfg.width)
         for f in range(k):
             np.testing.assert_allclose(
-                np.asarray(imgs[f]), seq_imgs[f], atol=2e-5)
+                np.moveaxis(np.asarray(imgs[f]), 0, -1), seq_imgs[f],
+                atol=2e-5)
         assert int(s_end.frame_idx) == k
