@@ -93,15 +93,15 @@ class RenderConfig:
     # (render/lightmarch.py).
     light_mode: str = "sweep"
     # Temporal amortization for the sweep light maps: refresh this many
-    # volumes per frame round-robin (the reference refreshes ONE,
-    # `MultiRayCaster::RayMarchL` — at n=64 each map there is 64 frames
-    # stale; 2/frame keeps ours 2x fresher than that. What goes stale
-    # between refreshes is only each map's mesh-shadow/incoming-
+    # volumes per frame round-robin. 1 is the reference's exact cadence
+    # (`CSRayMarchL.hlsl:31-32` marches `g_frameIdx % count` — ONE
+    # volume per frame; at n=64 each map is 64 frames stale). What goes
+    # stale between refreshes is only each map's mesh-shadow/incoming-
     # occlusion term — the same lag the reference's round-robin has.
     # Inter-volume occlusion stays exact via cached outgoing
     # footprints — see lightsweep.ray_march_light_sweep_update. 0 = all
-    # volumes every frame. At demo counts <= 2 this is a full refresh.
-    light_refresh: int = 2
+    # volumes every frame. At demo counts <= 1 this is a full refresh.
+    light_refresh: int = 1
     # Pack cube-map RGBA as f16 pairs before compositing (halves the
     # dominant per-pixel gather cost; ~3-digit precision).
     packed_composite: bool = True
