@@ -177,7 +177,7 @@ def render_frame(
         # rectified-warp twin; "gather" the per-pixel CubeCast path
         use_warp = config.composite_mode in ("auto", "warp", "tile")
         use_tile = config.composite_mode in ("auto", "tile")
-        lod_order = lod_buckets = None
+        lod_order = lod_buckets = sweep_order = None
         vol_or = state.volumes_oriented.astype(dtype)
         light_w = config.light_grid_size  # true u extent of the padded stack
         if light_oriented is not None:
@@ -190,26 +190,12 @@ def render_frame(
             # itself marches every visible face (use_cube_map forced on
             # via run_mask from visibility)
             lod_cull = cull._replace(use_cube_map=cull.visible)
+            # the tile composite consumes bucket-SORTED map rows (static
+            # update-slice assembly, no per-volume scatter loop); the
+            # warp/gather twins keep original volume indexing
             if mesh is not None:
-                cube_maps, sweep_mips = \
-                    sweep_lib.ray_march_view_sweep_lod_sharded(
-                        mesh,
-                        vol_or,
-                        state.vol_tex_ids,
-                        lm_or,
-                        per_object,
-                        lod_cull,
-                        eye,
-                        depth_map,
-                        config.cube_map_size,
-                        dtype=dtype,
-                        bucket_caps=config.lod_bucket_caps,
-                        pack=not use_warp,
-                        light_w=light_w,
-                        vol_zmax=state.vol_zmax,
-                    )
-            else:
-                cube_maps, sweep_mips = sweep_lib.ray_march_view_sweep_lod(
+                out = sweep_lib.ray_march_view_sweep_lod_sharded(
+                    mesh,
                     vol_or,
                     state.vol_tex_ids,
                     lm_or,
@@ -223,7 +209,29 @@ def render_frame(
                     pack=not use_warp,
                     light_w=light_w,
                     vol_zmax=state.vol_zmax,
+                    sorted_output=use_tile,
                 )
+            else:
+                out = sweep_lib.ray_march_view_sweep_lod(
+                    vol_or,
+                    state.vol_tex_ids,
+                    lm_or,
+                    per_object,
+                    lod_cull,
+                    eye,
+                    depth_map,
+                    config.cube_map_size,
+                    dtype=dtype,
+                    bucket_caps=config.lod_bucket_caps,
+                    pack=not use_warp,
+                    light_w=light_w,
+                    vol_zmax=state.vol_zmax,
+                    sorted_output=use_tile,
+                )
+            if use_tile:
+                cube_maps, sweep_mips, sweep_order = out
+            else:
+                (cube_maps, sweep_mips), sweep_order = out, None
             cull_for_composite = cull_for_composite._replace(
                 mip_level=sweep_mips
             )
@@ -314,6 +322,7 @@ def render_frame(
                 cw,
                 ch,
                 num_layers=config.oit_layers,
+                order=sweep_order,
             )
         else:
             vr, vg, vb, va = tilecast.composite_oit_tile(
@@ -326,6 +335,7 @@ def render_frame(
                 cw,
                 ch,
                 num_layers=config.oit_layers,
+                order=sweep_order,
             )
     elif use_warp:
         from multivolumes_tpu.render import warp as warp_lib

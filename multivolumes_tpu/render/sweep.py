@@ -541,6 +541,7 @@ def ray_march_view_sweep_lod_sharded(
     pack: bool = False,
     light_w: int | None = None,
     vol_zmax=None,
+    sorted_output: bool = False,
 ):
     """Multi-chip LOD sweep: genuinely partition the march over the
     volume axis with `jax.shard_map` (GSPMD cannot partition the opaque
@@ -566,21 +567,33 @@ def ray_march_view_sweep_lod_sharded(
         d = jax.lax.axis_index(axis)
         nl = tex_l.shape[0]
         lm_l = jax.lax.dynamic_slice_in_dim(lm_full, d * nl, nl, 0)
-        cm, mips = ray_march_view_sweep_lod(
+        out = ray_march_view_sweep_lod(
             vol_or, tex_l, lm_l, po_l, cull_l, eye_, depth_,
             cube_map_size, dtype=dtype, bucket_caps=caps, impl=impl,
             pack=pack, light_w=light_w, vol_zmax=vz_,
+            sorted_output=sorted_output,
         )
+        if sorted_output:
+            cm, mips, order_l = out
+            # local sorted row j = global volume d*nl + order_l[j]; the
+            # concatenated out_spec makes the global order a valid
+            # permutation of 0..N-1
+            return cm.color, cm.depth, mips, order_l + d * nl
+        cm, mips = out
         return cm.color, cm.depth, mips
 
-    color, depth, mips = jax.shard_map(
+    outs = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(axis), P(), P(axis), P(axis), P(), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=((P(axis),) * 4 if sorted_output else (P(axis),) * 3),
         check_vma=False,
     )(volumes_oriented, vol_tex_ids, light_maps_oriented, per_object,
       cull, eye, depth_map, vol_zmax)
+    if sorted_output:
+        color, depth, mips, order = outs
+        return CubeMaps(color=color, depth=depth), mips, order
+    color, depth, mips = outs
     return CubeMaps(color=color, depth=depth), mips
 
 
@@ -635,6 +648,7 @@ def ray_march_view_sweep_lod(
     pack: bool = True,
     light_w: int | None = None,
     vol_zmax=None,
+    sorted_output: bool = False,
 ):
     """LOD-bucketed sweep: the honest work-graph equivalent.
 
@@ -650,6 +664,15 @@ def ray_march_view_sweep_lod(
     Outputs are f16-pair packed (N, 6, 2, S, S); each volume's map
     occupies the top-left (S>>mip)^2 corner and the returned mips feed the
     composite's n_eff.
+
+    sorted_output=True returns (maps, mips, order) with the map/depth
+    ROWS in bucket-sorted order (row j = volume order[j]; mips stay in
+    original volume indexing): each bucket then lands as one static-
+    offset `dynamic_update_slice` instead of a `.at[ids].set` scatter —
+    the dynamic-index scatter lowers to a serialized while loop of
+    per-volume copies (~1.3 ms/frame at n=64, traced). The tile
+    composite consumes the sorted rows directly by permuting its small
+    per-volume tensors with the same order (render/tilecast.py).
     """
     n = vol_tex_ids.shape[0]
     s = cube_map_size
@@ -729,8 +752,12 @@ def ray_march_view_sweep_lod(
                 s_max_b, depth_b = _occlusion_s_max(
                     po_b, eye_local[ids], eye_f_b, depth_map, size_b,
                     n_eff=n_eff_v)
-            cube_depth = cube_depth.at[ids, :, 0:size_b, 0:size_b].set(
-                depth_b)
+            if sorted_output:
+                cube_depth = cube_depth.at[
+                    b0:b0 + count, :, 0:size_b, 0:size_b].set(depth_b)
+            else:
+                cube_depth = cube_depth.at[
+                    ids, :, 0:size_b, 0:size_b].set(depth_b)
         else:
             s_max_b = None
 
@@ -762,7 +789,14 @@ def ray_march_view_sweep_lod(
             out_b = pack_cube_f16(scatter)  # (count, 6, 2, size_b, size_b)
         else:
             out_b = scatter.astype(dtype)
-        color = color.at[ids, :, :, 0:size_b, 0:size_b].set(out_b)
+        if sorted_output:
+            # static slice bounds -> one dynamic-update-slice per bucket
+            color = color.at[
+                b0:b0 + count, :, :, 0:size_b, 0:size_b].set(out_b)
+        else:
+            color = color.at[ids, :, :, 0:size_b, 0:size_b].set(out_b)
         mips = mips.at[ids].set(eff_mip)
 
+    if sorted_output:
+        return CubeMaps(color=color, depth=cube_depth), mips, order
     return CubeMaps(color=color, depth=cube_depth), mips

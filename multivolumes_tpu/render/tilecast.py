@@ -54,10 +54,14 @@ def composite_oit_tile(
     height: int,
     num_layers: int,
     interpret: bool | None = None,
+    order=None,                     # (N,) int32: cube_maps rows are in
+                                    # this bucket-sorted volume order
+                                    # (sweep sorted_output=True)
 ):
     """Full OIT composite via the screen-tile kernel -> (r, g, b, a)."""
     prep = _tile_prep(cube_maps, per_object, cull, eye, screen_to_world,
-                      depth_map, width, height, num_layers=num_layers)
+                      depth_map, width, height, num_layers=num_layers,
+                      order=order)
     (color_sel, scene_p, tlist, counts, vol_flt, face_flt,
      s, th, tw, tiles_x, k_layers) = prep
     out = tile_composite_pallas(
@@ -81,6 +85,7 @@ def composite_oit_tile_sharded(
     height: int,
     num_layers: int,
     interpret: bool | None = None,
+    order=None,
 ):
     """Row-sharded screen composite: each device runs the tile kernel on
     a contiguous band of tile rows (SURVEY section-2.6's screen-space
@@ -93,7 +98,7 @@ def composite_oit_tile_sharded(
     rows = mesh.shape["rows"]
     prep = _tile_prep(cube_maps, per_object, cull, eye, screen_to_world,
                       depth_map, width, height, rows_mult=rows,
-                      num_layers=num_layers)
+                      num_layers=num_layers, order=order)
     (color_sel, scene_p, tlist, counts, vol_flt, face_flt,
      s, th, tw, tiles_x, k_layers) = prep
     ty_local = (scene_p.shape[0] // th) // rows
@@ -129,9 +134,18 @@ def _tile_prep(
     height: int,
     rows_mult: int = 1,             # pad tile rows to this multiple
     num_layers: int = 8,
+    order=None,
 ):
     """Per-frame host-side geometry for the tile kernel (docstring at
     module top)."""
+    if order is not None:
+        # the sweep delivered bucket-SORTED map rows (row j = volume
+        # order[j], sweep.ray_march_view_sweep_lod sorted_output) so its
+        # assembly could be static update-slices instead of scatters;
+        # permute the small per-volume tensors into the same space and
+        # every id below is a sorted-space id — the kernel never cares
+        per_object = PerObject(*(x[order] for x in per_object))
+        cull = CullResult(*(x[order] for x in cull))
     color = cube_maps.color
     assert color.shape[2] == 4, "tile composite needs unpacked cube maps"
     n = per_object.world.shape[0]
