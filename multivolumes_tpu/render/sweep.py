@@ -437,6 +437,21 @@ def _dilate3_max(x):
     return x
 
 
+def _pool2_max(d):
+    """2x2 stride-2 max-pool of a scene depth map (z = 1 far, so max =
+    farther: the derived occlusion bound s_max can only GROW, and
+    overshoot is clipped by the composite's per-pixel depth test — the
+    same conservative-loosening family as `_dilate3_max`). Why: the
+    depth pair-table the per-texel tap gathers from is a full
+    relayout copy of the depth map (traced ~0.9 ms/frame at 1280x800,
+    sweep.py `_occlusion_s_max`); pooling shrinks it 4x."""
+    hd, wd = d.shape
+    if hd % 2 or wd % 2:
+        return d
+    return jax.lax.reduce_window(
+        d, -FLT_MAX, jax.lax.max, (2, 2), (2, 2), "VALID")
+
+
 def _upsample2_nearest(x, s: int):
     """(..., s/2, s/2) -> (..., s, s) nearest, as two replication
     matmuls: a lane-axis 2x interleave is the slow relayout shape on
@@ -687,6 +702,9 @@ def ray_march_view_sweep_lod(
     # with a mesh) and mis-aligned sub-bucket mips.
     cube_depth = jnp.ones((n, 6, s, s), jnp.float32)
 
+    # one shared conservative depth source for every bucket's bound
+    occl_depth = _pool2_max(depth_map) if depth_map is not None else None
+
     run_mask_full = cull.face_mask & cull.visible[:, None]
 
     order, buckets = lod_partition(cull, n, s, bucket_caps)
@@ -743,14 +761,14 @@ def ray_march_view_sweep_lod(
                 # ish garbage, which max-dilation can only loosen.
                 sc = size_b // 2
                 s_max_c, depth_c = _occlusion_s_max(
-                    po_b, eye_local[ids], eye_f_b, depth_map, sc,
+                    po_b, eye_local[ids], eye_f_b, occl_depth, sc,
                     n_eff=n_eff_v * 0.5)
                 s_max_b = _upsample2_nearest(
                     _dilate3_max(s_max_c), size_b)
                 depth_b = _upsample2_nearest(depth_c, size_b)
             else:
                 s_max_b, depth_b = _occlusion_s_max(
-                    po_b, eye_local[ids], eye_f_b, depth_map, size_b,
+                    po_b, eye_local[ids], eye_f_b, occl_depth, size_b,
                     n_eff=n_eff_v)
             if sorted_output:
                 cube_depth = cube_depth.at[
