@@ -294,47 +294,51 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
 
     any_f = jnp.max(use_f.astype(jnp.int32)) > 0
 
-    pu0 = face_flt[vid, f, 0]
-    pu1 = face_flt[vid, f, 1]
-    pu2 = face_flt[vid, f, 2]
-    pv0 = face_flt[vid, f, 3]
-    pv1 = face_flt[vid, f, 4]
-    pv2 = face_flt[vid, f, 5]
-    dn0 = face_flt[vid, f, 6]
-    dn1 = face_flt[vid, f, 7]
-    dn2 = face_flt[vid, f, 8]
-
-    # pass-2 coordinate + sweep range (masked by use_f)
-    dq = dn0 * xg + dn1 * yg + dn2
-    vt = jnp.clip(_finite((pv0 * xg + pv1 * yg + pv2) / _safe(dq)),
-                  0.0, hi)
-    vt_lo = jnp.clip(jnp.min(jnp.where(use_f, vt, _BIG)), 0.0, hi)
-    vt_hi = jnp.clip(jnp.max(jnp.where(use_f, vt, -_BIG)), 0.0, hi)
-    v_lo = jnp.floor(vt_lo).astype(jnp.int32)
-    v_hi = jnp.minimum(jnp.floor(vt_hi).astype(jnp.int32) + 1, s - 1)
-
-    # pass-1 auxiliary (Catmull-Smith): for face row r, the screen y
-    # where v(x, y) == r, and the u coordinate there
-    k0 = pv0 - r_col * dn0
-    k1 = pv1 - r_col * dn1
-    k2 = pv2 - r_col * dn2
-    y1 = -(k0 * x_row + k2) / _safe(k1)
-    dq1 = dn0 * x_row + dn1 * y1 + dn2
-    cu = jnp.clip(_finite((pu0 * x_row + pu1 * y1 + pu2) / _safe(dq1)),
-                  0.0, hi)
-    # row liveness: the row's isoline must cross the tile AND the row be
-    # inside the pass-2 sweep range
-    ok1 = ((y1 <= y_top) & (y1 >= y_bot)
-           & (r_col >= v_lo.astype(jnp.float32) - 1.0)
-           & (r_col <= v_hi.astype(jnp.float32) + 1.0))
-    cu_lo = jnp.clip(jnp.min(jnp.where(ok1, cu, _BIG)), 0.0, hi)
-    cu_hi = jnp.clip(jnp.max(jnp.where(ok1, cu, -_BIG)), 0.0, hi)
-    u_lo = jnp.floor(cu_lo).astype(jnp.int32)
-    u_hi = jnp.floor(cu_hi).astype(jnp.int32) + 1  # inclusive
-    n_ub = (u_hi - u_lo) // u_block + 1
-
+    # EVERYTHING else lives under the any_f guard: a convex box exits
+    # through <= 3 faces per tile (usually 1-2), and the range math
+    # alone is ~25 VPU ops over (s, tw)/(th, tw) grids — running it for
+    # the dead faces of every (tile, volume) pair was ~1 ms/frame
     @pl.when(any_f)
     def _():
+        pu0 = face_flt[vid, f, 0]
+        pu1 = face_flt[vid, f, 1]
+        pu2 = face_flt[vid, f, 2]
+        pv0 = face_flt[vid, f, 3]
+        pv1 = face_flt[vid, f, 4]
+        pv2 = face_flt[vid, f, 5]
+        dn0 = face_flt[vid, f, 6]
+        dn1 = face_flt[vid, f, 7]
+        dn2 = face_flt[vid, f, 8]
+
+        # pass-2 coordinate + sweep range (masked by use_f)
+        dq = dn0 * xg + dn1 * yg + dn2
+        vt = jnp.clip(_finite((pv0 * xg + pv1 * yg + pv2) / _safe(dq)),
+                      0.0, hi)
+        vt_lo = jnp.clip(jnp.min(jnp.where(use_f, vt, _BIG)), 0.0, hi)
+        vt_hi = jnp.clip(jnp.max(jnp.where(use_f, vt, -_BIG)), 0.0, hi)
+        v_lo = jnp.floor(vt_lo).astype(jnp.int32)
+        v_hi = jnp.minimum(jnp.floor(vt_hi).astype(jnp.int32) + 1, s - 1)
+
+        # pass-1 auxiliary (Catmull-Smith): for face row r, the screen y
+        # where v(x, y) == r, and the u coordinate there
+        k0 = pv0 - r_col * dn0
+        k1 = pv1 - r_col * dn1
+        k2 = pv2 - r_col * dn2
+        y1 = -(k0 * x_row + k2) / _safe(k1)
+        dq1 = dn0 * x_row + dn1 * y1 + dn2
+        cu = jnp.clip(_finite((pu0 * x_row + pu1 * y1 + pu2) / _safe(dq1)),
+                      0.0, hi)
+        # row liveness: the row's isoline must cross the tile AND the row
+        # be inside the pass-2 sweep range
+        ok1 = ((y1 <= y_top) & (y1 >= y_bot)
+               & (r_col >= v_lo.astype(jnp.float32) - 1.0)
+               & (r_col <= v_hi.astype(jnp.float32) + 1.0))
+        cu_lo = jnp.clip(jnp.min(jnp.where(ok1, cu, _BIG)), 0.0, hi)
+        cu_hi = jnp.clip(jnp.max(jnp.where(ok1, cu, -_BIG)), 0.0, hi)
+        u_lo = jnp.floor(cu_lo).astype(jnp.int32)
+        u_hi = jnp.floor(cu_hi).astype(jnp.int32) + 1  # inclusive
+        n_ub = (u_hi - u_lo) // u_block + 1
+
         tmp_scr[:] = jnp.zeros((4, s, tw), jnp.float32)
         img_all = vol_scr[slot, f].reshape(4 * s, vol_scr.shape[-1])
 
@@ -412,8 +416,13 @@ def tile_composite_pallas(
     if tile_row0 is None:
         tile_row0 = jnp.zeros((1,), jnp.int32)
 
+    # MXU column-hoist width (A/B knob): wider = fewer tiny one-hot
+    # matmul dispatches per u-sweep, same total FMA work
+    import os
+
+    u_block = int(os.environ.get("MV_CKERNEL_UBLOCK", "8"))
     kernel = _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers,
-                          width, height)
+                          width, height, u_block=u_block)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

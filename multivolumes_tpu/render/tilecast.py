@@ -35,9 +35,18 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def tile_dims(width: int, height: int):
-    """Tile shape + padded screen dims (tiles are (th, tw) exactly)."""
+    """Tile shape + padded screen dims (tiles are (th, tw) exactly).
+
+    MV_TILE_H / MV_TILE_W override the defaults (A/B knob): smaller
+    tiles track each volume's true footprint tighter (the kernel's
+    sweep grids and K-insert run over whole tiles) at the price of
+    re-DMAing a volume's faces for more tiles."""
+    import os
+
     tw = 256 if width > 128 else 128
     th = 128 if height > 64 else _ceil_to(max(height, 8), 8)
+    tw = _ceil_to(int(os.environ.get("MV_TILE_W", tw)), 128)
+    th = _ceil_to(int(os.environ.get("MV_TILE_H", th)), 8)
     wp = _ceil_to(width, tw)
     hp = _ceil_to(height, th)
     return th, tw, hp, wp
