@@ -68,7 +68,8 @@ def render_frame(
     # --- opaque mesh: shadow + depth + base pass -------------------------
     has_mesh = bool(show_mesh and state.mesh_indices.shape[0] > 1)
     if has_mesh:
-        mesh_out = mesh_lib.render_mesh(state, camera, config)
+        mesh_out = mesh_lib.render_mesh(state, camera, config,
+                                        device_mesh=mesh)
         depth_map = mesh_out.depth
         shadow_map = mesh_out.shadow
         shadow_vp = mesh_out.shadow_vp

@@ -80,11 +80,18 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
               big_tiers=((2048, 12), (128, 48), (8, 256)),
               want_ids: bool = True, cull: int = 0,
               capacity: int | None = None, dense_top: int = 0,
-              tail: tuple | None = None):
+              tail: tuple | None = None, band: tuple | None = None):
     """Scatter z-buffer rasterization with tiered coverage.
 
     verts_clip: (V, 4) homogeneous clip positions; indices: (T, 3).
     Returns (depth (H, W) in [0,1], tri_id (H, W) int32, -1 = empty).
+
+    band=(row_idx, n_bands): multi-chip row decomposition — called
+    inside a `shard_map` over a "rows" device axis, return only screen
+    rows [row_idx, row_idx+1) * height/n_bands. The per-triangle emit
+    math replicates (cheap VPU work); the serialized scatter-min — this
+    pass's dominant cost — only processes the band's own samples, so it
+    scales ~1/n_bands per chip. Requires the packed-id path.
 
     Every triangle gets a k x k sample grid over its bbox; triangles whose
     bbox exceeds k px would be sampled sparsely (interior holes), so the
@@ -261,13 +268,31 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
     # compares (volume occlusion, composite z-test), where that is
     # invisible; the reference's 24/32-bit buffers matter for
     # raster-vs-raster fighting we do not have.
+    if band is not None:
+        assert pack_ids, "banded raster requires the packed-id path"
+        row_idx, n_bands = band
+        assert height % n_bands == 0, (height, n_bands)
+        out_h = height // n_bands
+        row0_px = row_idx * out_h
+        band_px = out_h * width
+        # shift into band-local pixel space; anything outside (including
+        # the dead-sample sentinel height*width) goes to the drop slot
+        pix_l = flat_pix.astype(jnp.int32) - row0_px * width
+        flat_pix = jnp.where(
+            (pix_l >= 0) & (pix_l < band_px), pix_l, band_px
+        ).astype(flat_pix.dtype)
+    else:
+        out_h = height
+        row0_px = 0
+        band_px = height * width
+
     if pack_ids:
         zq15 = flat_zq >> jnp.uint32(24 - 15)
         packed = jnp.where(flat_zq == _BIG, _BIG,
                            (zq15 << jnp.uint32(tbits)) | tids)
-        pbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
+        pbuf = jnp.full((band_px + 1,), _BIG, jnp.uint32)
         pbuf = pbuf.at[flat_pix].min(packed, mode="drop")
-        winner = pbuf[: height * width].reshape(height, width)
+        winner = pbuf[:band_px].reshape(out_h, width)
     elif not want_ids:
         zbuf = jnp.full((height * width + 1,), _BIG, jnp.uint32)
         zbuf = zbuf.at[flat_pix].min(flat_zq, mode="drop")
@@ -297,7 +322,10 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
         dn = min(dense_top, T)
         drows = cols[order[:dn]]                                  # (dn, 16)
         xg = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
-        yg = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+        row0_f = (jnp.float32(row0_px) if band is None
+                  else row0_px.astype(jnp.float32))
+        yg = (jnp.arange(out_h, dtype=jnp.float32)[:, None]
+              + row0_f + 0.5)
 
         def tri_min(i, acc):
             r = drows[i]
@@ -317,7 +345,7 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
             return jnp.minimum(acc, jnp.where(ok, p, _BIG))
 
         winner = jax.lax.fori_loop(
-            0, dn, tri_min, jnp.broadcast_to(winner, (height, width)))
+            0, dn, tri_min, jnp.broadcast_to(winner, (out_h, width)))
 
     if pack_ids:
         tid_w = winner & jnp.uint32((1 << tbits) - 1)
@@ -423,8 +451,14 @@ def render_shadow_map(state, config: RenderConfig) -> jnp.ndarray:
     return depth
 
 
-def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
-    """Base pass + deferred shading (the shadow map is cached in state)."""
+def render_mesh(state, camera: Camera, config: RenderConfig,
+                device_mesh=None) -> MeshOutput:
+    """Base pass + deferred shading (the shadow map is cached in state).
+
+    device_mesh: a jax.sharding.Mesh with a "rows" axis row-decomposes
+    the base raster's scatter-min over chips (the pass's dominant,
+    serialized cost — SURVEY section-2.6's screen-space axis); the
+    per-triangle emit math replicates."""
     width, height = config.width, config.height
     sm = config.shadow_map_size
 
@@ -452,10 +486,28 @@ def render_mesh(state, camera: Camera, config: RenderConfig) -> MeshOutput:
     cull = 1 if config.mesh_backface_cull else 0
     cap = (_cull_capacity(idx.shape[0])
            if config.mesh_backface_cull else None)
-    depth, tri_id = rasterize(clip_jit, idx, width, height,
-                              big_tiers=((2048, 10), (128, 36)),
-                              cull=cull, capacity=cap, dense_top=16,
-                              tail=config.raster_tail)
+    n_rows = (device_mesh.shape["rows"]
+              if device_mesh is not None
+              and "rows" in device_mesh.axis_names else 1)
+    if n_rows > 1 and height % n_rows == 0 and idx.shape[0] < (1 << 17):
+        from jax.sharding import PartitionSpec as P
+
+        def raster_band(clip_l, idx_l):
+            r = jax.lax.axis_index("rows")
+            return rasterize(clip_l, idx_l, width, height,
+                             big_tiers=((2048, 10), (128, 36)),
+                             cull=cull, capacity=cap, dense_top=16,
+                             tail=config.raster_tail, band=(r, n_rows))
+
+        depth, tri_id = jax.shard_map(
+            raster_band, mesh=device_mesh,
+            in_specs=(P(), P()), out_specs=P("rows"),
+            check_vma=False)(clip_jit, idx)
+    else:
+        depth, tri_id = rasterize(clip_jit, idx, width, height,
+                                  big_tiers=((2048, 10), (128, 36)),
+                                  cull=cull, capacity=cap, dense_top=16,
+                                  tail=config.raster_tail)
 
     # projected mesh bbox centre (pixels) — anchors the deferred-shade
     # window here and TAA's windowed history reprojection downstream

@@ -75,3 +75,46 @@ def test_sharded_2d_mesh_rows_and_volumes():
         np.asarray(img), np.asarray(single.image), atol=2e-5
     )
     assert int(new_state.frame_idx) == 1
+
+
+def test_sharded_2d_mesh_with_object():
+    """2-D mesh with the opaque mesh enabled: the base raster's
+    scatter-min row-decomposes over the "rows" axis (render_mesh
+    device_mesh path); output must match the single-device render."""
+    import os
+
+    import pytest
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.engine import MultiRayCaster
+    from multivolumes_tpu.render import frame as frame_lib
+
+    bunny = "/root/reference/Bin/Assets/bunny.obj"
+    if len(jax.devices()) < 8:
+        return
+    if not os.path.exists(bunny):
+        pytest.skip("bunny asset missing")
+    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
+                       max_ray_samples=16, max_light_samples=8,
+                       num_volumes=4, num_volume_srcs=2,
+                       cube_map_size=16, shadow_map_size=32)
+    eng = MultiRayCaster(cfg)
+    eng.set_mesh(bunny)
+    cfg = eng.config
+    state = eng.state
+    cam = cam_lib.default_camera(cfg.aspect_ratio)
+
+    single = jax.jit(
+        lambda s, c: frame_lib.render_frame(s, c, cfg, use_taa=True)
+    )(state, cam)
+
+    mesh = sharding.make_mesh(4, rows=2)   # 2 x 4 devices
+    step = sharding.make_sharded_step(cfg, mesh)
+    sharded_state = sharding.shard_state(state, mesh)
+    img, new_state = step(sharded_state, cam)
+
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(single.image), atol=2e-5
+    )
+    assert int(new_state.frame_idx) == 1
