@@ -381,17 +381,28 @@ def light_transmittance(
         else:
             s_out_all = s_out_c
 
-        # global-map chain (light order) as a vectorized exclusive
-        # cumulative product of per-volume occlusion factors
+        # global-map chain (light order): each cohort volume needs the
+        # product of the occlusion factors of every volume AHEAD of it
         o_big = jnp.einsum("ngl,nlk,nhk->ngh",
                            wv_all, s_out_all, wu_all)         # (N, G, G)
         cover = jnp.clip(wv_all.sum(2)[:, :, None]
                          * wu_all.sum(2)[:, None, :], 0.0, 1.0)
         fac = o_big + (1.0 - cover)
-        cum = jnp.cumprod(fac[order], axis=0)
-        g_excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], 0)
         ranks = jnp.argsort(order)                # volume -> light rank
-        g_in = g_excl[ranks[sub]]                             # (C, G, G)
+        if sub.shape[0] * 4 <= n:
+            # small cohort: ONE masked product per cohort volume beats
+            # materializing all N exclusive prefixes (the cumprod's
+            # associative scan was ~1.5 ms/frame of small concats at
+            # n=64, traced; only `c` of its rows were ever read)
+            mask = ranks[None, :] < ranks[sub][:, None]       # (C, N)
+            g_in = jnp.prod(
+                jnp.where(mask[:, :, None, None], fac[None], 1.0),
+                axis=1)                                       # (C, G, G)
+        else:
+            cum = jnp.cumprod(fac[order], axis=0)
+            g_excl = jnp.concatenate(
+                [jnp.ones_like(cum[:1]), cum[:-1]], 0)
+            g_in = g_excl[ranks[sub]]                         # (C, G, G)
         t_ins = jnp.einsum("cvg,cgh,cuh->cvu", mv_in, g_in, mu_in)
 
         # advect the incoming occlusion through the volumes (batched)
