@@ -530,16 +530,6 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
     # background.
     win = config.mesh_shade_window
     use_window = 0 < win < min(width, height)
-    if use_window:
-        x0w = jnp.clip(jnp.round(cx - win * 0.5),
-                       0, width - win).astype(jnp.int32)
-        y0w = jnp.clip(jnp.round(cy - win * 0.5),
-                       0, height - win).astype(jnp.int32)
-        tri_w = jax.lax.dynamic_slice(tri_id, (y0w, x0w), (win, win))
-        origin = (x0w, y0w)
-    else:
-        tri_w = tri_id
-        origin = None
 
     # One per-TRIANGLE plane table -> ONE row gather per pixel (vs three
     # vertex rows + barycentric setup; see _triangle_planes). Barycentric
@@ -548,8 +538,6 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
     # light-clip, current/previous clip) is one exact per-pixel matrix
     # transform of the interpolated position.
     tbl = _triangle_planes(clip_jit, pos, nrm, idx, width, height)
-    valid, pl, nl = _interp_planes(tbl, tri_w, width, height,
-                                   origin=origin)
 
     def pt_soa(m, x, y, z):
         return (x * m[0, 0] + y * m[1, 0] + z * m[2, 0] + m[3, 0],
@@ -562,24 +550,61 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
                 x * m[0, 1] + y * m[1, 1] + z * m[2, 1],
                 x * m[0, 2] + y * m[1, 2] + z * m[2, 2])
 
-    wsx, wsy, wsz, _ = pt_soa(world, *pl)            # affine: w == 1
-    nrm_w = vec_soa(world, *nl)
-    lsx, lsy, lsz, _ = pt_soa(shadow_wvp, *pl)
-    csx, csy, _csz, csw = pt_soa(wvp, *pl)
-    tsx, tsy, _tsz, tsw = pt_soa(state.mesh_prev_wvp, *pl)
+    def shade_window(tri_w, origin):
+        """tri-id window -> (col 3-tuple, vel 2-tuple, valid), all
+        tri_w-shaped. Pure per-pixel work, so it row-decomposes."""
+        valid, pl_, nl_ = _interp_planes(tbl, tri_w, width, height,
+                                         origin=origin)
+        wsx, wsy, wsz, _ = pt_soa(world, *pl_)       # affine: w == 1
+        nrm_w = vec_soa(world, *nl_)
+        lsx, lsy, lsz, _ = pt_soa(shadow_wvp, *pl_)
+        csx, csy, _csz, csw = pt_soa(wvp, *pl_)
+        tsx, tsy, _tsz, tsw = pt_soa(state.mesh_prev_wvp, *pl_)
+        color, velocity = shade_base_pass(
+            (wsx, wsy, wsz), nrm_w, (lsx, lsy, lsz),
+            (csx, csy, csw), (tsx, tsy, tsw),
+            camera.eye, state.light_pos, state.light_color,
+            state.ambient, state.sh_coeffs, shadow_depth,
+            shadow_quads=state.mesh_shadow_quads,
+            has_light_probe=config.has_light_probe,
+        )
+        zero_w = jnp.zeros_like(wsx)
+        col = tuple(jnp.where(valid, c, zero_w) for c in color)
+        vel = tuple(jnp.where(valid, c, zero_w) for c in velocity)
+        return col, vel, valid
 
-    color, velocity = shade_base_pass(
-        (wsx, wsy, wsz), nrm_w, (lsx, lsy, lsz),
-        (csx, csy, csw), (tsx, tsy, tsw),
-        camera.eye, state.light_pos, state.light_color, state.ambient,
-        state.sh_coeffs, shadow_depth,
-        shadow_quads=state.mesh_shadow_quads,
-        has_light_probe=config.has_light_probe,
-    )
-    zero_w = jnp.zeros_like(valid, dtype=jnp.float32)
-    col = tuple(jnp.where(valid, c, zero_w) for c in color)
-    vel = tuple(jnp.where(valid, c, zero_w) for c in velocity)
     if use_window:
+        x0w = jnp.clip(jnp.round(cx - win * 0.5),
+                       0, width - win).astype(jnp.int32)
+        y0w = jnp.clip(jnp.round(cy - win * 0.5),
+                       0, height - win).astype(jnp.int32)
+        if n_rows > 1 and win % n_rows == 0:
+            # row-decompose the shade window too: each device gathers
+            # the full tri-id map (one small all-gather) and shades its
+            # win/n_rows row band of the window
+            from jax.sharding import PartitionSpec as P
+
+            wb = win // n_rows
+
+            def shade_band(tri_sh, y0_, x0_):
+                r = jax.lax.axis_index("rows")
+                tri_full = jax.lax.all_gather(
+                    tri_sh, "rows", axis=0, tiled=True)
+                y0b = y0_[0] + r * wb
+                tri_w = jax.lax.dynamic_slice(
+                    tri_full, (y0b, x0_[0]), (wb, win))
+                col_, vel_, valid_ = shade_window(tri_w, (x0_[0], y0b))
+                return col_ + vel_ + (valid_,)
+
+            outs = jax.shard_map(
+                shade_band, mesh=device_mesh,
+                in_specs=(P("rows"), P(), P()),
+                out_specs=P("rows"), check_vma=False,
+            )(tri_id, y0w[None], x0w[None])
+            col, vel, valid = outs[:3], outs[3:5], outs[5]
+        else:
+            tri_w = jax.lax.dynamic_slice(tri_id, (y0w, x0w), (win, win))
+            col, vel, valid = shade_window(tri_w, (x0w, y0w))
         zero = jnp.zeros_like(depth)
         col = tuple(jax.lax.dynamic_update_slice(zero, c, (y0w, x0w))
                     for c in col)
@@ -587,6 +612,8 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
                     for c in vel)
         valid = jax.lax.dynamic_update_slice(
             jnp.zeros_like(depth, dtype=bool), valid, (y0w, x0w))
+    else:
+        col, vel, valid = shade_window(tri_id, None)
 
     return MeshOutput(
         color=col,

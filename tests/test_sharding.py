@@ -98,7 +98,10 @@ def test_sharded_2d_mesh_with_object():
     cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
                        max_ray_samples=16, max_light_samples=8,
                        num_volumes=4, num_volume_srcs=2,
-                       cube_map_size=16, shadow_map_size=32)
+                       cube_map_size=16, shadow_map_size=32,
+                       # small enough to be active at this viewport so
+                       # the row-decomposed shade-window path is covered
+                       mesh_shade_window=32)
     eng = MultiRayCaster(cfg)
     eng.set_mesh(bunny)
     cfg = eng.config
