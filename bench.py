@@ -75,18 +75,20 @@ def _pass_breakdown(state, cfg, lat_ms: float) -> None:
     lod_cull = cull._replace(use_cube_map=cull.visible)
     vol_or = state.volumes_oriented.astype(dtype)
     lm_or = state.light_maps_oriented.astype(dtype)
-    cube_maps, mips = timed(
+    # sorted_output + order: the exact production tile path (frame.py)
+    cube_maps, mips, order = timed(
         "sweep", lambda v, l: sweep_lib.ray_march_view_sweep_lod(
             v, state.vol_tex_ids, l, po, lod_cull, camera.eye, None,
             cfg.cube_map_size, dtype=dtype,
-            bucket_caps=cfg.lod_bucket_caps, pack=False),
+            bucket_caps=cfg.lod_bucket_caps, pack=False,
+            sorted_output=True),
         vol_or, lm_or)
 
     cull_c = cull._replace(mip_level=mips, use_cube_map=cull.visible)
     timed("composite", lambda cm: tilecast.composite_oit_tile(
         cube_maps._replace(color=cm), po, cull_c, camera.eye,
         camera.screen_to_world, None, cfg.width, cfg.height,
-        num_layers=cfg.oit_layers)[0], cube_maps.color)
+        num_layers=cfg.oit_layers, order=order)[0], cube_maps.color)
 
     zero = jnp.zeros((cfg.height, cfg.width), jnp.float32)
     timed("taa", lambda r, h: taa_lib.temporal_aa(

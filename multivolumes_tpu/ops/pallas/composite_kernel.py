@@ -417,7 +417,10 @@ def tile_composite_pallas(
         tile_row0 = jnp.zeros((1,), jnp.int32)
 
     # MXU column-hoist width (A/B knob): wider = fewer tiny one-hot
-    # matmul dispatches per u-sweep, same total FMA work
+    # matmul dispatches per u-sweep, same total FMA work. PROCESS-LEVEL:
+    # read at trace time inside the jit cache — set it before the first
+    # frame and A/B in separate processes (an in-process change after
+    # tracing is silently ignored).
     import os
 
     u_block = int(os.environ.get("MV_CKERNEL_UBLOCK", "8"))

@@ -40,7 +40,9 @@ def tile_dims(width: int, height: int):
     MV_TILE_H / MV_TILE_W override the defaults (A/B knob): smaller
     tiles track each volume's true footprint tighter (the kernel's
     sweep grids and K-insert run over whole tiles) at the price of
-    re-DMAing a volume's faces for more tiles."""
+    re-DMAing a volume's faces for more tiles. PROCESS-LEVEL: read at
+    trace time — set before the first frame; A/B in separate
+    processes."""
     import os
 
     tw = 256 if width > 128 else 128

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 
 from multivolumes_tpu.parallel import sharding
 
@@ -54,7 +55,7 @@ def test_sharded_2d_mesh_rows_and_volumes():
     from multivolumes_tpu.scene import state as state_lib
 
     if len(jax.devices()) < 8:
-        return
+        pytest.skip("needs the 8-virtual-device CPU mesh (conftest)")
     cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
                        max_ray_samples=16, max_light_samples=8,
                        num_volumes=4, num_volume_srcs=2,
@@ -92,7 +93,7 @@ def test_sharded_2d_mesh_with_object():
 
     bunny = "/root/reference/Bin/Assets/bunny.obj"
     if len(jax.devices()) < 8:
-        return
+        pytest.skip("needs the 8-virtual-device CPU mesh (conftest)")
     if not os.path.exists(bunny):
         pytest.skip("bunny asset missing")
     cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,

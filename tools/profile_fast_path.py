@@ -129,12 +129,16 @@ def main() -> None:
     lod_cull = cull._replace(use_cube_map=cull.visible)
 
     def sweep_fn(v, l):
+        # sorted_output + order matches the production tile path
+        # (frame.py use_tile) — the unsorted scatter assembly would
+        # charge this row ~1.3 ms the frame no longer pays
         return sweep_lib.ray_march_view_sweep_lod(
             v, state.vol_tex_ids, l, po, lod_cull, camera.eye, None,
             cfg.cube_map_size, dtype=dtype, bucket_caps=cfg.lod_bucket_caps,
-            pack=False, light_w=cfg.light_grid_size)
+            pack=False, light_w=cfg.light_grid_size, sorted_output=True)
 
-    cube_maps, sweep_mips = timed("sweep_lod", sweep_fn, vol_or, lm_or)
+    cube_maps, sweep_mips, sweep_order = timed(
+        "sweep_lod", sweep_fn, vol_or, lm_or)
     del vol_or, lm_or  # free the oriented transients before compositing
 
     # warp composite (mip-aligned footprint classes)
@@ -149,14 +153,17 @@ def main() -> None:
     timed("tile_composite", lambda cm_color: tilecast.composite_oit_tile(
         cube_maps._replace(color=cm_color), po, cull_c, camera.eye,
         camera.screen_to_world, None, cw, ch,
-        num_layers=cfg.oit_layers)[0], cube_maps.color)
+        num_layers=cfg.oit_layers, order=sweep_order)[0], cube_maps.color)
     if args.warp_composite:
+        # the warp twin consumes original volume indexing: un-permute
+        # the sorted map rows first (argsort inverts a permutation)
+        inv = jnp.argsort(sweep_order)
         timed("warp_composite", lambda cm_color: warp_lib.composite_oit_warp(
             cube_maps._replace(color=cm_color), po, cull_c, camera.eye,
             camera.screen_to_world, None, cw, ch,
             num_layers=cfg.oit_layers, tile=tile,
             lod_order=lod_order, lod_buckets=lod_buckets),
-            cube_maps.color)
+            cube_maps.color[inv])
 
     # sky
     timed("sky", lambda: postprocess.render_environment(
