@@ -209,7 +209,12 @@ def dryrun(n_devices: int) -> None:
         num_volumes=max(n_devices, 2), num_volume_srcs=2,
         cube_map_size=16, shadow_map_size=32,
     )
-    mesh = make_mesh(n_devices)
+    # with >= 4 devices validate the FULL 2-D (rows x volumes) story:
+    # volume-sharded sweep + row-sharded composite/TAA in one step
+    if n_devices >= 4 and n_devices % 2 == 0:
+        mesh = make_mesh(n_devices // 2, rows=2)
+    else:
+        mesh = make_mesh(n_devices)
     state = state_lib.create_scene(cfg)
     camera = cam_lib.default_camera(cfg.aspect_ratio)
 
