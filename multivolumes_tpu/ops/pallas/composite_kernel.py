@@ -75,7 +75,7 @@ def _finite(x):
 
 
 def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
-                 u_block=8):
+                 u_block=8, subgrid=True):
     """Bind static geometry; return the kernel body."""
 
     def kernel(tlist, counts, vol_flt, face_flt, row0, color_hbm,
@@ -217,7 +217,8 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
                     # then empty
                     _face_warp(f, use_f, vid, slot, face_flt, vol_scr,
                                tmp_scr, face_scr, xg, yg, x_row, r_col,
-                               sel_row, sel_col, y_top, y_bot, hi)
+                               sel_row, sel_col, y_top, y_bot, hi,
+                               subgrid=subgrid)
                     rr = jnp.where(use_f, face_scr[0], rr)
                     gg = jnp.where(use_f, face_scr[1], gg)
                     bb = jnp.where(use_f, face_scr[2], bb)
@@ -285,7 +286,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
 
 def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                xg, yg, x_row, r_col, sel_row, sel_col,
-               y_top, y_bot, hi):
+               y_top, y_bot, hi, subgrid=True):
     """Exact two-pass projective warp of face f onto the tile, written
     into face_scr (only when any pixel exits through f)."""
     th, tw = xg.shape
@@ -317,49 +318,81 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
         vt_lo = jnp.clip(jnp.min(jnp.where(use_f, vt, _BIG)), 0.0, hi)
         vt_hi = jnp.clip(jnp.max(jnp.where(use_f, vt, -_BIG)), 0.0, hi)
         v_lo = jnp.floor(vt_lo).astype(jnp.int32)
-        v_hi = jnp.minimum(jnp.floor(vt_hi).astype(jnp.int32) + 1, s - 1)
+        # cap at hi: vt <= hi, so row hi+1 would get exactly zero tent
+        # weight — and must never be read anyway, because the subgrid
+        # pass-1 variant leaves rows beyond its s_sub uninitialized
+        # (NaN scratch times zero weight is still NaN)
+        v_hi = jnp.minimum(
+            jnp.minimum(jnp.floor(vt_hi).astype(jnp.int32) + 1, s - 1),
+            hi.astype(jnp.int32))
 
-        # pass-1 auxiliary (Catmull-Smith): for face row r, the screen y
-        # where v(x, y) == r, and the u coordinate there
-        k0 = pv0 - r_col * dn0
-        k1 = pv1 - r_col * dn1
-        k2 = pv2 - r_col * dn2
-        y1 = -(k0 * x_row + k2) / _safe(k1)
-        dq1 = dn0 * x_row + dn1 * y1 + dn2
-        cu = jnp.clip(_finite((pu0 * x_row + pu1 * y1 + pu2) / _safe(dq1)),
-                      0.0, hi)
-        # row liveness: the row's isoline must cross the tile AND the row
-        # be inside the pass-2 sweep range
-        ok1 = ((y1 <= y_top) & (y1 >= y_bot)
-               & (r_col >= v_lo.astype(jnp.float32) - 1.0)
-               & (r_col <= v_hi.astype(jnp.float32) + 1.0))
-        cu_lo = jnp.clip(jnp.min(jnp.where(ok1, cu, _BIG)), 0.0, hi)
-        cu_hi = jnp.clip(jnp.max(jnp.where(ok1, cu, -_BIG)), 0.0, hi)
-        u_lo = jnp.floor(cu_lo).astype(jnp.int32)
-        u_hi = jnp.floor(cu_hi).astype(jnp.int32) + 1  # inclusive
-        n_ub = (u_hi - u_lo) // u_block + 1
+        def pass1(s_sub: int):
+            """u-sweep pass 1 over the face's first s_sub rows only —
+            clipping bounds every live coordinate by hi = n_eff - 1, so
+            rows/taps beyond n_eff can never contribute; a quarter-LOD
+            volume (the majority at n=64) pays a quarter of the FMA
+            grid and of the one-hot hoist matmul."""
+            r_c = r_col[:s_sub]
+            x_r = x_row[:s_sub]
+            # pass-1 auxiliary (Catmull-Smith): for face row r, the
+            # screen y where v(x, y) == r, and the u coordinate there
+            k0 = pv0 - r_c * dn0
+            k1 = pv1 - r_c * dn1
+            k2 = pv2 - r_c * dn2
+            y1 = -(k0 * x_r + k2) / _safe(k1)
+            dq1 = dn0 * x_r + dn1 * y1 + dn2
+            cu = jnp.clip(
+                _finite((pu0 * x_r + pu1 * y1 + pu2) / _safe(dq1)),
+                0.0, hi)
+            # row liveness: the row's isoline must cross the tile AND
+            # the row be inside the pass-2 sweep range
+            ok1 = ((y1 <= y_top) & (y1 >= y_bot)
+                   & (r_c >= v_lo.astype(jnp.float32) - 1.0)
+                   & (r_c <= v_hi.astype(jnp.float32) + 1.0))
+            cu_lo = jnp.clip(jnp.min(jnp.where(ok1, cu, _BIG)), 0.0, hi)
+            cu_hi = jnp.clip(jnp.max(jnp.where(ok1, cu, -_BIG)), 0.0, hi)
+            u_lo = jnp.floor(cu_lo).astype(jnp.int32)
+            u_hi = jnp.floor(cu_hi).astype(jnp.int32) + 1  # inclusive
+            n_ub = (u_hi - u_lo) // u_block + 1
 
-        tmp_scr[:] = jnp.zeros((4, s, tw), jnp.float32)
-        img_all = vol_scr[slot, f].reshape(4 * s, vol_scr.shape[-1])
+            tmp_scr[:, :s_sub, :] = jnp.zeros((4, s_sub, tw), jnp.float32)
+            img_all = vol_scr[slot, f][:, :s_sub, :].reshape(
+                4 * s_sub, vol_scr.shape[-1])
 
-        def u_blk(b, _):
-            ub0 = u_lo + b * u_block
-            # one-hot (s_pad, u_block) selecting columns [ub0, ub0+B)
-            sel = (sel_row == ub0 + sel_col).astype(img_all.dtype)
-            cols = jax.lax.dot_general(
-                img_all, sel, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                       # (4*s, u_block)
-            acc = tmp_scr[:]
-            for j in range(u_block):
-                u_f = (ub0 + j).astype(jnp.float32)
-                wu = jnp.maximum(1.0 - jnp.abs(cu - u_f), 0.0)  # (s, tw)
-                colj = cols[:, j:j + 1].reshape(4, s, 1)
-                acc = acc + colj * wu[None]
-            tmp_scr[:] = acc
-            return 0
+            def u_blk(b, _):
+                ub0 = u_lo + b * u_block
+                # one-hot (s_pad, u_block) selecting cols [ub0, ub0+B)
+                sel = (sel_row == ub0 + sel_col).astype(img_all.dtype)
+                cols = jax.lax.dot_general(
+                    img_all, sel, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                   # (4*s_sub, u_block)
+                acc = tmp_scr[:, :s_sub, :]
+                for j in range(u_block):
+                    u_f = (ub0 + j).astype(jnp.float32)
+                    wu = jnp.maximum(1.0 - jnp.abs(cu - u_f), 0.0)
+                    colj = cols[:, j:j + 1].reshape(4, s_sub, 1)
+                    acc = acc + colj * wu[None]
+                tmp_scr[:, :s_sub, :] = acc
+                return 0
 
-        jax.lax.fori_loop(0, n_ub, u_blk, 0)
+            jax.lax.fori_loop(0, n_ub, u_blk, 0)
+
+        if subgrid and s >= 32:
+            # vt <= hi keeps pass 2 inside the zeroed rows (a tap on row
+            # s//4 gets exactly zero tent weight, and stale tmp rows are
+            # finite), so the variants are bit-equivalent
+            sq = s // 4
+
+            @pl.when(hi < sq)
+            def _():
+                pass1(sq)
+
+            @pl.when(hi >= sq)
+            def _():
+                pass1(s)
+        else:
+            pass1(s)
 
         def v_step(v, carry):
             fr, fg, fb, fa = carry
@@ -424,8 +457,11 @@ def tile_composite_pallas(
     import os
 
     u_block = int(os.environ.get("MV_CKERNEL_UBLOCK", "8"))
+    # MV_CKERNEL_SUBGRID=0 disables the quarter-grid pass-1 variant for
+    # low-LOD volumes (same process-level caveat as above)
+    subgrid = os.environ.get("MV_CKERNEL_SUBGRID", "1") != "0"
     kernel = _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers,
-                          width, height, u_block=u_block)
+                          width, height, u_block=u_block, subgrid=subgrid)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
