@@ -326,13 +326,18 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
             jnp.minimum(jnp.floor(vt_hi).astype(jnp.int32) + 1, s - 1),
             hi.astype(jnp.int32))
 
-        def pass1(s_sub: int):
-            """u-sweep pass 1 over the face's first s_sub rows only —
-            clipping bounds every live coordinate by hi = n_eff - 1, so
-            rows/taps beyond n_eff can never contribute; a quarter-LOD
-            volume (the majority at n=64) pays a quarter of the FMA
-            grid and of the one-hot hoist matmul."""
-            r_c = r_col[:s_sub]
+        def pass1(s_sub: int, v0):
+            """u-sweep pass 1 over face rows [v0, v0 + s_sub) only.
+            Exact when the window covers [v_lo - 1, v_hi + 1]: the full
+            variant's row-liveness test (ok1) is false outside that
+            band, so the u-range reduction sees the identical row set,
+            and pass 2 reads only [v_lo, v_hi]. Low-LOD volumes (the
+            majority at n=64) and big volumes spanning several tiles
+            (per-tile v-span ~ n_eff / span) both fit a fraction of the
+            grid — FMA work and the one-hot hoist matmul shrink by
+            s_sub / s."""
+            v0f = v0.astype(jnp.float32)
+            r_c = r_col[:s_sub] + v0f
             x_r = x_row[:s_sub]
             # pass-1 auxiliary (Catmull-Smith): for face row r, the
             # screen y where v(x, y) == r, and the u coordinate there
@@ -355,8 +360,9 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
             u_hi = jnp.floor(cu_hi).astype(jnp.int32) + 1  # inclusive
             n_ub = (u_hi - u_lo) // u_block + 1
 
-            tmp_scr[:, :s_sub, :] = jnp.zeros((4, s_sub, tw), jnp.float32)
-            img_all = vol_scr[slot, f][:, :s_sub, :].reshape(
+            tmp_scr[:, pl.ds(v0, s_sub), :] = jnp.zeros(
+                (4, s_sub, tw), jnp.float32)
+            img_all = vol_scr[slot, f, :, pl.ds(v0, s_sub), :].reshape(
                 4 * s_sub, vol_scr.shape[-1])
 
             def u_blk(b, _):
@@ -367,32 +373,43 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                     img_all, sel, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                   # (4*s_sub, u_block)
-                acc = tmp_scr[:, :s_sub, :]
+                acc = tmp_scr[:, pl.ds(v0, s_sub), :]
                 for j in range(u_block):
                     u_f = (ub0 + j).astype(jnp.float32)
                     wu = jnp.maximum(1.0 - jnp.abs(cu - u_f), 0.0)
                     colj = cols[:, j:j + 1].reshape(4, s_sub, 1)
                     acc = acc + colj * wu[None]
-                tmp_scr[:, :s_sub, :] = acc
+                tmp_scr[:, pl.ds(v0, s_sub), :] = acc
                 return 0
 
             jax.lax.fori_loop(0, n_ub, u_blk, 0)
 
         if subgrid and s >= 32:
-            # vt <= hi keeps pass 2 inside the zeroed rows (a tap on row
-            # s//4 gets exactly zero tent weight, and stale tmp rows are
-            # finite), so the variants are bit-equivalent
+            # window start: one row of margin below v_lo so the row set
+            # the u-range reduction sees matches the full variant's
+            # ok1-true band exactly -> bit-equal
             sq = s // 4
+            sh_ = s // 2
+            span = v_hi - v_lo
+            w_sq = jnp.clip(v_lo - 1, 0, s - sq)
+            w_sh = jnp.clip(v_lo - 1, 0, s - sh_)
+            zero_i = jnp.zeros((), jnp.int32)
+            small = span <= sq - 3
+            mid = (span <= sh_ - 3) & ~small
 
-            @pl.when(hi < sq)
+            @pl.when(small)
             def _():
-                pass1(sq)
+                pass1(sq, w_sq)
 
-            @pl.when(hi >= sq)
+            @pl.when(mid)
             def _():
-                pass1(s)
+                pass1(sh_, w_sh)
+
+            @pl.when(~small & ~mid)
+            def _():
+                pass1(s, zero_i)
         else:
-            pass1(s)
+            pass1(s, jnp.zeros((), jnp.int32))
 
         def v_step(v, carry):
             fr, fg, fb, fa = carry
