@@ -218,7 +218,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
                     _face_warp(f, use_f, vid, slot, face_flt, vol_scr,
                                tmp_scr, face_scr, xg, yg, x_row, r_col,
                                sel_row, sel_col, y_top, y_bot, hi,
-                               subgrid=subgrid)
+                               subgrid=subgrid, ty_f=ty_f, height=height)
                     rr = jnp.where(use_f, face_scr[0], rr)
                     gg = jnp.where(use_f, face_scr[1], gg)
                     bb = jnp.where(use_f, face_scr[2], bb)
@@ -286,7 +286,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
 
 def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                xg, yg, x_row, r_col, sel_row, sel_col,
-               y_top, y_bot, hi, subgrid=True):
+               y_top, y_bot, hi, subgrid=True, ty_f=None, height=None):
     """Exact two-pass projective warp of face f onto the tile, written
     into face_scr (only when any pixel exits through f)."""
     th, tw = xg.shape
@@ -411,24 +411,79 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
         else:
             pass1(s, jnp.zeros((), jnp.int32))
 
-        def v_step(v, carry):
-            fr, fg, fb, fa = carry
-            wv = jnp.maximum(1.0 - jnp.abs(vt - v.astype(jnp.float32)),
-                             0.0)                   # (th, tw)
-            row = tmp_scr[:, pl.ds(v, 1), :]        # (4, 1, tw)
-            fr = fr + row[0] * wv
-            fg = fg + row[1] * wv
-            fb = fb + row[2] * wv
-            fa = fa + row[3] * wv
-            return fr, fg, fb, fa
+        def pass2(th_sub: int, r0):
+            """v-sweep over the tile rows [r0, r0 + th_sub) only. Pixels
+            outside use_f never reach the output (the caller's select
+            masks them), so a window covering the live rows is exact;
+            vt recomputes on the sub-window (xg is row-independent, yg
+            is affine in the row index)."""
+            if th_sub == th:
+                vt_w = vt
+            else:
+                rows = (jax.lax.broadcasted_iota(
+                    jnp.int32, (th_sub, tw), 0).astype(jnp.float32)
+                    + r0.astype(jnp.float32))
+                yg_w = -((ty_f + rows + 0.5) / height * 2.0 - 1.0)
+                xg_w = xg[:th_sub]
+                dq_w = dn0 * xg_w + dn1 * yg_w + dn2
+                vt_w = jnp.clip(
+                    _finite((pv0 * xg_w + pv1 * yg_w + pv2) / _safe(dq_w)),
+                    0.0, hi)
 
-        zero = jnp.zeros((th, tw), jnp.float32)
-        fr, fg, fb, fa = jax.lax.fori_loop(
-            v_lo, v_hi + 1, v_step, (zero, zero, zero, zero))
-        face_scr[0] = fr
-        face_scr[1] = fg
-        face_scr[2] = fb
-        face_scr[3] = fa
+            def v_step(v, carry):
+                fr, fg, fb, fa = carry
+                wv = jnp.maximum(
+                    1.0 - jnp.abs(vt_w - v.astype(jnp.float32)), 0.0)
+                row = tmp_scr[:, pl.ds(v, 1), :]    # (4, 1, tw)
+                fr = fr + row[0] * wv
+                fg = fg + row[1] * wv
+                fb = fb + row[2] * wv
+                fa = fa + row[3] * wv
+                return fr, fg, fb, fa
+
+            zero = jnp.zeros((th_sub, tw), jnp.float32)
+            fr, fg, fb, fa = jax.lax.fori_loop(
+                v_lo, v_hi + 1, v_step, (zero, zero, zero, zero))
+            if th_sub == th:
+                face_scr[0] = fr
+                face_scr[1] = fg
+                face_scr[2] = fb
+                face_scr[3] = fa
+            else:
+                face_scr[0, pl.ds(r0, th_sub), :] = fr
+                face_scr[1, pl.ds(r0, th_sub), :] = fg
+                face_scr[2, pl.ds(r0, th_sub), :] = fb
+                face_scr[3, pl.ds(r0, th_sub), :] = fa
+
+        if subgrid and th >= 32:
+            # live tile-row range of this face's pixels
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+            ui = use_f.astype(jnp.int32)
+            row_any = jnp.max(ui, axis=1, keepdims=True)     # (th, 1)
+            r_min = jnp.min(jnp.where(row_any > 0, ridx, th))
+            r_max = jnp.max(jnp.where(row_any > 0, ridx, -1))
+            r_span = r_max - r_min
+            tq = th // 4
+            th2 = th // 2
+            r_q = jnp.clip(r_min, 0, th - tq)
+            r_h = jnp.clip(r_min, 0, th - th2)
+            zero_r = jnp.zeros((), jnp.int32)
+            small2 = r_span < tq
+            mid2 = (r_span < th2) & ~small2
+
+            @pl.when(small2)
+            def _():
+                pass2(tq, r_q)
+
+            @pl.when(mid2)
+            def _():
+                pass2(th2, r_h)
+
+            @pl.when(~small2 & ~mid2)
+            def _():
+                pass2(th, zero_r)
+        else:
+            pass2(th, jnp.zeros((), jnp.int32))
 
 
 @functools.partial(
