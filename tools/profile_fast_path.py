@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--mesh", action="store_true")
     ap.add_argument("--warp-composite", action="store_true",
                     help="also time the XLA warp twin")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substrings: time only passes "
+                         "whose name matches (knob A/B without paying "
+                         "every pass's compile; upstream passes a "
+                         "selected pass depends on still run once, "
+                         "untimed)")
     args = ap.parse_args()
 
     from multivolumes_tpu.utils.platform import configure_for_host
@@ -79,11 +85,21 @@ def main() -> None:
 
     lat = [None]
 
+    only = args.only.split(",") if args.only else None
+    # passes whose outputs later passes consume: run them (untimed)
+    # even when filtered out; anything else is skipped outright so a
+    # knob A/B pays only the selected pass's compile + its producers'
+    _PRODUCERS = ("light_update", "orient_cohort", "sweep_lod")
+
     def timed(name, fn, *a):
         # dispatch `iters` calls asynchronously, sync once, subtract the
         # measured ~30 ms tunnel readback latency (see utils/timing.py)
-        print(f"{name:28s} ...", end="", flush=True)
+        if only is not None and not any(sub in name for sub in only):
+            if any(name.startswith(p) for p in _PRODUCERS):
+                return jax.jit(fn)(*a)
+            return None
         j = jax.jit(fn)
+        print(f"{name:28s} ...", end="", flush=True)
         out = j(*a)
         sync(out)
         if lat[0] is None:
