@@ -145,6 +145,35 @@ def test_warp_composite_matches_gather():
     assert np.percentile(diff, 99.5) < 3e-2, np.percentile(diff, 99.5)
 
 
+def test_tile_composite_pass_windows_vs_gather():
+    """Pin the tile kernel's dynamic pass-1/pass-2 row windows: at
+    cube_map_size 32 with mixed LOD buckets the {s/4, s/2, s} face-row
+    and {th/4, th/2, th} tile-row variants all fire; the output must
+    still match the per-pixel gather composite (the s=16 tests never
+    reach the face-row windows)."""
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.render import frame as frame_lib
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=128, height=96, grid_size=16,
+                       light_grid_size=8,
+                       max_ray_samples=24, max_light_samples=8,
+                       num_volumes=12, num_volume_srcs=2,
+                       cube_map_size=32, shadow_map_size=32,
+                       use_bf16=False, packed_composite=False,
+                       composite_mode="gather")
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.orbit_camera(0.3, cfg.aspect_ratio)
+    out_g = jax.jit(lambda s: frame_lib.render_frame(
+        s, cam, cfg, use_taa=False))(st)
+    cfg_t = cfg.with_(composite_mode="tile")
+    out_t = jax.jit(lambda s: frame_lib.render_frame(
+        s, cam, cfg_t, use_taa=False))(st)
+    diff = np.abs(np.asarray(out_g.image) - np.asarray(out_t.image))
+    assert diff.mean() < 3e-3, diff.mean()
+    assert np.percentile(diff, 99.5) < 3e-2, np.percentile(diff, 99.5)
+
+
 def test_warp_composite_mesh_intersection_fidelity():
     """VERDICT item: quantify warp-vs-gather error where the mesh
     intersects volumes (the warp drops CubeCast's per-tap depth weights;
