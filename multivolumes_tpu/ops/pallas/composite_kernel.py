@@ -336,7 +336,12 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
             (per-tile v-span ~ n_eff / span) both fit a fraction of the
             grid — FMA work and the one-hot hoist matmul shrink by
             s_sub / s."""
-            v0f = v0.astype(jnp.float32)
+            # full grid: keep the original STATIC slices (v0 == 0) so
+            # the MV_CKERNEL_SUBGRID=0 escape hatch reproduces the
+            # previously measured kernel exactly — a traced zero offset
+            # would still route stores through dynamic-offset pl.ds
+            full = s_sub == s
+            v0f = jnp.float32(0.0) if full else v0.astype(jnp.float32)
             r_c = r_col[:s_sub] + v0f
             x_r = x_row[:s_sub]
             # pass-1 auxiliary (Catmull-Smith): for face row r, the
@@ -360,10 +365,15 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
             u_hi = jnp.floor(cu_hi).astype(jnp.int32) + 1  # inclusive
             n_ub = (u_hi - u_lo) // u_block + 1
 
-            tmp_scr[:, pl.ds(v0, s_sub), :] = jnp.zeros(
-                (4, s_sub, tw), jnp.float32)
-            img_all = vol_scr[slot, f, :, pl.ds(v0, s_sub), :].reshape(
-                4 * s_sub, vol_scr.shape[-1])
+            if full:
+                tmp_scr[:] = jnp.zeros((4, s, tw), jnp.float32)
+                img_all = vol_scr[slot, f].reshape(
+                    4 * s, vol_scr.shape[-1])
+            else:
+                tmp_scr[:, pl.ds(v0, s_sub), :] = jnp.zeros(
+                    (4, s_sub, tw), jnp.float32)
+                img_all = vol_scr[slot, f, :, pl.ds(v0, s_sub), :].reshape(
+                    4 * s_sub, vol_scr.shape[-1])
 
             def u_blk(b, _):
                 ub0 = u_lo + b * u_block
@@ -373,13 +383,17 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                     img_all, sel, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                   # (4*s_sub, u_block)
-                acc = tmp_scr[:, pl.ds(v0, s_sub), :]
+                acc = (tmp_scr[:] if full
+                       else tmp_scr[:, pl.ds(v0, s_sub), :])
                 for j in range(u_block):
                     u_f = (ub0 + j).astype(jnp.float32)
                     wu = jnp.maximum(1.0 - jnp.abs(cu - u_f), 0.0)
                     colj = cols[:, j:j + 1].reshape(4, s_sub, 1)
                     acc = acc + colj * wu[None]
-                tmp_scr[:, pl.ds(v0, s_sub), :] = acc
+                if full:
+                    tmp_scr[:] = acc
+                else:
+                    tmp_scr[:, pl.ds(v0, s_sub), :] = acc
                 return 0
 
             jax.lax.fori_loop(0, n_ub, u_blk, 0)

@@ -174,6 +174,52 @@ def test_tile_composite_pass_windows_vs_gather():
     assert np.percentile(diff, 99.5) < 3e-2, np.percentile(diff, 99.5)
 
 
+def test_tile_composite_subgrid_bit_equal():
+    """The pass-1/pass-2 row windows must be EXACTLY the full-grid
+    kernel's output (the windows cover the ok1 band and the masked
+    rows, see composite_kernel.pass1/pass2) — a tolerance gate could
+    let a dropped live row slip through on a busy scene."""
+    import os
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.ops.pallas.composite_kernel import (
+        tile_composite_pallas,
+    )
+    from multivolumes_tpu.render import frame as frame_lib
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=128, height=96, grid_size=16,
+                       light_grid_size=8,
+                       max_ray_samples=24, max_light_samples=8,
+                       num_volumes=12, num_volume_srcs=2,
+                       cube_map_size=32, shadow_map_size=32,
+                       use_bf16=False)
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.orbit_camera(0.3, cfg.aspect_ratio)
+
+    def render():
+        # fresh outer lambda -> fresh trace; clearing the inner jit's
+        # cache makes it re-read the env knob during that trace
+        tile_composite_pallas.clear_cache()
+        out = jax.jit(lambda s: frame_lib.render_frame(
+            s, cam, cfg, use_taa=False))(st)
+        return np.asarray(out.image)
+
+    prev = os.environ.get("MV_CKERNEL_SUBGRID")
+    try:
+        os.environ["MV_CKERNEL_SUBGRID"] = "1"
+        on = render()
+        os.environ["MV_CKERNEL_SUBGRID"] = "0"
+        off = render()
+    finally:
+        if prev is None:
+            os.environ.pop("MV_CKERNEL_SUBGRID", None)
+        else:
+            os.environ["MV_CKERNEL_SUBGRID"] = prev
+        tile_composite_pallas.clear_cache()
+    np.testing.assert_array_equal(on, off)
+
+
 def test_warp_composite_mesh_intersection_fidelity():
     """VERDICT item: quantify warp-vs-gather error where the mesh
     intersects volumes (the warp drops CubeCast's per-tap depth weights;

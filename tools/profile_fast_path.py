@@ -85,11 +85,14 @@ def main() -> None:
 
     lat = [None]
 
-    only = args.only.split(",") if args.only else None
+    only = ([s for s in args.only.split(",") if s]
+            if args.only else None)  # drop typo empties ('' matches all)
     # passes whose outputs later passes consume: run them (untimed)
     # even when filtered out; anything else is skipped outright so a
     # knob A/B pays only the selected pass's compile + its producers'
-    _PRODUCERS = ("light_update", "orient_cohort", "sweep_lod")
+    # (the light/orient outputs feed nothing timed — the sweep reads
+    # the state-carried stacks — so they are NOT producers)
+    _PRODUCERS = ("sweep_lod",)
 
     def timed(name, fn, *a):
         # dispatch `iters` calls asynchronously, sync once, subtract the
@@ -136,9 +139,11 @@ def main() -> None:
         state.rho_light, state.ao_static, state.grad_dir)
 
     vol_or = state.volumes_oriented.astype(dtype)
-    lm_or_c = timed("orient_cohort", sweep_lib.orient_variants_cf,
-                    lm_c.astype(dtype))
-    del lm_c, lm_or_c
+    if lm_c is not None:  # skipped under --only
+        lm_or_c = timed("orient_cohort", sweep_lib.orient_variants_cf,
+                        lm_c.astype(dtype))
+        del lm_or_c
+    del lm_c
     lm_or = state.light_maps_oriented.astype(dtype)
 
     # LOD sweep
