@@ -126,7 +126,8 @@ def main() -> None:
     ap.add_argument("--dir", default="/tmp/mv_trace")
     ap.add_argument("--hlo", default=None,
                     help="HLO text dump (tools/hlo_map.py --dump) to "
-                         "aggregate the trace by source file")
+                         "aggregate the trace by source file; pass "
+                         "'auto' to dump the compiled step here first")
     args = ap.parse_args()
 
     from multivolumes_tpu.utils.platform import configure_for_host
@@ -160,6 +161,14 @@ def main() -> None:
     step_jit = jax.jit(step, donate_argnums=(0,))
     state = engine.state
     camera = cam_lib.orbit_camera(0.0, cfg.aspect_ratio)
+    if args.hlo == "auto":
+        # dump the scheduled HLO of this exact step for the by-file
+        # aggregation (hits the compile cache the warmup also uses)
+        args.hlo = "/tmp/step.hlo"
+        txt = step_jit.lower(state, camera).compile().as_text()
+        with open(args.hlo, "w") as f:
+            f.write(txt)
+        print(f"dumped {len(txt) / 1e6:.1f} MB to {args.hlo}", file=sys.stderr)
     img, state = step_jit(state, camera)
     sync(img)
 
