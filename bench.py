@@ -136,6 +136,10 @@ def main() -> None:
     has_mesh = os.path.exists(_BUNNY)
     if has_mesh:
         engine.set_mesh(_BUNNY)
+        # the demo orbit keeps a fixed camera distance: the host-side
+        # raster-ladder pick (engine.select_raster_preset) is the same
+        # every frame, so make it once — the orbit eye at t=0
+        engine.select_raster_preset((0.0, 6.0, 60.0))
     cfg = engine.config
 
     import jax.numpy as jnp

@@ -142,8 +142,15 @@ def main(argv=None) -> None:
     for f in range(args.frames):
         if args.animate:
             camera = cam_lib.orbit_camera(f / 60.0, aspect)
+            # host-side copy of the orbit eye (MultiVolumes.cpp:328-337)
+            # for the raster-preset pick — never read back the device
+            t = f / 60.0 * 0.5
+            eye_host = (np.sin(t) * 60.0, 6.0, np.cos(t) * 60.0)
         else:
             camera = cam_lib.default_camera(aspect)
+            eye_host = (4.0, 16.0, -80.0)   # MultiVolumes.cpp:273-278
+        if args.mesh:
+            engine.select_raster_preset(eye_host)
         t0 = time.time()
         img = engine.render(camera, use_taa=not args.no_taa)
         img.block_until_ready()

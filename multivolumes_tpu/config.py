@@ -142,6 +142,25 @@ class RenderConfig:
     # close-up-heavy content. Capacity/cull/tier levers stay exact at
     # any distance (pinned by test).
     raster_tail: tuple | None = (0.6, 2)
+    # Raster tier ladder selection: "near" = the all-distance ladder
+    # (tiers sized so any close-up keeps stride <= 1 px; pinned by
+    # tests/test_passes.py close-up contract); "far" = the mesh-derived
+    # demo-distance ladder `raster_far_tiers` (valid while the mesh's
+    # projected bbox stays <= raster_far_bound px). The reference's
+    # hardware rasterizer pays per covered pixel, so its cost tracks
+    # projected size natively; the scatter rasterizer gets the same
+    # behavior from a HOST-side preset pick per frame
+    # (engine.select_raster_preset — a static jit key, never a traced
+    # branch). "near" is always safe.
+    raster_preset: str = "near"
+    # Mesh-specific far-distance tier ladder, derived at set_mesh time
+    # from the mesh's own per-rank bbox profile at raster_far_bound
+    # (mesh.derive_far_tiers). None = far preset unavailable.
+    raster_far_tiers: tuple | None = None
+    # Projected-bbox bound (px) under which the far ladder keeps every
+    # tier's sample stride <= 1 px. The demo orbit projects the bunny at
+    # <= ~313 px (1280x800), so 360 covers it with margin.
+    raster_far_bound: int = 360
     # Static window (px) for TAA's velocity-based history reprojection,
     # centred on the mesh (the only velocity writer); pixels outside
     # reproject as identity. 0 = full-screen reprojection.

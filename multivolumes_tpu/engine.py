@@ -59,8 +59,11 @@ class MultiRayCaster:
     def __init__(self, config: RenderConfig):
         self.config = config
         self.state = state_lib.create_scene(config)
-        self._render_jit = None
-        self._render_sig = None
+        # jit cache per (config, use_taa): configs the host flips
+        # between per frame (raster_preset) each keep their own
+        # compiled step instead of retracing on every flip
+        self._render_jits: dict = {}
+        self._mesh_aabb = None        # world AABB (2, 3), host numpy
 
     # --- MultiRayCaster API (`MultiRayCaster.h:31-50`) -------------------
 
@@ -170,7 +173,7 @@ class MultiRayCaster:
         self.config = self.config.with_(
             max_ray_samples=max_ray_samples, max_light_samples=max_light_samples
         )
-        self._render_jit = None
+        self._render_jits.clear()
 
     def set_light(self, pos, color, intensity: float) -> None:
         self.state = dataclasses.replace(
@@ -222,6 +225,7 @@ class MultiRayCaster:
     def set_mesh(self, path: str) -> None:
         """OBJ mesh + world placement (`ObjectRenderer::Init`)."""
         from multivolumes_tpu import native
+        from multivolumes_tpu.render import mesh as mesh_lib
 
         mesh = native.load_obj_native(path) or io_obj.load_obj(path)
         mx, my, mz, ms = self.config.mesh_pos_scale
@@ -233,10 +237,51 @@ class MultiRayCaster:
             @ math3d.translation(jnp.array([mx, my, mz], jnp.float32)),
             scene_size=jnp.asarray(mesh.scene_size * ms, jnp.float32),
         )
-        self.config = self.config.with_(show_mesh=True)
+        # host-side copies for the per-frame raster-preset pick: the
+        # world AABB (projected size estimate) and the mesh-derived
+        # far tier ladder (see mesh.derive_far_tiers)
+        verts_np = np.asarray(mesh.vertices, np.float32)[:, :3] * ms \
+            + np.asarray([mx, my, mz], np.float32)
+        self._mesh_aabb = np.stack([verts_np.min(0), verts_np.max(0)])
+        far_tiers = mesh_lib.derive_far_tiers(
+            mesh.vertices, mesh.indices, np.asarray(self.state.mesh_world),
+            self.config.width, self.config.height,
+            self.config.raster_far_bound)
+        self.config = self.config.with_(
+            show_mesh=True,
+            raster_far_tiers=far_tiers,
+        )
         self._refresh_shadow_map()
         self._refresh_light_cache()
-        self._render_jit = None
+        self._render_jits.clear()
+
+    def select_raster_preset(self, eye, focus=(0.0, 0.0, 0.0)) -> str:
+        """Pick the base-raster tier ladder for the NEXT frame from a
+        HOST-side camera pose (python floats/numpy — never device
+        arrays: a device readback costs ~30 ms here and would serialize
+        the pipeline). Hysteresis keeps the pick stable near the bound
+        so an orbiting camera doesn't flip-flop jit cache entries.
+        Returns the chosen preset name. The reference's hardware
+        rasterizer scales work with projected size per-pixel; this is
+        the scatter rasterizer's host-level equivalent."""
+        from multivolumes_tpu.render import mesh as mesh_lib
+
+        cfg = self.config
+        if (self._mesh_aabb is None or not cfg.show_mesh
+                or not cfg.raster_far_tiers):
+            return cfg.raster_preset
+        e = mesh_lib.projected_size_px(
+            self._mesh_aabb, eye, focus, cfg.width, cfg.height)
+        bound = float(cfg.raster_far_bound)
+        preset = cfg.raster_preset
+        if preset == "far":
+            if e > bound:
+                preset = "near"
+        elif e <= bound * 0.92:
+            preset = "far"
+        if preset != cfg.raster_preset:
+            self.config = cfg.with_(raster_preset=preset)
+        return preset
 
     # --- frame loop -------------------------------------------------------
 
@@ -247,7 +292,8 @@ class MultiRayCaster:
         if camera is None:
             camera = camera_lib.default_camera(self.config.aspect_ratio)
         key = (self.config, use_taa)
-        if self._render_jit is None or self._render_sig != key:
+        step_jit = self._render_jits.get(key)
+        if step_jit is None:
             cfg = self.config
 
             def step(state, cam):
@@ -255,9 +301,9 @@ class MultiRayCaster:
 
             # donate the state: the carried buffers (light maps ~1.7 GB,
             # TAA history) update in place instead of copying per frame
-            self._render_jit = jax.jit(step, donate_argnums=(0,))
-            self._render_sig = key
-        out = self._render_jit(self.state, camera)
+            step_jit = jax.jit(step, donate_argnums=(0,))
+            self._render_jits[key] = step_jit
+        out = step_jit(self.state, camera)
         self.state = out.state
         return out.image
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multivolumes_tpu.config import RenderConfig
+from multivolumes_tpu.config import RenderConfig, SharedConsts
 from multivolumes_tpu.core import math3d, sh as sh_lib
 from multivolumes_tpu.core.camera import Camera
 from multivolumes_tpu.core.halton import halton_jitter
@@ -61,6 +61,158 @@ def _cull_capacity(num_tris: int) -> int:
     ~10 ns/update scatter). Overflow drops only the smallest
     front-facing triangles — see `rasterize`."""
     return num_tris // 2
+
+
+# All-distance base-pass tier ladder: grids sized so a close-up keeps
+# every tier's sample stride <= 1 px (close-up contract pinned by
+# tests/test_passes.py). The far preset (below) swaps these for
+# mesh-derived demo-distance grids.
+NEAR_TIERS = ((2048, 10), (128, 36))
+
+
+def _np_view_proj(eye, focus, width, height,
+                  fov_y=SharedConsts.FOV_ANGLE_Y):
+    """Host-side (numpy) look-at + perspective, matching
+    core/math3d.look_at_lh / perspective_fov_lh — the raster preset
+    pick must never read device data (a readback costs ~30 ms here)."""
+    eye = np.asarray(eye, np.float32)
+    z = np.asarray(focus, np.float32) - eye
+    z = z / np.linalg.norm(z)
+    up = np.array([0.0, 1.0, 0.0], np.float32)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    view = np.zeros((4, 4), np.float32)
+    view[:3, 0], view[:3, 1], view[:3, 2] = x, y, z
+    view[3, :3] = [-x @ eye, -y @ eye, -z @ eye]
+    view[3, 3] = 1.0
+    h = 1.0 / np.tan(fov_y * 0.5)
+    zn, zf = SharedConsts.Z_NEAR, SharedConsts.Z_FAR
+    q = zf / (zf - zn)
+    proj = np.array([[h / (width / height), 0, 0, 0], [0, h, 0, 0],
+                     [0, 0, q, 1], [0, 0, -q * zn, 0]], np.float32)
+    return view @ proj
+
+
+def projected_size_px(aabb, eye, focus, width: int, height: int) -> float:
+    """Projected screen-bbox edge (px) of a world AABB ((2, 3) min/max)
+    from a host-side camera pose. Conservative: returns +inf when any
+    corner is at or behind the near plane (the near preset is always
+    safe). Pure numpy — usable in the per-frame host loop."""
+    aabb = np.asarray(aabb, np.float32)
+    corners = np.stack(np.meshgrid(*aabb.T, indexing="ij"), -1
+                       ).reshape(8, 3)
+    vp = _np_view_proj(eye, focus, float(width), float(height))
+    hp = np.concatenate([corners, np.ones((8, 1), np.float32)], 1) @ vp
+    if (hp[:, 3] <= SharedConsts.Z_NEAR * 0.5).any():
+        return float("inf")
+    px = (hp[:, 0] / hp[:, 3] * 0.5 + 0.5) * width
+    py = (0.5 - hp[:, 1] / hp[:, 3] * 0.5) * height
+    return float(max(px.max() - px.min(), py.max() - py.min()))
+
+
+def derive_far_tiers(vertices, indices, mesh_world, width: int,
+                     height: int, bound_px: float, dense_top: int = 16,
+                     margin: float = 1.1):
+    """Size a far-distance tier ladder from the mesh's own geometry.
+
+    Host-side numpy, one-time at set_mesh. Places cameras all around the
+    mesh at the distance where its projected AABB edge == bound_px, and
+    takes the per-RANK max of front-facing triangle bbox edges over the
+    poses (ranks = the by-edge order `rasterize` tiers on). A tier
+    (count, kk) keeps sample stride <= 1 px iff every rank it covers has
+    edge <= kk, so the boundaries fall out of the profile directly:
+    B(kk) = first rank whose max edge <= kk (times `margin`).
+
+    Returns tiers for `rasterize(big_tiers=...)`: ranks [dense_top,
+    B(12)) at ceil(P[dense_top]), [B(12), B(7)) at 12, [B(7), B(5)) at
+    7; ranks past B(5) fall to the 4x4 base grid (edges there are <= 5
+    px — stride <= 1.25, covered by bbox-overlapping neighbors exactly
+    like the tail tier, and pinned by the demo-distance no-hole test).
+    Empty spans are dropped. Returns None for degenerate meshes.
+
+    Why per-mesh: rank profiles are mesh statistics — NEAR_TIERS'
+    constants were sized from the bunny's close-up profile; a far ladder
+    hard-coded the same way would silently under-sample a mesh with more
+    large triangles. Deriving from the actual mesh keeps the stride
+    contract for any content.
+    """
+    v = np.asarray(vertices, np.float32)[:, :3]
+    f = np.asarray(indices, np.int64)
+    if f.shape[0] <= dense_top or v.shape[0] < 3:
+        return None
+    world = np.asarray(mesh_world, np.float32)
+    vw = np.concatenate([v, np.ones((len(v), 1), np.float32)], 1) @ world
+    vw = vw[:, :3]
+    lo, hi = vw.min(0), vw.max(0)
+    center = (lo + hi) * 0.5
+    radius = float(np.linalg.norm(hi - lo)) * 0.5
+    if radius <= 0.0 or bound_px <= 0.0:
+        return None
+
+    # distance where the projected AABB edge ~= bound_px (projection is
+    # ~1/d at d >> radius: measure at a safe probe distance, rescale)
+    d0 = radius * 8.0
+    probe = projected_size_px(
+        np.stack([lo, hi]), center + np.array([0.0, 0.0, -d0], np.float32),
+        center, width, height)
+    if not np.isfinite(probe) or probe <= 0.0:
+        return None
+    d = max(d0 * probe / bound_px, radius * 1.5)
+
+    n_ranks = min(f.shape[0], 1 << 16)
+    profile = np.zeros(n_ranks, np.float32)
+    for elev in (-0.4, 0.0, 0.35, 0.7):
+        for az in np.linspace(0.0, 2 * np.pi, 12, endpoint=False):
+            ce = np.cos(elev)
+            eye = center + d * np.array(
+                [np.sin(az) * ce, np.sin(elev), np.cos(az) * ce],
+                np.float32)
+            vp = _np_view_proj(eye, center, float(width), float(height))
+            hp = np.concatenate(
+                [vw, np.ones((len(vw), 1), np.float32)], 1) @ vp
+            w = np.maximum(hp[:, 3], 1e-6)
+            px = (hp[:, 0] / w * 0.5 + 0.5) * width
+            py = (0.5 - hp[:, 1] / w * 0.5) * height
+            x0, y0 = px[f[:, 0]], py[f[:, 0]]
+            x1, y1 = px[f[:, 1]], py[f[:, 1]]
+            x2, y2 = px[f[:, 2]], py[f[:, 2]]
+            area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+            ex = np.maximum(np.maximum(x0, x1), x2) \
+                - np.minimum(np.minimum(x0, x1), x2)
+            ey = np.maximum(np.maximum(y0, y1), y2) \
+                - np.minimum(np.minimum(y0, y1), y2)
+            edge = np.where(area > 0, np.maximum(ex, ey), -1.0)
+            srt = np.sort(edge)[::-1][:n_ranks]
+            np.maximum(profile, srt, out=profile)
+
+    p = profile * margin
+
+    def boundary(kk):
+        """First rank whose (margined) max edge fits a kk grid at
+        stride <= 1. p is non-increasing (per-pose sort + max)."""
+        idx = np.nonzero(p <= kk)[0]
+        return int(idx[0]) if len(idx) else n_ranks
+
+    # grid levels, coarse to fine: the top level is whatever the first
+    # post-dense_top rank needs; 12 and 7 split the descent. The ladder
+    # ENDS at B(5), not B(4): tiny-triangle edges plateau just above 4
+    # (margined), so chasing stride <= 1 all the way would drag the 7x7
+    # tier across tens of thousands of ranks. Ranks past B(5) run the
+    # 4x4 base at stride <= 1.25 — covered by bbox-overlapping
+    # neighbors exactly like the tail tier (no-hole-pinned by test).
+    kk0 = int(np.ceil(p[dense_top]))
+    levels = sorted({kk for kk in (kk0, 12, 7) if 4 < kk <= kk0},
+                    reverse=True)
+    tiers = []
+    at = dense_top
+    for i, kk in enumerate(levels):
+        end = boundary(levels[i + 1] if i + 1 < len(levels) else 5)
+        if end > at:                 # span [at, end) rasterizes at kk
+            tiers.append((end, kk))
+            at = end
+    # rasterize() consumes ((count, kk), ...) with counts = span ENDS
+    return tuple(sorted(tiers)) if tiers else None
 
 
 def shadow_view_proj(state) -> jnp.ndarray:
@@ -444,8 +596,11 @@ def render_shadow_map(state, config: RenderConfig) -> jnp.ndarray:
     cull = 1 if config.mesh_backface_cull else 0
     cap = (_cull_capacity(state.mesh_indices.shape[0])
            if config.mesh_backface_cull else None)
+    # always NEAR_TIERS: the light-view projection is a fixed
+    # orthographic frame (sceneSize * 1.5 over shadow_map_size px) —
+    # the main camera's distance never changes shadow-texel density
     depth, _ = rasterize(clip_sh, state.mesh_indices, sm, sm,
-                         big_tiers=((2048, 10), (128, 36)),
+                         big_tiers=NEAR_TIERS,
                          want_ids=False, cull=cull, capacity=cap,
                          dense_top=16, tail=config.raster_tail)
     return depth
@@ -486,6 +641,12 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
     cull = 1 if config.mesh_backface_cull else 0
     cap = (_cull_capacity(idx.shape[0])
            if config.mesh_backface_cull else None)
+    # tier ladder: the host picked the preset for THIS frame's projected
+    # mesh size (config.raster_preset is a static jit key, so each
+    # preset compiles once; engine.select_raster_preset does the pick)
+    tiers = (config.raster_far_tiers
+             if (config.raster_preset == "far"
+                 and config.raster_far_tiers) else NEAR_TIERS)
     n_rows = (device_mesh.shape["rows"]
               if device_mesh is not None
               and "rows" in device_mesh.axis_names else 1)
@@ -495,7 +656,7 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
         def raster_band(clip_l, idx_l):
             r = jax.lax.axis_index("rows")
             return rasterize(clip_l, idx_l, width, height,
-                             big_tiers=((2048, 10), (128, 36)),
+                             big_tiers=tiers,
                              cull=cull, capacity=cap, dense_top=16,
                              tail=config.raster_tail, band=(r, n_rows))
 
@@ -505,7 +666,7 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
             check_vma=False)(clip_jit, idx)
     else:
         depth, tri_id = rasterize(clip_jit, idx, width, height,
-                                  big_tiers=((2048, 10), (128, 36)),
+                                  big_tiers=tiers,
                                   cull=cull, capacity=cap, dense_top=16,
                                   tail=config.raster_tail)
 

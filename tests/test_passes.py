@@ -369,6 +369,80 @@ def test_rasterize_production_ladder_closeup_no_holes():
         f"{holes_t} tail holes / {cov_r.sum()} covered")
 
 
+def test_raster_far_preset_select_and_no_holes():
+    """The mesh-derived far tier ladder (config.raster_far_tiers,
+    derived at set_mesh) + the host-side preset pick: the demo orbit
+    must select "far", a close-up must fall back to "near", and the far
+    ladder must stay hole-free at the orbit distance it was sized for
+    (projected bbox near raster_far_bound — the contract's worst case)."""
+    import os
+
+    import pytest
+
+    bunny = "/root/reference/Bin/Assets/bunny.obj"
+    if not os.path.exists(bunny):
+        pytest.skip("bunny asset missing")
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib, math3d
+    from multivolumes_tpu.engine import MultiRayCaster
+
+    w, h = 320, 200
+    # bound 100 px: the orbit projects the bunny at ~83 px here, so the
+    # derived tiers run NEAR their design bound (a production-margin
+    # test, not an oversized-grid freebie)
+    cfg = RenderConfig(
+        width=w, height=h, grid_size=16, light_grid_size=8,
+        max_ray_samples=32, max_light_samples=8, num_volumes=4,
+        num_volume_srcs=2, cube_map_size=16, shadow_map_size=64,
+        raster_far_bound=100)
+    eng = MultiRayCaster(cfg)
+    eng.set_mesh(bunny)
+    tiers = eng.config.raster_far_tiers
+    assert tiers, "derive_far_tiers produced no ladder for the bunny"
+    assert all(kk > 4 for _, kk in tiers)
+
+    # host-side preset pick + hysteresis (orbit eye ~83 px, close ~670)
+    assert eng.select_raster_preset((0.0, 6.0, 60.0)) == "far"
+    assert eng.select_raster_preset(
+        (2.0, -6.0, -16.0), (0.0, -8.0, 0.0)) == "near"
+    assert eng.select_raster_preset((0.0, 6.0, 60.0)) == "far"
+
+    st = eng.state
+    cap = mesh_lib._cull_capacity(st.mesh_indices.shape[0])
+    for t in (0.0, 2.6):
+        cam = cam_lib.orbit_camera(t, cfg.aspect_ratio)
+        clip = math3d.transform_point(
+            st.mesh_verts[:, :3], st.mesh_world @ cam.view_proj)
+        _, t_ref = mesh_lib.rasterize(clip, st.mesh_indices, w, h, cull=1)
+        cov_r = np.asarray(t_ref) >= 0
+        assert cov_r.sum() > 500, "camera missed the mesh"
+        _, t_far = mesh_lib.rasterize(
+            clip, st.mesh_indices, w, h, big_tiers=tiers, cull=1,
+            capacity=cap, dense_top=16, tail=cfg.raster_tail)
+        holes = (cov_r & ~(np.asarray(t_far) >= 0)).sum()
+        assert holes <= 0.005 * cov_r.sum(), (
+            f"t={t}: {holes} holes / {cov_r.sum()} covered")
+
+
+def test_derive_far_tiers_degenerate_and_projected_size():
+    """Host-helper edge cases: tiny meshes yield no ladder; a pose with
+    the AABB at/behind the near plane reports +inf (always-near)."""
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.asarray([[0, 1, 2]], np.int32)
+    world = np.eye(4, dtype=np.float32)
+    assert mesh_lib.derive_far_tiers(
+        verts, idx, world, 1280, 800, 360) is None
+
+    aabb = np.asarray([[-1, -1, -1], [1, 1, 1]], np.float32)
+    e = mesh_lib.projected_size_px(aabb, (0.0, 0.0, -50.0),
+                                   (0.0, 0.0, 0.0), 1280, 800)
+    assert 0 < e < 200
+    # eye inside the box -> corners behind the near plane -> inf
+    assert mesh_lib.projected_size_px(
+        aabb, (0.0, 0.0, 0.0), (0.0, 0.0, 1.0), 1280, 800) == float("inf")
+
+
 def test_rasterize_dense_top_exact_coverage():
     """dense_top rasterizes the largest triangles analytically: a
     screen-filling quad keeps gap-free coverage even with NO grid tiers
