@@ -35,6 +35,14 @@ from multivolumes_tpu.ops.pallas import interpret_default
 
 ABSORPTION = SharedConsts.ABSORPTION
 
+# Whole-volume VMEM residency ((L, L, L) f32 in + out, double-buffered)
+# totals ~18 MB at L = 96 — over Mosaic's 16 MB default scoped-vmem cap
+# but well inside v5e's 128 MB VMEM. Raise the cap instead of blocking
+# the slab axis: the march carries (s_c, sm_c, z_c) across every slab,
+# so blocking would force a scratch-carried multi-block pipeline for a
+# pass that is ~2.5 ms/frame total.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _bshift(x, mv_ref, mu_ref):
     """B(x) = mv @ x @ mu^T, f32 accumulation on the MXU.
@@ -118,6 +126,7 @@ def light_self_scan_pallas(rho_o, mv_sub, mu_sub, sm_vol, z_entry,
             jax.ShapeDtypeStruct((c, l, l), jnp.float32),
         ],
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(flt_sc,
       rho_o.astype(jnp.float32), mv_sub.astype(jnp.float32),
@@ -161,6 +170,7 @@ def light_advect_mul_pallas(here, t_ins, mv_sub, mu_sub,
         _make_adv_kernel(l),
         out_shape=jax.ShapeDtypeStruct((c, l, l, l), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(here.astype(jnp.float32), t_ins.astype(jnp.float32),
       mv_sub.astype(jnp.float32), mu_sub.astype(jnp.float32))
