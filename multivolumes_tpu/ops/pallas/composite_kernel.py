@@ -398,18 +398,23 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
 
             jax.lax.fori_loop(0, n_ub, u_blk, 0)
 
-        if subgrid and s >= 32:
-            # window start: one row of margin below v_lo so the row set
-            # the u-range reduction sees matches the full variant's
-            # ok1-true band exactly -> bit-equal
+        if subgrid and s >= 32 and s % 32 == 0:
+            # window start: at least one row of margin below v_lo so the
+            # row set the u-range reduction sees matches the full
+            # variant's ok1-true band exactly -> bit-equal. The start is
+            # aligned DOWN to 8 rows: Mosaic requires dynamic sublane
+            # store/load offsets provably 8-aligned ("cannot statically
+            # prove that index in dimension 1 is a multiple of 8"), so
+            # the window may begin up to 8 rows below v_lo - 1 — the
+            # span thresholds below keep v_hi + 1 covered even then.
             sq = s // 4
             sh_ = s // 2
             span = v_hi - v_lo
-            w_sq = jnp.clip(v_lo - 1, 0, s - sq)
-            w_sh = jnp.clip(v_lo - 1, 0, s - sh_)
+            w_sq = jnp.clip(v_lo - 1, 0, s - sq) // 8 * 8
+            w_sh = jnp.clip(v_lo - 1, 0, s - sh_) // 8 * 8
             zero_i = jnp.zeros((), jnp.int32)
-            small = span <= sq - 3
-            mid = (span <= sh_ - 3) & ~small
+            small = span <= sq - 10
+            mid = (span <= sh_ - 10) & ~small
 
             @pl.when(small)
             def _():
@@ -469,8 +474,11 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 face_scr[2, pl.ds(r0, th_sub), :] = fb
                 face_scr[3, pl.ds(r0, th_sub), :] = fa
 
-        if subgrid and th >= 32:
-            # live tile-row range of this face's pixels
+        if subgrid and th >= 32 and th % 32 == 0:
+            # live tile-row range of this face's pixels; starts aligned
+            # down to 8 rows (same Mosaic dynamic-offset rule as pass 1),
+            # thresholds leave 8 rows of slack so [r_min, r_max] stays
+            # covered at the worst alignment
             ridx = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
             ui = use_f.astype(jnp.int32)
             row_any = jnp.max(ui, axis=1, keepdims=True)     # (th, 1)
@@ -479,11 +487,11 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
             r_span = r_max - r_min
             tq = th // 4
             th2 = th // 2
-            r_q = jnp.clip(r_min, 0, th - tq)
-            r_h = jnp.clip(r_min, 0, th - th2)
+            r_q = jnp.clip(r_min, 0, th - tq) // 8 * 8
+            r_h = jnp.clip(r_min, 0, th - th2) // 8 * 8
             zero_r = jnp.zeros((), jnp.int32)
-            small2 = r_span < tq
-            mid2 = (r_span < th2) & ~small2
+            small2 = r_span <= tq - 8
+            mid2 = (r_span <= th2 - 8) & ~small2
 
             @pl.when(small2)
             def _():
@@ -543,9 +551,13 @@ def tile_composite_pallas(
     import os
 
     u_block = int(os.environ.get("MV_CKERNEL_UBLOCK", "8"))
-    # MV_CKERNEL_SUBGRID=0 disables the quarter-grid pass-1 variant for
-    # low-LOD volumes (same process-level caveat as above)
-    subgrid = os.environ.get("MV_CKERNEL_SUBGRID", "1") != "0"
+    # MV_CKERNEL_SUBGRID=1 enables the quarter-grid pass-1/pass-2 row
+    # windows (same process-level caveat as above). OFF by default: the
+    # dynamic-offset VMEM stores crash the real Mosaic backend
+    # ("Check failed: limits[i] <= dim(i)" SIGABRT, v5e, 2026-08) even
+    # with 8-aligned offsets; CPU interpret mode accepts them, so the
+    # bit-equality tests keep covering the variant until Mosaic does.
+    subgrid = os.environ.get("MV_CKERNEL_SUBGRID", "0") == "1"
     kernel = _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers,
                           width, height, u_block=u_block, subgrid=subgrid)
 
