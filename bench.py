@@ -101,6 +101,11 @@ def _pass_breakdown(state, cfg, lat_ms: float) -> None:
         camera.screen_to_world, None, cfg.width, cfg.height,
         num_layers=cfg.oit_layers, order=order)[0], cube_maps.color)
 
+    from multivolumes_tpu.render import postprocess
+
+    timed("sky", lambda: postprocess.render_environment(
+        state.radiance, camera.screen_to_world, camera.eye, cfg.width,
+        cfg.height, scale=cfg.sky_scale))
     zero = jnp.zeros((cfg.height, cfg.width), jnp.float32)
     timed("taa", lambda r, h: taa_lib.temporal_aa(
         (r, r, r, jnp.minimum(r, 0.9997)), h, None)[0], zero,

@@ -157,21 +157,41 @@ class RenderConfig:
     # from the mesh's own per-rank bbox profile at raster_far_bound
     # (mesh.derive_far_tiers). None = far preset unavailable.
     raster_far_tiers: tuple | None = None
+    # The far ladder's small end: absolute rank spans ((start, kk), ...)
+    # replacing the fixed-fraction raster_tail under the far preset —
+    # sub-2 px ranks emit ONE sample (see mesh.derive_far_tiers).
+    raster_far_small: tuple | None = None
     # Projected-bbox bound (px) under which the far ladder keeps every
     # tier's sample stride <= 1 px. The demo orbit projects the bunny at
     # <= ~313 px (1280x800), so 360 covers it with margin.
     raster_far_bound: int = 360
     # Static window (px) for TAA's velocity-based history reprojection,
     # centred on the mesh (the only velocity writer); pixels outside
-    # reproject as identity. 0 = full-screen reprojection.
+    # reproject as identity. 0 = full-screen reprojection. Applies ONLY
+    # under the far raster preset (whose host pick guarantees the mesh
+    # projects inside raster_far_bound <= window); the near preset
+    # reprojects full-screen — no silent identity fallback for a mesh
+    # that outgrew the window.
     taa_reproj_window: int = 448
     # Static window (px) for the mesh's deferred shade (plane-table
     # interpolation, shadow PCF, BRDF), centred on the mesh's projected
     # bbox. The per-pixel gathers are the mesh pass's screen-space cost;
-    # the mesh covers a fraction of the frame. Mesh pixels OUTSIDE the
-    # window (mesh larger than the window) fall back to background —
-    # raise it (or set 0 = full screen) for meshes filling the frame.
-    mesh_shade_window: int = 448
+    # the mesh covers a fraction of the frame. Applies ONLY under the
+    # far raster preset, whose host-side pick guarantees the projected
+    # bbox <= raster_far_bound <= window — the near preset shades
+    # full-screen, so a mesh can never silently show background outside
+    # a window it outgrew. The far dense_top raster pass evaluates in
+    # the same window. Default = raster_far_bound rounded up to a lane
+    # multiple (the pick guarantee makes a larger window pure waste).
+    mesh_shade_window: int = 384
+    # Debug mode: checkify isfinite guards after the bf16 fast path's
+    # two accumulation points (view sweep, OIT composite) — the analog
+    # of the reference's TAA NaN guard (`CSTemporalAA.hlsl:327`) plus
+    # the D3D debug layer's validation stance (SURVEY section 5). OFF by
+    # default: the check forces a device sync per frame through
+    # `err.throw()` (~30 ms on this host's tunnel). The full-frame
+    # fidelity gate runs with it ON.
+    debug_finite: bool = False
     # Composite the volume layers at 1/composite_scale screen resolution
     # and upsample (the cube maps carry the detail — the screen pass is a
     # filter, per the paper's viewport-resolution-independence thesis).

@@ -243,13 +243,15 @@ class MultiRayCaster:
         verts_np = np.asarray(mesh.vertices, np.float32)[:, :3] * ms \
             + np.asarray([mx, my, mz], np.float32)
         self._mesh_aabb = np.stack([verts_np.min(0), verts_np.max(0)])
-        far_tiers = mesh_lib.derive_far_tiers(
+        ladder = mesh_lib.derive_far_tiers(
             mesh.vertices, mesh.indices, np.asarray(self.state.mesh_world),
             self.config.width, self.config.height,
             self.config.raster_far_bound)
+        far_tiers, far_small = ladder if ladder else (None, None)
         self.config = self.config.with_(
             show_mesh=True,
             raster_far_tiers=far_tiers,
+            raster_far_small=far_small,
         )
         self._refresh_shadow_map()
         self._refresh_light_cache()
@@ -299,9 +301,22 @@ class MultiRayCaster:
             def step(state, cam):
                 return frame_lib.render_frame(state, cam, cfg, use_taa=use_taa)
 
-            # donate the state: the carried buffers (light maps ~1.7 GB,
-            # TAA history) update in place instead of copying per frame
-            step_jit = jax.jit(step, donate_argnums=(0,))
+            if cfg.debug_finite:
+                # checkify-wrapped step: the in-frame isfinite guards
+                # raise a named JaxRuntimeError on the host (debug mode;
+                # err.throw() forces a sync per frame)
+                from jax.experimental import checkify
+
+                inner = jax.jit(checkify.checkify(step))
+
+                def step_jit(state, cam):
+                    err, out = inner(state, cam)
+                    err.throw()
+                    return out
+            else:
+                # donate the state: the carried buffers (light maps
+                # ~1.7 GB, TAA history) update in place per frame
+                step_jit = jax.jit(step, donate_argnums=(0,))
             self._render_jits[key] = step_jit
         out = step_jit(self.state, camera)
         self.state = out.state

@@ -57,7 +57,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multivolumes_tpu.config import SharedConsts
 from multivolumes_tpu.ops.pallas import interpret_default
+
+_Z_NEAR = float(SharedConsts.Z_NEAR)
+_Z_FAR = float(SharedConsts.Z_FAR)
 
 FLT_MAX = 3.402823466e38
 _EPS = 1e-12
@@ -75,12 +79,25 @@ def _finite(x):
 
 
 def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
-                 u_block=8, subgrid=True):
-    """Bind static geometry; return the kernel body."""
+                 u_block=8, subgrid=True, with_depth=False):
+    """Bind static geometry; return the kernel body.
 
-    def kernel(tlist, counts, vol_flt, face_flt, row0, color_hbm,
-               scene_ref, out_ref, vol_scr, tmp_scr, face_scr,
-               layers_scr, sem):
+    with_depth=True adds the paper's depth-aware CubeCast weights
+    (`PSCube.hlsli:51-108`): the volume's cube DEPTH map (pre-unprojected
+    to view distance, host-side) rides a second DMA next to the faces,
+    pass 1 interpolates it along u exactly like a color channel (the u
+    tent weights sum to 1, so the result is a true interpolation of the
+    two adjacent texels' depths), and pass 2 modulates each v tap by
+    max(1 - 0.5*|sceneDist - tapDist|, 0), normalizing by the weight sum
+    with the reference's plain-filter fallback where every weight is
+    zero (`PSCube.hlsli:104`). Tiles containing no mesh pixel take the
+    plain path (scene depth 1 zeroes every weight there anyway), so the
+    extra pass-1 channel and the 9-accumulator pass 2 only run where a
+    seam can exist."""
+
+    def body(tlist, counts, vol_flt, face_flt, row0, color_hbm, depth_hbm,
+             scene_ref, out_ref, vol_scr, dep_scr, tmp_scr, tmpd_scr,
+             face_scr, layers_scr, sem, sem_d):
         t = pl.program_id(0)
         # row0: global tile-row offset of this shard (0 single-device;
         # the row-sharded path composites a contiguous band of tile
@@ -104,6 +121,13 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
         y_bot = -((ty_f + th - 0.5) / height * 2.0 - 1.0) - pad_y
 
         scene_z = scene_ref[...]                           # (th, tw)
+        if with_depth:
+            # any real mesh pixel in this tile? (clip z in (0, 1); the
+            # screen pad is 0 and empty background is 1)
+            mesh_t = jnp.max(((scene_z > 0.0) & (scene_z < 1.0))
+                             .astype(jnp.int32)) > 0
+        else:
+            mesh_t = None
 
         layers_scr[0] = jnp.full((k_layers, th, tw), FLT_MAX, jnp.float32)
         for ch in range(1, 5):
@@ -123,6 +147,20 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
             return pltpu.make_async_copy(
                 color_hbm.at[tlist[t, i]], vol_scr.at[slot], sem.at[slot])
 
+        def dep_copy(i, slot):
+            return pltpu.make_async_copy(
+                depth_hbm.at[tlist[t, i]], dep_scr.at[slot], sem_d.at[slot])
+
+        def start_copies(i, slot):
+            face_copy(i, slot).start()
+            if with_depth:
+                dep_copy(i, slot).start()
+
+        def wait_copies(i, slot):
+            face_copy(i, slot).wait()
+            if with_depth:
+                dep_copy(i, slot).wait()
+
         def vol_body(i, _):
             vid = tlist[t, i]
             slot = jax.lax.rem(i, 2)
@@ -134,7 +172,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
             # expensive warps + K-insert below stay validity-gated)
             @pl.when(i + 1 < count)
             def _():
-                face_copy(i + 1, 1 - slot).start()
+                start_copies(i + 1, 1 - slot)
 
             b00 = vol_flt[vid, 0]
             b01 = vol_flt[vid, 1]
@@ -198,7 +236,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
             valid = (hit & (hw > 0.0) & (exit_z <= scene_z)
                      & (exit_z > 0.0))
 
-            face_copy(i, slot).wait()
+            wait_copies(i, slot)
 
             # a listed volume can still touch no pixel of THIS tile
             # (bbox overlap but fully occluded/missed): skip its warps
@@ -218,7 +256,10 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
                     _face_warp(f, use_f, vid, slot, face_flt, vol_scr,
                                tmp_scr, face_scr, xg, yg, x_row, r_col,
                                sel_row, sel_col, y_top, y_bot, hi,
-                               subgrid=subgrid, ty_f=ty_f, height=height)
+                               subgrid=subgrid, ty_f=ty_f, height=height,
+                               dep_scr=dep_scr, tmpd_scr=tmpd_scr,
+                               scene_ref=scene_ref, mesh_t=mesh_t,
+                               with_depth=with_depth)
                     rr = jnp.where(use_f, face_scr[0], rr)
                     gg = jnp.where(use_f, face_scr[1], gg)
                     bb = jnp.where(use_f, face_scr[2], bb)
@@ -261,7 +302,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
 
         @pl.when(count > 0)
         def _():
-            face_copy(0, 0).start()
+            start_copies(0, 0)
             jax.lax.fori_loop(0, count, vol_body, 0)
 
         # front-to-back under-blend (`PSResolveOIT.hlsl:17-24`)
@@ -281,14 +322,31 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
         out_ref[2] = accb
         out_ref[3] = acca
 
+    if with_depth:
+        def kernel(tlist, counts, vol_flt, face_flt, row0, color_hbm,
+                   depth_hbm, scene_ref, out_ref, vol_scr, dep_scr,
+                   tmp_scr, tmpd_scr, face_scr, layers_scr, sem, sem_d):
+            body(tlist, counts, vol_flt, face_flt, row0, color_hbm,
+                 depth_hbm, scene_ref, out_ref, vol_scr, dep_scr,
+                 tmp_scr, tmpd_scr, face_scr, layers_scr, sem, sem_d)
+    else:
+        def kernel(tlist, counts, vol_flt, face_flt, row0, color_hbm,
+                   scene_ref, out_ref, vol_scr, tmp_scr, face_scr,
+                   layers_scr, sem):
+            body(tlist, counts, vol_flt, face_flt, row0, color_hbm,
+                 None, scene_ref, out_ref, vol_scr, None,
+                 tmp_scr, None, face_scr, layers_scr, sem, None)
     return kernel
 
 
 def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                xg, yg, x_row, r_col, sel_row, sel_col,
-               y_top, y_bot, hi, subgrid=True, ty_f=None, height=None):
+               y_top, y_bot, hi, subgrid=True, ty_f=None, height=None,
+               dep_scr=None, tmpd_scr=None, scene_ref=None, mesh_t=None,
+               with_depth=False):
     """Exact two-pass projective warp of face f onto the tile, written
-    into face_scr (only when any pixel exits through f)."""
+    into face_scr (only when any pixel exits through f). with_depth
+    adds the CubeCast depth weights on mesh tiles (see _make_kernel)."""
     th, tw = xg.shape
     s = r_col.shape[0]
     u_block = sel_col.shape[1]
@@ -326,7 +384,7 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
             jnp.minimum(jnp.floor(vt_hi).astype(jnp.int32) + 1, s - 1),
             hi.astype(jnp.int32))
 
-        def pass1(s_sub: int, v0):
+        def pass1(s_sub: int, v0, use_dep: bool = False):
             """u-sweep pass 1 over face rows [v0, v0 + s_sub) only.
             Exact when the window covers [v_lo - 1, v_hi + 1]: the full
             variant's row-liveness test (ok1) is false outside that
@@ -335,7 +393,9 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
             majority at n=64) and big volumes spanning several tiles
             (per-tile v-span ~ n_eff / span) both fit a fraction of the
             grid — FMA work and the one-hot hoist matmul shrink by
-            s_sub / s."""
+            s_sub / s. use_dep additionally u-interpolates the volume's
+            unprojected cube depth into tmpd_scr (same tent weights,
+            which sum to 1 per row — a true interpolation)."""
             # full grid: keep the original STATIC slices (v0 == 0) so
             # the MV_CKERNEL_SUBGRID=0 escape hatch reproduces the
             # previously measured kernel exactly — a traced zero offset
@@ -369,75 +429,104 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 tmp_scr[:] = jnp.zeros((4, s, tw), jnp.float32)
                 img_all = vol_scr[slot, f].reshape(
                     4 * s, vol_scr.shape[-1])
+                if use_dep:
+                    tmpd_scr[:] = jnp.zeros((s, tw), jnp.float32)
+                    dimg = dep_scr[slot, f]
             else:
                 tmp_scr[:, pl.ds(v0, s_sub), :] = jnp.zeros(
                     (4, s_sub, tw), jnp.float32)
                 img_all = vol_scr[slot, f, :, pl.ds(v0, s_sub), :].reshape(
                     4 * s_sub, vol_scr.shape[-1])
+                if use_dep:
+                    tmpd_scr[pl.ds(v0, s_sub), :] = jnp.zeros(
+                        (s_sub, tw), jnp.float32)
+                    dimg = dep_scr[slot, f, pl.ds(v0, s_sub), :]
 
             def u_blk(b, _):
                 ub0 = u_lo + b * u_block
                 # one-hot (s_pad, u_block) selecting cols [ub0, ub0+B)
-                sel = (sel_row == ub0 + sel_col).astype(img_all.dtype)
+                selb = sel_row == ub0 + sel_col
+                sel = selb.astype(img_all.dtype)
                 cols = jax.lax.dot_general(
                     img_all, sel, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                   # (4*s_sub, u_block)
                 acc = (tmp_scr[:] if full
                        else tmp_scr[:, pl.ds(v0, s_sub), :])
+                if use_dep:
+                    cols_d = jax.lax.dot_general(
+                        dimg, selb.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                               # (s_sub, u_block)
+                    accd = (tmpd_scr[:] if full
+                            else tmpd_scr[pl.ds(v0, s_sub), :])
                 for j in range(u_block):
                     u_f = (ub0 + j).astype(jnp.float32)
                     wu = jnp.maximum(1.0 - jnp.abs(cu - u_f), 0.0)
                     colj = cols[:, j:j + 1].reshape(4, s_sub, 1)
                     acc = acc + colj * wu[None]
+                    if use_dep:
+                        accd = accd + cols_d[:, j:j + 1] * wu
                 if full:
                     tmp_scr[:] = acc
+                    if use_dep:
+                        tmpd_scr[:] = accd
                 else:
                     tmp_scr[:, pl.ds(v0, s_sub), :] = acc
+                    if use_dep:
+                        tmpd_scr[pl.ds(v0, s_sub), :] = accd
                 return 0
 
             jax.lax.fori_loop(0, n_ub, u_blk, 0)
 
-        if subgrid and s >= 32 and s % 32 == 0:
-            # window start: at least one row of margin below v_lo so the
-            # row set the u-range reduction sees matches the full
-            # variant's ok1-true band exactly -> bit-equal. The start is
-            # aligned DOWN to 8 rows: Mosaic requires dynamic sublane
-            # store/load offsets provably 8-aligned ("cannot statically
-            # prove that index in dimension 1 is a multiple of 8"), so
-            # the window may begin up to 8 rows below v_lo - 1 — the
-            # span thresholds below keep v_hi + 1 covered even then.
-            sq = s // 4
-            sh_ = s // 2
-            span = v_hi - v_lo
-            w_sq = jnp.clip(v_lo - 1, 0, s - sq) // 8 * 8
-            w_sh = jnp.clip(v_lo - 1, 0, s - sh_) // 8 * 8
-            zero_i = jnp.zeros((), jnp.int32)
-            small = span <= sq - 10
-            mid = (span <= sh_ - 10) & ~small
+        def run_pass1(use_dep: bool):
+            if subgrid and s >= 32 and s % 32 == 0:
+                # window start: at least one row of margin below v_lo so
+                # the row set the u-range reduction sees matches the full
+                # variant's ok1-true band exactly -> bit-equal. The start
+                # is aligned DOWN to 8 rows: Mosaic requires dynamic
+                # sublane store/load offsets provably 8-aligned ("cannot
+                # statically prove that index in dimension 1 is a
+                # multiple of 8"), so the window may begin up to 8 rows
+                # below v_lo - 1 — the span thresholds below keep
+                # v_hi + 1 covered even then.
+                sq = s // 4
+                sh_ = s // 2
+                span = v_hi - v_lo
+                w_sq = jnp.clip(v_lo - 1, 0, s - sq) // 8 * 8
+                w_sh = jnp.clip(v_lo - 1, 0, s - sh_) // 8 * 8
+                zero_i = jnp.zeros((), jnp.int32)
+                small = span <= sq - 10
+                mid = (span <= sh_ - 10) & ~small
 
-            @pl.when(small)
-            def _():
-                pass1(sq, w_sq)
+                @pl.when(small)
+                def _():
+                    pass1(sq, w_sq, use_dep)
 
-            @pl.when(mid)
-            def _():
-                pass1(sh_, w_sh)
+                @pl.when(mid)
+                def _():
+                    pass1(sh_, w_sh, use_dep)
 
-            @pl.when(~small & ~mid)
-            def _():
-                pass1(s, zero_i)
-        else:
-            pass1(s, jnp.zeros((), jnp.int32))
+                @pl.when(~small & ~mid)
+                def _():
+                    pass1(s, zero_i, use_dep)
+            else:
+                pass1(s, jnp.zeros((), jnp.int32), use_dep)
 
-        def pass2(th_sub: int, r0):
+        def pass2(th_sub: int, r0, use_dep: bool = False):
             """v-sweep over the tile rows [r0, r0 + th_sub) only. Pixels
             outside use_f never reach the output (the caller's select
             masks them), so a window covering the live rows is exact;
             vt recomputes on the sub-window (xg is row-independent, yg
-            is affine in the row index)."""
+            is affine in the row index). use_dep modulates each v tap by
+            the CubeCast depth weight max(1 - 0.5*|sceneDist -
+            tapDist|, 0) (tapDist = the pass-1 u-interpolated cube
+            depth), normalizing by the weight sum with plain-tent
+            fallback where every weight is zero (`PSCube.hlsli:104`)."""
             if th_sub == th:
                 vt_w = vt
+                scene_w = scene_ref[...] if use_dep else None
             else:
                 rows = (jax.lax.broadcasted_iota(
                     jnp.int32, (th_sub, tw), 0).astype(jnp.float32)
@@ -448,21 +537,50 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 vt_w = jnp.clip(
                     _finite((pv0 * xg_w + pv1 * yg_w + pv2) / _safe(dq_w)),
                     0.0, hi)
+                scene_w = (scene_ref[pl.ds(r0, th_sub), :]
+                           if use_dep else None)
+            if use_dep:
+                # clip z -> view distance (`UnprojectZ`, PSCube.hlsli)
+                zn, zf = _Z_NEAR, _Z_FAR
+                d_w = (zn * zf) / (scene_w * (zn - zf) + zf)
 
             def v_step(v, carry):
-                fr, fg, fb, fa = carry
                 wv = jnp.maximum(
                     1.0 - jnp.abs(vt_w - v.astype(jnp.float32)), 0.0)
                 row = tmp_scr[:, pl.ds(v, 1), :]    # (4, 1, tw)
+                if use_dep:
+                    fr, fg, fb, fa, gr, gg, gb, ga, gs = carry
+                else:
+                    fr, fg, fb, fa = carry
                 fr = fr + row[0] * wv
                 fg = fg + row[1] * wv
                 fb = fb + row[2] * wv
                 fa = fa + row[3] * wv
-                return fr, fg, fb, fa
+                if not use_dep:
+                    return fr, fg, fb, fa
+                drow = tmpd_scr[pl.ds(v, 1), :]     # (1, tw)
+                wd = jnp.maximum(1.0 - 0.5 * jnp.abs(d_w - drow), 0.0)
+                w = wv * wd
+                gr = gr + row[0] * w
+                gg = gg + row[1] * w
+                gb = gb + row[2] * w
+                ga = ga + row[3] * w
+                gs = gs + w
+                return fr, fg, fb, fa, gr, gg, gb, ga, gs
 
             zero = jnp.zeros((th_sub, tw), jnp.float32)
-            fr, fg, fb, fa = jax.lax.fori_loop(
-                v_lo, v_hi + 1, v_step, (zero, zero, zero, zero))
+            init = (zero,) * (9 if use_dep else 4)
+            out = jax.lax.fori_loop(v_lo, v_hi + 1, v_step, init)
+            if use_dep:
+                fr, fg, fb, fa, gr, gg, gb, ga, gs = out
+                inv = 1.0 / jnp.maximum(gs, 1e-20)
+                ok = gs > 0.0
+                fr = jnp.where(ok, gr * inv, fr)
+                fg = jnp.where(ok, gg * inv, fg)
+                fb = jnp.where(ok, gb * inv, fb)
+                fa = jnp.where(ok, ga * inv, fa)
+            else:
+                fr, fg, fb, fa = out
             if th_sub == th:
                 face_scr[0] = fr
                 face_scr[1] = fg
@@ -474,38 +592,55 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 face_scr[2, pl.ds(r0, th_sub), :] = fb
                 face_scr[3, pl.ds(r0, th_sub), :] = fa
 
-        if subgrid and th >= 32 and th % 32 == 0:
-            # live tile-row range of this face's pixels; starts aligned
-            # down to 8 rows (same Mosaic dynamic-offset rule as pass 1),
-            # thresholds leave 8 rows of slack so [r_min, r_max] stays
-            # covered at the worst alignment
-            ridx = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
-            ui = use_f.astype(jnp.int32)
-            row_any = jnp.max(ui, axis=1, keepdims=True)     # (th, 1)
-            r_min = jnp.min(jnp.where(row_any > 0, ridx, th))
-            r_max = jnp.max(jnp.where(row_any > 0, ridx, -1))
-            r_span = r_max - r_min
-            tq = th // 4
-            th2 = th // 2
-            r_q = jnp.clip(r_min, 0, th - tq) // 8 * 8
-            r_h = jnp.clip(r_min, 0, th - th2) // 8 * 8
-            zero_r = jnp.zeros((), jnp.int32)
-            small2 = r_span <= tq - 8
-            mid2 = (r_span <= th2 - 8) & ~small2
+        def run_pass2(use_dep: bool):
+            if subgrid and th >= 32 and th % 32 == 0:
+                # live tile-row range of this face's pixels; starts
+                # aligned down to 8 rows (same Mosaic dynamic-offset rule
+                # as pass 1), thresholds leave 8 rows of slack so
+                # [r_min, r_max] stays covered at the worst alignment
+                ridx = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+                ui = use_f.astype(jnp.int32)
+                row_any = jnp.max(ui, axis=1, keepdims=True)     # (th, 1)
+                r_min = jnp.min(jnp.where(row_any > 0, ridx, th))
+                r_max = jnp.max(jnp.where(row_any > 0, ridx, -1))
+                r_span = r_max - r_min
+                tq = th // 4
+                th2 = th // 2
+                r_q = jnp.clip(r_min, 0, th - tq) // 8 * 8
+                r_h = jnp.clip(r_min, 0, th - th2) // 8 * 8
+                zero_r = jnp.zeros((), jnp.int32)
+                small2 = r_span <= tq - 8
+                mid2 = (r_span <= th2 - 8) & ~small2
 
-            @pl.when(small2)
-            def _():
-                pass2(tq, r_q)
+                @pl.when(small2)
+                def _():
+                    pass2(tq, r_q, use_dep)
 
-            @pl.when(mid2)
-            def _():
-                pass2(th2, r_h)
+                @pl.when(mid2)
+                def _():
+                    pass2(th2, r_h, use_dep)
 
-            @pl.when(~small2 & ~mid2)
+                @pl.when(~small2 & ~mid2)
+                def _():
+                    pass2(th, zero_r, use_dep)
+            else:
+                pass2(th, jnp.zeros((), jnp.int32), use_dep)
+
+        if with_depth:
+            # depth weighting only where a seam can exist: tiles without
+            # a mesh pixel would zero every weight and fall back anyway
+            @pl.when(mesh_t)
             def _():
-                pass2(th, zero_r)
+                run_pass1(True)
+                run_pass2(True)
+
+            @pl.when(~mesh_t)
+            def _():
+                run_pass1(False)
+                run_pass2(False)
         else:
-            pass2(th, jnp.zeros((), jnp.int32))
+            run_pass1(False)
+            run_pass2(False)
 
 
 @functools.partial(
@@ -531,6 +666,8 @@ def tile_composite_pallas(
     height: int,
     interpret: bool | None = None,
     tile_row0=None,  # (1,) int32 global tile-row offset (row sharding)
+    depth_sel=None,  # (N, 6, S, S_pad) f32 UNPROJECTED cube depth —
+                     # enables the CubeCast depth weights (mesh scenes)
 ):
     """-> (4, Hp, Wp) premultiplied under-blended RGBA (crop to H, W)."""
     if interpret is None:
@@ -542,6 +679,7 @@ def tile_composite_pallas(
     assert tiles == tlist.shape[0]
     if tile_row0 is None:
         tile_row0 = jnp.zeros((1,), jnp.int32)
+    with_depth = depth_sel is not None
 
     # MXU column-hoist width (A/B knob): wider = fewer tiny one-hot
     # matmul dispatches per u-sweep, same total FMA work. PROCESS-LEVEL:
@@ -558,33 +696,54 @@ def tile_composite_pallas(
     # with 8-aligned offsets; CPU interpret mode accepts them, so the
     # bit-equality tests keep covering the variant until Mosaic does.
     subgrid = os.environ.get("MV_CKERNEL_SUBGRID", "0") == "1"
+    # MV_CKERNEL_DEPTHW=0 drops the CubeCast depth weights back to the
+    # plain tent (A/B + seam-test escape hatch, same process-level rule)
+    if os.environ.get("MV_CKERNEL_DEPTHW", "1") == "0":
+        with_depth = False
     kernel = _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers,
-                          width, height, u_block=u_block, subgrid=subgrid)
+                          width, height, u_block=u_block, subgrid=subgrid,
+                          with_depth=with_depth)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),      # face images (HBM)
+    ]
+    if with_depth:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # cube depth
+    in_specs.append(
+        pl.BlockSpec((th, tw),
+                     lambda i, *_: (i // tiles_x, i % tiles_x),
+                     memory_space=pltpu.VMEM))  # scene depth tile
+    scratch = [pltpu.VMEM((2, 6, 4, s, s_pad), color_sel.dtype)]  # 2 slots
+    if with_depth:
+        scratch.append(pltpu.VMEM((2, 6, s, s_pad), jnp.float32))
+    scratch.append(pltpu.VMEM((4, s, tw), jnp.float32))   # pass-1 tmp
+    if with_depth:
+        scratch.append(pltpu.VMEM((s, tw), jnp.float32))  # pass-1 depth
+    scratch += [
+        pltpu.VMEM((4, th, tw), jnp.float32),     # per-face result
+        pltpu.VMEM((5, k_layers, th, tw), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if with_depth:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # face images (HBM)
-            pl.BlockSpec((th, tw),
-                         lambda i, *_: (i // tiles_x, i % tiles_x),
-                         memory_space=pltpu.VMEM),  # scene depth tile
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (4, th, tw), lambda i, *_: (0, i // tiles_x, i % tiles_x),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, 6, 4, s, s_pad), color_sel.dtype),  # 2 DMA slots
-            pltpu.VMEM((4, s, tw), jnp.float32),      # pass-1 tmp
-            pltpu.VMEM((4, th, tw), jnp.float32),     # per-face result
-            pltpu.VMEM((5, k_layers, th, tw), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
 
+    operands = [tlist, counts, vol_flt, face_flt, tile_row0, color_sel]
+    if with_depth:
+        operands.append(depth_sel)
+    operands.append(scene_z)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tlist, counts, vol_flt, face_flt, tile_row0, color_sel, scene_z)
+    )(*operands)

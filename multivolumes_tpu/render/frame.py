@@ -286,6 +286,19 @@ def render_frame(
         cull_for_composite = cull
         use_raycast = True
 
+    if config.debug_finite:
+        # debug-mode sentinel at the first bf16 accumulation point (the
+        # sweep's exp2/log2 opacity math): an Inf in a source volume or
+        # light map surfaces HERE with a named error instead of
+        # propagating to the screen. Requires the checkify-wrapped step
+        # (engine.render builds it when the flag is on).
+        from jax.experimental import checkify
+
+        checkify.check(
+            jnp.all(jnp.isfinite(cube_maps.color.astype(jnp.float32))),
+            "view-space march produced non-finite cube maps",
+        )
+
     # --- background: sky behind mesh -------------------------------------
     sky_r, sky_g, sky_b = postprocess.render_environment(
         state.radiance, screen_to_world, eye, width, height,
@@ -377,6 +390,13 @@ def render_frame(
             use_raycast=use_raycast,
             has_depth=has_mesh,
         )
+    if config.debug_finite:
+        from jax.experimental import checkify
+
+        checkify.check(
+            jnp.all(jnp.isfinite(jnp.stack([vr, vg, vb, va]))),
+            "OIT composite produced non-finite screen fields",
+        )
     if (cw, ch) != (width, height):
         mu = postprocess._upsample_matrix(width, cw)
         mv = postprocess._upsample_matrix(height, ch)
@@ -389,10 +409,17 @@ def render_frame(
 
     # --- TAA + tone map ---------------------------------------------------
     if use_taa:
+        # the windowed history reprojection is only sound under the far
+        # raster preset (host pick guarantees the mesh — the one
+        # velocity writer — projects inside raster_far_bound <= window);
+        # the near preset reprojects FULL-SCREEN, so a close-up mesh can
+        # never silently fall back to unreprojected history
+        far_preset = bool(config.raster_preset == "far"
+                          and config.raster_far_tiers)
         (rr, rg, rb), new_history = taa_lib.temporal_aa(
             (sc_r, sc_g, sc_b, sc_a), state.taa_history, velocity,
             reproj_center=(mesh_out.screen_center if has_mesh else None),
-            reproj_window=config.taa_reproj_window,
+            reproj_window=(config.taa_reproj_window if far_preset else 0),
             device_mesh=mesh,
         )
     else:

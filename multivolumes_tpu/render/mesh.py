@@ -124,11 +124,18 @@ def derive_far_tiers(vertices, indices, mesh_world, width: int,
     edge <= kk, so the boundaries fall out of the profile directly:
     B(kk) = first rank whose max edge <= kk (times `margin`).
 
-    Returns tiers for `rasterize(big_tiers=...)`: ranks [dense_top,
-    B(12)) at ceil(P[dense_top]), [B(12), B(7)) at 12, [B(7), B(5)) at
-    7; ranks past B(5) fall to the 4x4 base grid (edges there are <= 5
-    px — stride <= 1.25, covered by bbox-overlapping neighbors exactly
-    like the tail tier, and pinned by the demo-distance no-hole test).
+    Returns (big_tiers, small_tiers) for `rasterize`:
+    - big_tiers: ranks [dense_top, B(kk0-1)) at kk0 = ceil(P[dense_top]),
+      then one span per INTEGER grid level down to 5 (each level kk
+      serves ranks whose margined edge is in (kk-1, kk] — the sample
+      count per span approaches the bbox-area bound instead of paying
+      the next-coarser level's kk^2 across the whole descent).
+    - small_tiers: the small end of the same profile as ABSOLUTE rank
+      spans — (B(4), 3), (B(3), 2), (B(2), 1): ranks whose edge fits a
+      finer grid stop paying the 4x4 base (a sub-2 px bbox emits ONE
+      sample; coverage leans on bbox-overlapping neighbors exactly like
+      the fixed-fraction tail did, pinned by the far-preset no-hole
+      test). Ranks in [B(5), B(4)) stay on the caller's 4x4 base grid.
     Empty spans are dropped. Returns None for degenerate meshes.
 
     Why per-mesh: rank profiles are mesh statistics — NEAR_TIERS'
@@ -195,14 +202,15 @@ def derive_far_tiers(vertices, indices, mesh_world, width: int,
         return int(idx[0]) if len(idx) else n_ranks
 
     # grid levels, coarse to fine: the top level is whatever the first
-    # post-dense_top rank needs; 12 and 7 split the descent. The ladder
-    # ENDS at B(5), not B(4): tiny-triangle edges plateau just above 4
-    # (margined), so chasing stride <= 1 all the way would drag the 7x7
-    # tier across tens of thousands of ranks. Ranks past B(5) run the
-    # 4x4 base at stride <= 1.25 — covered by bbox-overlapping
-    # neighbors exactly like the tail tier (no-hole-pinned by test).
+    # post-dense_top rank needs; every integer level splits the descent
+    # (level kk serves ranks with margined edge in (kk-1, kk] — grid
+    # covers the bbox at stride <= 1, and the level's kk^2 budget tracks
+    # the bbox area instead of paying the next-coarser level's square
+    # across the whole descent). The big ladder ENDS at B(5); ranks
+    # past it run the caller's 4x4 base until small_tiers takes over.
     kk0 = int(np.ceil(p[dense_top]))
-    levels = sorted({kk for kk in (kk0, 12, 7) if 4 < kk <= kk0},
+    levels = sorted({kk for kk in range(5, max(kk0, 6))
+                     if 4 < kk <= kk0} | ({kk0} if kk0 > 4 else set()),
                     reverse=True)
     tiers = []
     at = dense_top
@@ -211,8 +219,26 @@ def derive_far_tiers(vertices, indices, mesh_world, width: int,
         if end > at:                 # span [at, end) rasterizes at kk
             tiers.append((end, kk))
             at = end
-    # rasterize() consumes ((count, kk), ...) with counts = span ENDS
-    return tuple(sorted(tiers)) if tiers else None
+    if not tiers:
+        return None
+    # the small end: absolute spans (start, kk) at AT MOST the trade
+    # the fixed-fraction tail made (its 2x2 covered ranks with edges up
+    # to ~4.5 px — stride <= 2.25 — and the no-hole tests bound the
+    # resulting neighbor-covered under-sampling): 3x3 for edges in
+    # (4, 4.5] (stride <= 1.5), 2x2 below (stride <= 2). No 1-sample
+    # level: when a mesh projects small enough that sub-1.5 px ranks
+    # carry real coverage, one sample per sliver loses ~20% of covered
+    # pixels (measured) — the 2x2's four chances are load-bearing.
+    small = []
+    at_s = max(boundary(4.5), at)
+    for kk, lo in ((3, 4.0), (2, None)):
+        end = boundary(lo) if lo is not None else n_ranks
+        if end > at_s:
+            small.append((at_s, kk))
+            at_s = end
+    # rasterize() consumes big ((count, kk), ...) with counts = span
+    # ENDS, and small ((start, kk), ...) with absolute span STARTS
+    return tuple(sorted(tiers)), tuple(small)
 
 
 def shadow_view_proj(state) -> jnp.ndarray:
@@ -232,7 +258,9 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
               big_tiers=((2048, 12), (128, 48), (8, 256)),
               want_ids: bool = True, cull: int = 0,
               capacity: int | None = None, dense_top: int = 0,
-              tail: tuple | None = None, band: tuple | None = None):
+              tail: tuple | None = None, band: tuple | None = None,
+              small_tiers: tuple | None = None,
+              dense_window: int | None = None):
     """Scatter z-buffer rasterization with tiered coverage.
 
     verts_clip: (V, 4) homogeneous clip positions; indices: (T, 3).
@@ -278,6 +306,20 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
       4.4 px — a 4x4 grid on those is mostly dead scatter updates;
       (0.6, 2) keeps identical coverage for bboxes <= 2 px and leans on
       bbox-overlapping neighbors beyond (no-hole-bounded by test).
+    - `small_tiers=((start, kk), ...)`: the profile-driven replacement
+      for `tail` (overrides it) — ABSOLUTE rank spans: ranks
+      [start_i, start_{i+1}) emit kk_i x kk_i, the last span ends at
+      the emit capacity. Produced by `derive_far_tiers` from the mesh's
+      own rank profile, so each span's grid matches its actual bbox
+      edges (down to ONE sample for sub-2 px ranks) instead of a fixed
+      fraction at a fixed grid.
+    - `dense_window`: evaluate the dense_top analytic pass on a
+      (dense_window)^2 pixel window centred on the emitted geometry's
+      screen bbox instead of the full screen (a full-screen eval costs
+      ~0.06 ms/triangle at 1280x800 — ~1 ms for 16). Only valid when
+      the caller guarantees the mesh's projected bbox fits the window
+      (the far raster preset's contract: projected size <=
+      raster_far_bound < window); ignored in band mode.
 
     Ranks covered by a finer big tier are excluded from the base grid
     (their tier grids are strictly denser).
@@ -378,7 +420,7 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
     pack_ids = want_ids and T < (1 << tbits)
 
     order = None
-    if (big_tiers or dense_top or tail
+    if (big_tiers or dense_top or tail or small_tiers
             or (capacity is not None and capacity < T)):
         edge = jnp.where(tri_ok, jnp.maximum(xmax - xmin, ymax - ymin), -1.0)
         order = jnp.argsort(-edge)
@@ -388,7 +430,17 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
     # excluded from the base grid — their tier grids are strictly denser
     big_max = min(max((c for c, _ in big_tiers), default=0), n_emit) \
         if order is not None else 0
-    if tail and order is not None and n_emit > 8:
+    if small_tiers and order is not None and n_emit > 8:
+        # profile-driven small end: base k on [big_max, start_0), then
+        # each absolute span at its own grid, ending at n_emit
+        starts = [max(min(st, n_emit), big_max + 1)
+                  for st, _ in small_tiers]
+        parts = [emit(order[big_max:starts[0]], k)]
+        for i, (_, kk) in enumerate(small_tiers):
+            end = starts[i + 1] if i + 1 < len(starts) else n_emit
+            if end > starts[i]:
+                parts.append(emit(order[starts[i]:end], kk))
+    elif tail and order is not None and n_emit > 8:
         frac, tail_k = tail
         mid = max(int(n_emit * (1.0 - frac)), big_max + 1)
         parts = [emit(order[big_max:mid], k),
@@ -473,11 +525,32 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
     if dense_top and order is not None:
         dn = min(dense_top, T)
         drows = cols[order[:dn]]                                  # (dn, 16)
-        xg = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
-        row0_f = (jnp.float32(row0_px) if band is None
-                  else row0_px.astype(jnp.float32))
-        yg = (jnp.arange(out_h, dtype=jnp.float32)[:, None]
-              + row0_f + 0.5)
+        use_dw = (band is None and dense_window is not None
+                  and 0 < dense_window <= min(width, height))
+        if use_dw:
+            # centre the eval window on the emitted geometry's screen
+            # bbox (the far preset guarantees it fits — see docstring)
+            dw = int(dense_window)
+            okm = cols[:, 10] > 0.5
+            big_f = jnp.float32(1e9)
+            bx0 = jnp.min(jnp.where(okm, cols[:, 12], big_f))
+            by0 = jnp.min(jnp.where(okm, cols[:, 13], big_f))
+            bx1 = jnp.max(jnp.where(okm, cols[:, 14], -big_f))
+            by1 = jnp.max(jnp.where(okm, cols[:, 15], -big_f))
+            x0d = jnp.clip(jnp.round((bx0 + bx1 - dw) * 0.5),
+                           0, width - dw).astype(jnp.int32)
+            y0d = jnp.clip(jnp.round((by0 + by1 - dw) * 0.5),
+                           0, height - dw).astype(jnp.int32)
+            xg = (jnp.arange(dw, dtype=jnp.float32)[None, :]
+                  + x0d.astype(jnp.float32) + 0.5)
+            yg = (jnp.arange(dw, dtype=jnp.float32)[:, None]
+                  + y0d.astype(jnp.float32) + 0.5)
+        else:
+            xg = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+            row0_f = (jnp.float32(row0_px) if band is None
+                      else row0_px.astype(jnp.float32))
+            yg = (jnp.arange(out_h, dtype=jnp.float32)[:, None]
+                  + row0_f + 0.5)
 
         def tri_min(i, acc):
             r = drows[i]
@@ -496,8 +569,14 @@ def rasterize(verts_clip, indices, width: int, height: int, k: int = 4,
                 p = zq
             return jnp.minimum(acc, jnp.where(ok, p, _BIG))
 
-        winner = jax.lax.fori_loop(
-            0, dn, tri_min, jnp.broadcast_to(winner, (out_h, width)))
+        if use_dw:
+            acc0 = jax.lax.dynamic_slice(winner, (y0d, x0d), (dw, dw))
+            dense = jax.lax.fori_loop(0, dn, tri_min, acc0)
+            winner = jax.lax.dynamic_update_slice(winner, dense,
+                                                  (y0d, x0d))
+        else:
+            winner = jax.lax.fori_loop(
+                0, dn, tri_min, jnp.broadcast_to(winner, (out_h, width)))
 
     if pack_ids:
         tid_w = winner & jnp.uint32((1 << tbits) - 1)
@@ -643,10 +722,18 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
            if config.mesh_backface_cull else None)
     # tier ladder: the host picked the preset for THIS frame's projected
     # mesh size (config.raster_preset is a static jit key, so each
-    # preset compiles once; engine.select_raster_preset does the pick)
-    tiers = (config.raster_far_tiers
-             if (config.raster_preset == "far"
-                 and config.raster_far_tiers) else NEAR_TIERS)
+    # preset compiles once; engine.select_raster_preset does the pick).
+    # The far preset adds the profile-driven small-tier ladder and the
+    # windowed dense pass — both contracts hold because the preset pick
+    # guarantees the projected bbox <= raster_far_bound.
+    far = bool(config.raster_preset == "far" and config.raster_far_tiers)
+    tiers = config.raster_far_tiers if far else NEAR_TIERS
+    small = config.raster_far_small if far else None
+    # dense window only when it provably contains the mesh (preset pick
+    # bounds the projected bbox by raster_far_bound)
+    dw = (config.mesh_shade_window
+          if far and config.mesh_shade_window >= config.raster_far_bound
+          else None)
     n_rows = (device_mesh.shape["rows"]
               if device_mesh is not None
               and "rows" in device_mesh.axis_names else 1)
@@ -658,7 +745,8 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
             return rasterize(clip_l, idx_l, width, height,
                              big_tiers=tiers,
                              cull=cull, capacity=cap, dense_top=16,
-                             tail=config.raster_tail, band=(r, n_rows))
+                             tail=config.raster_tail, band=(r, n_rows),
+                             small_tiers=small)
 
         depth, tri_id = jax.shard_map(
             raster_band, mesh=device_mesh,
@@ -668,7 +756,8 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
         depth, tri_id = rasterize(clip_jit, idx, width, height,
                                   big_tiers=tiers,
                                   cull=cull, capacity=cap, dense_top=16,
-                                  tail=config.raster_tail)
+                                  tail=config.raster_tail,
+                                  small_tiers=small, dense_window=dw)
 
     # projected mesh bbox centre (pixels) — anchors the deferred-shade
     # window here and TAA's windowed history reprojection downstream
@@ -686,11 +775,14 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
     # gather, shadow PCF and BRDF run only in a static window around the
     # mesh bbox — the per-pixel gathers are this pass's dominant screen
     # cost and the mesh covers a fraction of the frame. The depth buffer
-    # stays full-screen (volume occlusion is exact everywhere); mesh
-    # pixels outside the window (mesh larger than the window) show
-    # background.
+    # stays full-screen (volume occlusion is exact everywhere). FAR
+    # preset only: the host-side preset pick guarantees the projected
+    # bbox <= raster_far_bound <= window, so the window is invisible by
+    # construction; the near preset (close-ups, or no pick made) shades
+    # full-screen — a mesh can never silently show background outside a
+    # window it outgrew.
     win = config.mesh_shade_window
-    use_window = 0 < win < min(width, height)
+    use_window = 0 < win < min(width, height) and far
 
     # One per-TRIANGLE plane table -> ONE row gather per pixel (vs three
     # vertex rows + barycentric setup; see _triangle_planes). Barycentric

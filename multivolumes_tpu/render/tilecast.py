@@ -73,12 +73,13 @@ def composite_oit_tile(
     prep = _tile_prep(cube_maps, per_object, cull, eye, screen_to_world,
                       depth_map, width, height, num_layers=num_layers,
                       order=order)
-    (color_sel, scene_p, tlist, counts, vol_flt, face_flt,
+    (color_sel, depth_sel, scene_p, tlist, counts, vol_flt, face_flt,
      s, th, tw, tiles_x, k_layers) = prep
     out = tile_composite_pallas(
         color_sel, scene_p, tlist, counts, vol_flt, face_flt,
         s=s, th=th, tw=tw, tiles_x=tiles_x, k_layers=k_layers,
         width=width, height=height, interpret=interpret,
+        depth_sel=depth_sel,
     )
     out = out[:, :height, :width]
     return out[0], out[1], out[2], out[3]
@@ -110,26 +111,32 @@ def composite_oit_tile_sharded(
     prep = _tile_prep(cube_maps, per_object, cull, eye, screen_to_world,
                       depth_map, width, height, rows_mult=rows,
                       num_layers=num_layers, order=order)
-    (color_sel, scene_p, tlist, counts, vol_flt, face_flt,
+    (color_sel, depth_sel, scene_p, tlist, counts, vol_flt, face_flt,
      s, th, tw, tiles_x, k_layers) = prep
     ty_local = (scene_p.shape[0] // th) // rows
 
-    def local_fn(tl, cn, sz, cs, vf, ff):
+    def local_fn(tl, cn, sz, cs, vf, ff, *ds):
         r = jax.lax.axis_index("rows")
         off = (r * ty_local).astype(jnp.int32)[None]
         return tile_composite_pallas(
             cs, sz, tl, cn, vf, ff, s=s, th=th, tw=tw, tiles_x=tiles_x,
             k_layers=k_layers, width=width, height=height,
             interpret=interpret, tile_row0=off,
+            depth_sel=ds[0] if ds else None,
         )
 
+    args = (tlist, counts, scene_p, color_sel, vol_flt, face_flt)
+    specs = (P("rows"), P("rows"), P("rows"), P(), P(), P())
+    if depth_sel is not None:
+        args += (depth_sel,)
+        specs += (P(),)  # replicated like the faces (post-all-gather)
     out = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("rows"), P("rows"), P("rows"), P(), P(), P()),
+        in_specs=specs,
         out_specs=P(None, "rows", None),
         check_vma=False,
-    )(tlist, counts, scene_p, color_sel, vol_flt, face_flt)
+    )(*args)
     out = out[:, :height, :width]
     return out[0], out[1], out[2], out[3]
 
@@ -214,6 +221,23 @@ def _tile_prep(
         color_sel = jnp.pad(
             color_sel, ((0, 0),) * 4 + ((0, s_pad - s),))
 
+    # cube DEPTH plane for the CubeCast weights (`PSCube.hlsli:51-108`)
+    # — only when a scene depth exists (no mesh -> every weight would be
+    # zero and the kernel's fallback reproduces the plain tent exactly).
+    # Pre-UNPROJECTED to view distance (f32: clip z near 1 unprojects
+    # with a ~1e4 gain, so a bf16 clip store would corrupt the weights),
+    # swapped/padded exactly like the color faces.
+    depth_sel = None
+    if depth_map is not None and cube_maps.depth is not None:
+        from multivolumes_tpu.render.composite import unproject_z
+
+        dep = unproject_z(cube_maps.depth.astype(jnp.float32))
+        dep_t = jnp.swapaxes(dep, -1, -2)
+        depth_sel = jnp.where(swap_nf[:, :, None, None], dep_t, dep)
+        if s_pad != s:
+            depth_sel = jnp.pad(
+                depth_sel, ((0, 0),) * 3 + ((0, s_pad - s),))
+
     # --- per-volume scalars ---------------------------------------------
     wvp = per_object.world_view_proj                          # (N, 4, 4)
     vol_flt = jnp.concatenate([
@@ -270,5 +294,5 @@ def _tile_prep(
     # pad with 0: exit_z <= 0 never passes, so pad pixels stay empty
     scene_p = jnp.pad(scene, ((0, hp - height), (0, wp - width)))
 
-    return (color_sel, scene_p, tlist, counts, vol_flt, face_flt,
-            s, th, tw, tiles_x, k_layers)
+    return (color_sel, depth_sel, scene_p, tlist, counts, vol_flt,
+            face_flt, s, th, tw, tiles_x, k_layers)

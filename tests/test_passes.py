@@ -252,10 +252,13 @@ def test_mesh_shade_window_matches_fullscreen():
     eng.set_mesh(bunny)
     cam = cam_lib.orbit_camera(0.1, cfg.aspect_ratio)
 
+    # windows apply under the far preset only (near shades full-screen
+    # by design — no silent background outside an outgrown window)
+    cfg_far = eng.config.with_(raster_preset="far")
     out_full = jax.jit(lambda s: mesh_lib.render_mesh(
-        s, cam, eng.config.with_(mesh_shade_window=0)))(eng.state)
+        s, cam, cfg_far.with_(mesh_shade_window=0)))(eng.state)
     out_win = jax.jit(lambda s: mesh_lib.render_mesh(
-        s, cam, eng.config.with_(mesh_shade_window=80)))(eng.state)
+        s, cam, cfg_far.with_(mesh_shade_window=80)))(eng.state)
 
     v_full = np.asarray(out_full.valid)
     v_win = np.asarray(out_win.valid)
@@ -417,9 +420,12 @@ def test_raster_far_preset_select_and_no_holes():
         _, t_ref = mesh_lib.rasterize(clip, st.mesh_indices, w, h, cull=1)
         cov_r = np.asarray(t_ref) >= 0
         assert cov_r.sum() > 500, "camera missed the mesh"
+        # the full production far path: small-tier ladder (k=1 for
+        # sub-2 px ranks) + the windowed dense pass
         _, t_far = mesh_lib.rasterize(
             clip, st.mesh_indices, w, h, big_tiers=tiers, cull=1,
-            capacity=cap, dense_top=16, tail=cfg.raster_tail)
+            capacity=cap, dense_top=16, tail=cfg.raster_tail,
+            small_tiers=eng.config.raster_far_small, dense_window=128)
         holes = (cov_r & ~(np.asarray(t_far) >= 0)).sum()
         assert holes <= 0.005 * cov_r.sum(), (
             f"t={t}: {holes} holes / {cov_r.sum()} covered")

@@ -102,7 +102,8 @@ def test_sharded_2d_mesh_with_object():
                        cube_map_size=16, shadow_map_size=32,
                        # small enough to be active at this viewport so
                        # the row-decomposed shade-window path is covered
-                       mesh_shade_window=32)
+                       # (windows apply under the far preset only)
+                       mesh_shade_window=32, raster_preset="far")
     eng = MultiRayCaster(cfg)
     eng.set_mesh(bunny)
     cfg = eng.config
