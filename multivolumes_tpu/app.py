@@ -74,8 +74,87 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="full-precision sweep compute")
     p.add_argument("--stats", action="store_true",
                    help="print per-frame cull/LOD stats (F1-style overlay)")
+    p.add_argument("--interactive", action="store_true",
+                   help="read hotkey commands from stdin between frames "
+                        "— the headless analog of the reference's "
+                        "runtime hotkeys (`MultiVolumes::OnKeyUp`, "
+                        "MultiVolumes.cpp:447-479): one letter per "
+                        "line — [p]ause (Space), [a]nimate, [m]esh "
+                        "on/off, [o] cycle composite (the OIT-method "
+                        "cycle), [w] march mode (the work-graph "
+                        "dispatch toggle analog), [t] TAA, [f] FPS "
+                        "line (F1), [s] screenshot now (F11), [q]uit. "
+                        "Config flips re-enter the engine's per-config "
+                        "jit cache (each combination compiles once).")
     p.add_argument("--out", type=str, default="frame.png")
     return p
+
+
+_OIT_CYCLE = ("tile", "warp", "gather")  # the reference's [O] cycles its
+#   3 OIT methods (k-buffer / ray-query / DXR); here the 3 composite
+#   implementations share the k-buffer semantics (SURVEY section-7 stance)
+
+
+def apply_command(cmd: str, engine, ui: dict) -> bool:
+    """One hotkey command against the live engine (returns False on
+    quit). Separated from the loop for direct testing; config flips go
+    through `config.with_` so the engine's jit cache keys them."""
+    cfg = engine.config
+    if cmd == "q":
+        return False
+    if cmd == "p":
+        ui["paused"] = not ui["paused"]
+        print(f"paused={ui['paused']}")
+    elif cmd == "a":
+        ui["animate"] = not ui["animate"]
+        print(f"animate={ui['animate']}")
+    elif cmd == "m":
+        if engine.state.mesh_indices.shape[0] > 1:
+            engine.config = cfg.with_(show_mesh=not cfg.show_mesh)
+            print(f"mesh={engine.config.show_mesh}")
+        else:
+            print("no mesh loaded")
+    elif cmd == "o":
+        cur = (_OIT_CYCLE.index(cfg.composite_mode)
+               if cfg.composite_mode in _OIT_CYCLE else -1)
+        mode = _OIT_CYCLE[(cur + 1) % len(_OIT_CYCLE)]
+        engine.config = cfg.with_(composite_mode=mode)
+        print(f"composite={mode}")
+    elif cmd == "w":
+        mode = "reference" if cfg.march_mode == "sweep" else "sweep"
+        engine.config = cfg.with_(march_mode=mode)
+        print(f"march={mode}")
+    elif cmd == "t":
+        ui["taa"] = not ui["taa"]
+        print(f"taa={ui['taa']}")
+    elif cmd == "f":
+        ui["fps"] = not ui["fps"]
+        print(f"fps={ui['fps']}")
+    elif cmd == "s":
+        ui["screenshot"] = True
+    elif cmd:
+        print(f"unknown command {cmd!r} "
+              "(p a m o w t f s q)")
+    return True
+
+
+def _poll_commands(timeout: float = 0.0):
+    """Non-blocking read of pending stdin lines (one command each).
+    Returns (commands, eof): EOF means stop polling — the remaining
+    frames still render (piped scripts end with 'q' to quit early)."""
+    import select
+    import sys
+
+    cmds = []
+    while True:
+        ready, _, _ = select.select([sys.stdin], [], [], timeout)
+        if not ready:
+            return cmds, False
+        line = sys.stdin.readline()
+        if not line:          # EOF: commands exhausted, keep rendering
+            return cmds, True
+        cmds.append(line.strip().lower())
+        timeout = 0.0
 
 
 def parse_volume_arg(tokens, default_file=None):
@@ -139,24 +218,46 @@ def main(argv=None) -> None:
         timer.set_fixed_time_step(True)
         timer.set_target_elapsed_seconds(1.0 / args.fixedTimestep)
     img = None
+    # runtime-toggle state (the reference's hotkey flags,
+    # `MultiVolumes.cpp:447-479`); --interactive feeds it from stdin
+    ui = {"paused": False, "animate": args.animate,
+          "taa": not args.no_taa, "fps": True, "screenshot": False}
+    anim_t = 0.0
+    running = True
+    polling = args.interactive
     for f in range(args.frames):
-        if args.animate:
-            camera = cam_lib.orbit_camera(f / 60.0, aspect)
+        if polling:
+            cmds, eof = _poll_commands()
+            polling = not eof
+            for cmd in cmds:
+                if not apply_command(cmd, engine, ui):
+                    running = False
+            if not running:
+                break
+        if ui["animate"]:
+            camera = cam_lib.orbit_camera(anim_t, aspect)
             # host-side copy of the orbit eye (MultiVolumes.cpp:328-337)
             # for the raster-preset pick — never read back the device
-            t = f / 60.0 * 0.5
+            t = anim_t * 0.5
             eye_host = (np.sin(t) * 60.0, 6.0, np.cos(t) * 60.0)
+            if not ui["paused"]:          # Space freezes the clock
+                anim_t += 1.0 / 60.0
         else:
             camera = cam_lib.default_camera(aspect)
             eye_host = (4.0, 16.0, -80.0)   # MultiVolumes.cpp:273-278
-        if args.mesh:
+        if args.mesh and engine.config.show_mesh:
             engine.select_raster_preset(eye_host)
         t0 = time.time()
-        img = engine.render(camera, use_taa=not args.no_taa)
+        img = engine.render(camera, use_taa=ui["taa"])
         img.block_until_ready()
         timer.tick()
+        if ui["screenshot"]:              # F11: save THIS frame now
+            ui["screenshot"] = False
+            shot = f"{args.out.rsplit('.', 1)[0]}_f{f}.png"
+            write_png(shot, np.asarray(srgb_encode(img)))
+            print(f"wrote {shot}")
         msg = f"frame {f}: {(time.time() - t0) * 1000:.1f} ms"
-        if timer.frames_per_second:
+        if timer.frames_per_second and ui["fps"]:
             msg += f" | {timer.frames_per_second} fps"
         if args.stats:
             import jax
@@ -175,8 +276,9 @@ def main(argv=None) -> None:
             msg += " | " + stats_lib.format_stats(stats_lib.frame_stats(cull))
         print(msg)
 
-    write_png(args.out, np.asarray(srgb_encode(img)))
-    print(f"wrote {args.out}")
+    if img is not None:
+        write_png(args.out, np.asarray(srgb_encode(img)))
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
