@@ -161,7 +161,12 @@ def main() -> None:
     import jax.numpy as jnp
 
     def step(state, camera):
-        out = frame_lib.render_frame(state, camera, cfg, use_taa=True)
+        # planar (3, H, W) image at the jit boundary — the production
+        # display contract (render_frames does the same): a channel-last
+        # (H, W, 3) result buffer lane-pads 42x on TPU (~0.5 GB/frame of
+        # padded stores); hosts convert after readback (app.py/utils.png)
+        out = frame_lib.render_frame(state, camera, cfg, use_taa=True,
+                                     planar=True)
         return out.image, out.state
 
     # donated state: carried buffers update in place (no per-frame copy

@@ -275,11 +275,18 @@ class MultiRayCaster:
         e = mesh_lib.projected_size_px(
             self._mesh_aabb, eye, focus, cfg.width, cfg.height)
         bound = float(cfg.raster_far_bound)
+        # far is valid for e <= bound (derive_far_tiers measures the rank
+        # profile AT the bound distance and sizes every tier with a 1.1
+        # per-rank margin) — so ENTER far at the bound itself and LEAVE
+        # at 1.05x, a hysteresis band that sits inside the ladder margin.
+        # An entry threshold below the bound would strand a mesh that
+        # projects just under it (the all64 orbit bunny is 332 px of a
+        # 360 px bound) on the near preset's full-screen shade forever.
         preset = cfg.raster_preset
         if preset == "far":
-            if e > bound:
+            if e > bound * 1.05:
                 preset = "near"
-        elif e <= bound * 0.92:
+        elif e <= bound:
             preset = "far"
         if preset != cfg.raster_preset:
             self.config = cfg.with_(raster_preset=preset)
@@ -299,7 +306,14 @@ class MultiRayCaster:
             cfg = self.config
 
             def step(state, cam):
-                return frame_lib.render_frame(state, cam, cfg, use_taa=use_taa)
+                # image + state ONLY: returning the full FrameOutput would
+                # also materialize the pre-tonemap hdr field, whose
+                # channel-last (H, W, 4) store lane-pads 42x on TPU
+                # (~0.7 GB/frame of padded stores; hdr consumers call
+                # render_frame directly)
+                out = frame_lib.render_frame(state, cam, cfg,
+                                             use_taa=use_taa)
+                return out.image, out.state
 
             if cfg.debug_finite:
                 # checkify-wrapped step: the in-frame isfinite guards
@@ -318,9 +332,8 @@ class MultiRayCaster:
                 # ~1.7 GB, TAA history) update in place per frame
                 step_jit = jax.jit(step, donate_argnums=(0,))
             self._render_jits[key] = step_jit
-        out = step_jit(self.state, camera)
-        self.state = out.state
-        return out.image
+        image, self.state = step_jit(self.state, camera)
+        return image
 
 
 Renderer = MultiRayCaster

@@ -67,6 +67,14 @@ FLT_MAX = 3.402823466e38
 _EPS = 1e-12
 _BIG = 1e30
 
+# The depth-weighted variant's scratch (+0.9 MB cube-depth slots, +0.1 MB
+# pass-1 depth plane) plus Mosaic's own scoped temporaries lands at
+# ~16.2 MB — just over the default 16 MB scoped-VMEM cap on v5e, whose
+# physical VMEM is 128 MB. Raise the cap (same stance as
+# lightsweep_kernel._COMPILER_PARAMS) rather than shrinking the
+# double-buffered face slots, which are what hide the per-volume DMA.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
 
 def _safe(x, eps=_EPS):
     return jnp.where(jnp.abs(x) > eps, x, jnp.where(x >= 0, eps, -eps))
@@ -745,5 +753,6 @@ def tile_composite_pallas(
         kernel,
         out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(*operands)
