@@ -166,6 +166,67 @@ def test_light_sweep_vs_reference_march():
     assert rel.mean() < 0.08, rel.mean()
 
 
+def test_ao_approximation_quantified():
+    """The AO fan approximation as ITS OWN number (not folded into the
+    full-map check above): the production path replaces the reference's
+    per-voxel AO ray through ALL volumes at the light sample count
+    (`CSRayMarchL.hlsl:99-108`, faithful twin `lightmarch.py:262-283`)
+    with a precomputed 8-tap half-box self-volume march
+    (`lightsweep.precompute_static`). Isolate the ambient term on both
+    sides — map(probe) - map(no probe) differs from AO*irradiance only
+    by the constant ambient, identical on both sides — and bound its
+    deviation relative to the light-map scale.
+
+    Measured at this config: mean 0.008, p99 0.046 of map scale
+    (docs/ROADMAP.md "Known deviations"). The tail is voxels whose
+    reference AO ray exits its own volume into a neighbor the static
+    approximation never sees."""
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.render import cull as cull_lib, lightmarch
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=12,
+                       max_ray_samples=16, max_light_samples=24,
+                       num_volumes=2, num_volume_srcs=1,
+                       cube_map_size=16, shadow_map_size=32)
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.default_camera(cfg.aspect_ratio)
+    po = build_per_object(st.volume_worlds, cam.view_proj)
+    cull = cull_lib.cull_volumes(po, cam.eye, jnp.array([96.0, 64.0]),
+                                 16, 16, 5)
+
+    def run_both(probe):
+        ref_maps = st.light_maps
+        march = jax.jit(lambda lm, f: lightmarch.ray_march_light(
+            st.volumes, st.vol_tex_ids, lm, po, cull, f, None, jnp.eye(4),
+            st.light_pos, st.light_color, st.ambient, st.sh_coeffs, 24,
+            has_light_probe=probe))
+        for f in range(2):
+            ref_maps = march(ref_maps, jnp.asarray(f, jnp.int32))
+        sweep_maps = jax.jit(lambda: lightsweep.ray_march_light_sweep(
+            st.rho_light, st.ao_static, st.grad_dir, st.vol_tex_ids, po,
+            cull, None, jnp.eye(4), st.light_pos, st.light_color,
+            st.ambient, st.sh_coeffs, 24, has_light_probe=probe))()
+        return np.asarray(ref_maps), np.asarray(sweep_maps)
+
+    r_ao, s_ao = run_both(True)
+    r_no, s_no = run_both(False)
+    # ambient isolation: shadow*lcol cancels exactly within each path
+    amb_ref = r_ao - r_no
+    amb_swp = s_ao - s_no
+
+    rho = np.asarray(st.rho_light[np.asarray(st.vol_tex_ids)])
+    occupied = rho >= 0.01
+    mask = np.broadcast_to(occupied[:, None], (2, 3) + rho.shape[1:])
+    scale = max(r_ao.max(), 1e-6)
+    rel = (np.abs(amb_ref - amb_swp) / scale)[mask]
+    mean, p99 = rel.mean(), np.percentile(rel, 99)
+    print(f"AO approximation deviation: mean {mean:.4f}  p99 {p99:.4f} "
+          f"(of light-map scale)")
+    assert mean < 0.02, mean
+    assert p99 < 0.10, p99
+
+
 def test_engine_rejects_rotated_worlds_for_sweep():
     import dataclasses
 
