@@ -74,47 +74,103 @@ def _pass_breakdown(state, cfg, lat_ms: float) -> None:
         times[name] = max(total / n, 0.0)
         return out
 
+    # per-frame prep: per-object matrices + cull + LOD partition (the
+    # small-tensor glue render_frame runs before any big pass)
+    def prep_fn():
+        po_ = build_per_object(state.volume_worlds, camera.view_proj)
+        cull_ = cull_lib.cull_volumes(
+            po_, camera.eye,
+            jnp.array([cfg.width, cfg.height], jnp.float32),
+            cfg.max_ray_samples, cfg.cube_map_size, cfg.num_cube_mips,
+            adaptive=cfg.adaptive_raymarch)
+        lod_cull_ = cull_._replace(use_cube_map=cull_.visible)
+        return po_, cull_, sweep_lib.lod_partition(
+            lod_cull_, cfg.num_volumes, cfg.cube_map_size,
+            cfg.lod_bucket_caps)
+
+    timed("prep", prep_fn)
+
+    # mesh FIRST: its depth map feeds the sweep's occlusion skip and the
+    # composite's CubeCast depth weights — the production configuration
+    # (r3's breakdown passed depth=None, so the depth-weighted kernel
+    # variant was never the one measured)
+    mesh_out = None
+    if cfg.show_mesh:
+        mesh_out = timed(
+            "mesh", lambda: mesh_lib.render_mesh(state, camera, cfg))
+    depth_map = mesh_out.depth if mesh_out is not None else None
+
     c = min(cfg.light_refresh or cfg.num_volumes, cfg.num_volumes)
     ids = jnp.arange(c, dtype=jnp.int32)
-    timed("light", lambda: lightsweep.ray_march_light_sweep_update(
+    shadow = mesh_out.shadow if mesh_out is not None else None
+    shadow_vp = (mesh_out.shadow_vp if mesh_out is not None
+                 else mesh_lib.shadow_view_proj(state))
+    maps_c = timed("light", lambda: lightsweep.ray_march_light_sweep_update(
         state.rho_light, state.ao_static, state.grad_dir,
-        state.vol_tex_ids, po, None, mesh_lib.shadow_view_proj(state),
+        state.vol_tex_ids, po, shadow, shadow_vp,
         state.light_pos, state.light_color, state.ambient,
         state.sh_coeffs, cfg.max_light_samples, sub_ids=ids,
         sout_cache=state.light_sout)[0])
+    # the cohort's oriented-stack refresh (production carries it in
+    # state; the .at[ids].set is in-place under donation)
+    timed("orient", lambda m: sweep_lib.pad_light_lanes(
+        sweep_lib.orient_variants_cf(m.astype(dtype))), maps_c)
 
     lod_cull = cull._replace(use_cube_map=cull.visible)
     vol_or = state.volumes_oriented.astype(dtype)
     lm_or = state.light_maps_oriented.astype(dtype)
-    # sorted_output + order: the exact production tile path (frame.py)
+    # sorted_output + order + depth: the exact production tile path
     cube_maps, mips, order = timed(
         "sweep", lambda v, l: sweep_lib.ray_march_view_sweep_lod(
-            v, state.vol_tex_ids, l, po, lod_cull, camera.eye, None,
+            v, state.vol_tex_ids, l, po, lod_cull, camera.eye, depth_map,
             cfg.cube_map_size, dtype=dtype,
             bucket_caps=cfg.lod_bucket_caps, pack=False,
+            light_w=cfg.light_grid_size, vol_zmax=state.vol_zmax,
             sorted_output=True),
         vol_or, lm_or)
 
     cull_c = cull._replace(mip_level=mips, use_cube_map=cull.visible)
-    timed("composite", lambda cm: tilecast.composite_oit_tile(
+    screen = timed("composite", lambda cm: tilecast.composite_oit_tile(
         cube_maps._replace(color=cm), po, cull_c, camera.eye,
-        camera.screen_to_world, None, cfg.width, cfg.height,
-        num_layers=cfg.oit_layers, order=order)[0], cube_maps.color)
+        camera.screen_to_world, depth_map, cfg.width, cfg.height,
+        num_layers=cfg.oit_layers, order=order), cube_maps.color)
 
     from multivolumes_tpu.render import postprocess
 
-    timed("sky", lambda: postprocess.render_environment(
+    sky = timed("sky", lambda: postprocess.render_environment(
         state.radiance, camera.screen_to_world, camera.eye, cfg.width,
         cfg.height, scale=cfg.sky_scale))
-    zero = jnp.zeros((cfg.height, cfg.width), jnp.float32)
-    timed("taa", lambda r, h: taa_lib.temporal_aa(
-        (r, r, r, jnp.minimum(r, 0.9997)), h, None)[0], zero,
-        state.taa_history)
-    if cfg.show_mesh:
-        timed("mesh", lambda: mesh_lib.render_mesh(state, camera, cfg))
 
+    # screen tail exactly as render_frame composes it: background select
+    # (mesh over sky) -> under-blend -> TAA (windowed reprojection, the
+    # far-preset production shape) -> tone map -> planar image stack
+    def tail_fn(vr, vg, vb, va, history):
+        if mesh_out is not None:
+            bg_r = jnp.where(mesh_out.valid, mesh_out.color[0], sky[0])
+            bg_g = jnp.where(mesh_out.valid, mesh_out.color[1], sky[1])
+            bg_b = jnp.where(mesh_out.valid, mesh_out.color[2], sky[2])
+            bg_a = mesh_out.valid.astype(jnp.float32)
+        else:
+            bg_r, bg_g, bg_b = sky
+            bg_a = jnp.zeros((cfg.height, cfg.width), jnp.float32)
+        t = 1.0 - va
+        sc = (vr + t * bg_r, vg + t * bg_g, vb + t * bg_b, va + t * bg_a)
+        far = bool(cfg.raster_preset == "far" and cfg.raster_far_tiers)
+        (rr, rg, rb), hist = taa_lib.temporal_aa(
+            sc, history,
+            mesh_out.velocity if mesh_out is not None else None,
+            reproj_center=(mesh_out.screen_center
+                           if mesh_out is not None else None),
+            reproj_window=cfg.taa_reproj_window if far else 0)
+        ir, ig, ib = postprocess.tone_map_ch(rr, rg, rb)
+        return jnp.stack([ir, ig, ib], 0), hist
+
+    timed("tail", tail_fn, *screen, state.taa_history)
+
+    total = sum(times.values())
     print("passes(ms): " + "  ".join(
-        f"{k}={v:.1f}" for k, v in times.items()), file=sys.stderr)
+        f"{k}={v:.1f}" for k, v in times.items())
+        + f"  | sum={total:.1f}", file=sys.stderr)
 
 
 def main() -> None:

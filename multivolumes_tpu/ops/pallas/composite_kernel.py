@@ -162,12 +162,23 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
         def start_copies(i, slot):
             face_copy(i, slot).start()
             if with_depth:
-                dep_copy(i, slot).start()
+                # depth rides only on MESH tiles: the weights are read
+                # exclusively under the mesh_t gate below, and the
+                # (6, S, S_pad) f32 plane is +50% on the color DMA —
+                # paying it on every (tile, volume) pair cost ~1.5 ms
+                # at n=64 when the mesh touches ~15% of tiles. mesh_t
+                # is tile-uniform and known before the first copy, so
+                # every started copy is waited (same gate both sides).
+                @pl.when(mesh_t)
+                def _():
+                    dep_copy(i, slot).start()
 
         def wait_copies(i, slot):
             face_copy(i, slot).wait()
             if with_depth:
-                dep_copy(i, slot).wait()
+                @pl.when(mesh_t)
+                def _():
+                    dep_copy(i, slot).wait()
 
         def vol_body(i, _):
             vid = tlist[t, i]
@@ -556,37 +567,38 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 wv = jnp.maximum(
                     1.0 - jnp.abs(vt_w - v.astype(jnp.float32)), 0.0)
                 row = tmp_scr[:, pl.ds(v, 1), :]    # (4, 1, tw)
+                fr, fg, fb, fa, *gs_t = carry
                 if use_dep:
-                    fr, fg, fb, fa, gr, gg, gb, ga, gs = carry
-                else:
-                    fr, fg, fb, fa = carry
+                    # weight FLOOR instead of a separate plain
+                    # accumulation for the zero-weight fallback
+                    # (`PSCube.hlsli:104`): with w = wv * max(wd, 1e-6),
+                    # the normalized sum equals the (normalized) plain
+                    # tent exactly when every tap's depth weight is
+                    # zero, and the floor taps contribute ~1e-6 relative
+                    # mass otherwise. 5 accumulators instead of 9 — the
+                    # mesh tiles this branch runs on are the kernel's
+                    # LONGEST tiles (central, most volumes), so pass-2
+                    # FMA count there is headline time.
+                    drow = tmpd_scr[pl.ds(v, 1), :]  # (1, tw)
+                    wd = jnp.maximum(1.0 - 0.5 * jnp.abs(d_w - drow), 0.0)
+                    wv = wv * jnp.maximum(wd, 1e-6)
                 fr = fr + row[0] * wv
                 fg = fg + row[1] * wv
                 fb = fb + row[2] * wv
                 fa = fa + row[3] * wv
-                if not use_dep:
-                    return fr, fg, fb, fa
-                drow = tmpd_scr[pl.ds(v, 1), :]     # (1, tw)
-                wd = jnp.maximum(1.0 - 0.5 * jnp.abs(d_w - drow), 0.0)
-                w = wv * wd
-                gr = gr + row[0] * w
-                gg = gg + row[1] * w
-                gb = gb + row[2] * w
-                ga = ga + row[3] * w
-                gs = gs + w
-                return fr, fg, fb, fa, gr, gg, gb, ga, gs
+                if use_dep:
+                    return fr, fg, fb, fa, gs_t[0] + wv
+                return fr, fg, fb, fa
 
             zero = jnp.zeros((th_sub, tw), jnp.float32)
-            init = (zero,) * (9 if use_dep else 4)
+            init = (zero,) * (5 if use_dep else 4)
             out = jax.lax.fori_loop(v_lo, v_hi + 1, v_step, init)
             if use_dep:
-                fr, fg, fb, fa, gr, gg, gb, ga, gs = out
+                fr, fg, fb, fa, gs = out
+                # normalize (tent sums are ~1 interior; the floor makes
+                # gs > 0 wherever any tent tap landed)
                 inv = 1.0 / jnp.maximum(gs, 1e-20)
-                ok = gs > 0.0
-                fr = jnp.where(ok, gr * inv, fr)
-                fg = jnp.where(ok, gg * inv, fg)
-                fb = jnp.where(ok, gb * inv, fb)
-                fa = jnp.where(ok, ga * inv, fa)
+                fr, fg, fb, fa = fr * inv, fg * inv, fb * inv, fa * inv
             else:
                 fr, fg, fb, fa = out
             if th_sub == th:

@@ -1,0 +1,136 @@
+"""Demo-scale fidelity number: fast path vs the reference-semantics twin.
+
+BASELINE.md budgets "within 1e-2 of the DX12 reference"; the CPU gate
+(tests/test_fidelity.py) runs the attainable twin-chain comparison at
+grid 32 / 8 volumes. THIS tool produces the number at the north-star
+config — 64 volumes, grid 128, light grid 96, 1280x800, bunny + shadow
+— where bf16 + opacity-correction + bucket-LOD errors actually
+compound (VERDICT round-3 missing item 5).
+
+The reference twin chain (gather march `CSRayMarch.hlsl:77-158`,
+per-volume gather light march `CSRayMarchL.hlsl`, CubeCast gather
+composite `PSCube.hlsli:51-108`, all f32) is minutes per frame at this
+scale, so the reference light maps are warmed DIRECTLY (64 calls of the
+one-volume-per-frame march, no full-frame render around them) and one
+reference frame anchors the comparison.
+
+    python tools/fidelity_demo.py [--small]   # --small: CPU smoke test
+
+Writes the mean / p99 / max over the frame to stdout; record the
+numbers in docs/ROADMAP.md "Fidelity at scale".
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+_BUNNY = "/root/reference/Bin/Assets/bunny.obj"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="CPU-sized smoke run of the same tool logic")
+    ap.add_argument("--no-mesh", action="store_true")
+    args = ap.parse_args()
+
+    from multivolumes_tpu.utils.platform import configure_for_host
+
+    configure_for_host()
+
+    import jax
+    import jax.numpy as jnp
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.engine import MultiRayCaster
+    from multivolumes_tpu.render import cull as cull_lib, lightmarch
+    from multivolumes_tpu.render import frame as frame_lib
+    from multivolumes_tpu.render import mesh as mesh_lib
+    from multivolumes_tpu.render import sweep as sweep_lib
+    from multivolumes_tpu.render.perframe import build_per_object
+
+    if args.small:
+        cfg = RenderConfig(
+            width=160, height=96, grid_size=32, light_grid_size=16,
+            max_ray_samples=32, max_light_samples=8,
+            num_volumes=8, num_volume_srcs=2, cube_map_size=16,
+            shadow_map_size=64)
+    else:
+        cfg = RenderConfig(
+            width=1280, height=800, grid_size=128, light_grid_size=96,
+            max_ray_samples=256, max_light_samples=96,
+            num_volumes=64, num_volume_srcs=10,
+            cube_map_size=128, shadow_map_size=1024)
+
+    eng = MultiRayCaster(cfg)
+    if not args.no_mesh and os.path.exists(_BUNNY):
+        eng.set_mesh(_BUNNY)
+        eng.select_raster_preset((0.0, 6.0, 60.0))
+    cfg = eng.config
+    state = eng.state
+    camera = cam_lib.orbit_camera(0.35, cfg.aspect_ratio)
+
+    cfg_ref = cfg.with_(
+        march_mode="reference", light_mode="reference",
+        composite_mode="gather", packed_composite=False, use_bf16=False,
+        raster_preset="near",  # the reference rasterizer has no ladder
+    )
+
+    # --- warm the reference light maps (one volume per call) -------------
+    po = build_per_object(state.volume_worlds, camera.view_proj)
+    cull = cull_lib.cull_volumes(
+        po, camera.eye, jnp.array([cfg.width, cfg.height], jnp.float32),
+        cfg.max_ray_samples, cfg.cube_map_size, cfg.num_cube_mips,
+        adaptive=cfg.adaptive_raymarch)
+    shadow_vp = mesh_lib.shadow_view_proj(state)
+    shadow = state.mesh_shadow_map if cfg.show_mesh else None
+    march = jax.jit(lambda lm, f: lightmarch.ray_march_light(
+        state.volumes, state.vol_tex_ids, lm, po, cull, f,
+        shadow, shadow_vp, state.light_pos, state.light_color,
+        state.ambient, state.sh_coeffs, cfg.max_light_samples,
+        has_light_probe=cfg.has_light_probe))
+    t0 = time.perf_counter()
+    ref_maps = state.light_maps.astype(jnp.float32)
+    for f in range(cfg.num_volumes):
+        ref_maps = march(ref_maps, jnp.asarray(f, jnp.int32))
+    ref_maps.block_until_ready()
+    print(f"reference light warmup: {time.perf_counter() - t0:.1f} s",
+          file=sys.stderr)
+
+    state_ref = dataclasses.replace(
+        state,
+        light_maps=ref_maps.astype(state.light_maps.dtype),
+        light_maps_oriented=sweep_lib.pad_light_lanes(
+            sweep_lib.orient_variants_cf(
+                ref_maps.astype(state.light_maps_oriented.dtype))))
+
+    # --- one frame through each chain -------------------------------------
+    t0 = time.perf_counter()
+    ref = np.asarray(jax.jit(lambda s: frame_lib.render_frame(
+        s, camera, cfg_ref, use_taa=False).image)(state_ref))
+    print(f"reference frame: {time.perf_counter() - t0:.1f} s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    fast = np.asarray(jax.jit(lambda s: frame_lib.render_frame(
+        s, camera, cfg, use_taa=False).image)(state))
+    print(f"fast frame: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
+
+    diff = np.abs(fast - ref)
+    covered = (diff.max(-1) > 0).mean()
+    print(f"fidelity@{cfg.width}x{cfg.height} n={cfg.num_volumes} "
+          f"grid={cfg.grid_size} mesh={cfg.show_mesh}: "
+          f"mean {diff.mean():.2e}  p99 {np.percentile(diff, 99):.2e}  "
+          f"max {diff.max():.2e}  covered {covered:.2f}")
+
+
+if __name__ == "__main__":
+    main()

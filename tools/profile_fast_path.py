@@ -91,8 +91,11 @@ def main() -> None:
     # even when filtered out; anything else is skipped outright so a
     # knob A/B pays only the selected pass's compile + its producers'
     # (the light/orient outputs feed nothing timed — the sweep reads
-    # the state-carried stacks — so they are NOT producers)
-    _PRODUCERS = ("sweep_lod",)
+    # the state-carried stacks — so they are NOT producers).
+    # mesh IS a producer: its depth map feeds the sweep's occlusion
+    # skip and the composite's CubeCast depth weights (the production
+    # kernel variant — depth=None would measure the plain-tent kernel).
+    _PRODUCERS = ("sweep_lod", "mesh")
 
     def timed(name, fn, *a):
         # dispatch `iters` calls asynchronously, sync once, subtract the
@@ -123,6 +126,14 @@ def main() -> None:
         cfg.num_cube_mips, adaptive=cfg.adaptive_raymarch)
     shadow_vp = mesh_lib.shadow_view_proj(state)
 
+    # mesh FIRST: its depth map is the production input to the sweep's
+    # occlusion skip and the composite's CubeCast depth weights
+    mesh_out = None
+    if args.mesh:
+        mesh_out = timed("mesh(shadow+depth+base)", lambda:
+                         mesh_lib.render_mesh(state, camera, cfg))
+    depth_map = mesh_out.depth if mesh_out is not None else None
+
     # amortized light update (the production per-frame cohort) + orient
     shadow_for_sweep = (jnp.full((cfg.shadow_map_size,) * 2, 0.8, jnp.float32)
                         if args.mesh else None)
@@ -150,13 +161,14 @@ def main() -> None:
     lod_cull = cull._replace(use_cube_map=cull.visible)
 
     def sweep_fn(v, l):
-        # sorted_output + order matches the production tile path
-        # (frame.py use_tile) — the unsorted scatter assembly would
-        # charge this row ~1.3 ms the frame no longer pays
+        # sorted_output + order + depth + zmax matches the production
+        # tile path (frame.py use_tile) — the unsorted scatter assembly
+        # would charge this row ~1.3 ms the frame no longer pays
         return sweep_lib.ray_march_view_sweep_lod(
-            v, state.vol_tex_ids, l, po, lod_cull, camera.eye, None,
+            v, state.vol_tex_ids, l, po, lod_cull, camera.eye, depth_map,
             cfg.cube_map_size, dtype=dtype, bucket_caps=cfg.lod_bucket_caps,
-            pack=False, light_w=cfg.light_grid_size, sorted_output=True)
+            pack=False, light_w=cfg.light_grid_size,
+            vol_zmax=state.vol_zmax, sorted_output=True)
 
     cube_maps, sweep_mips, sweep_order = timed(
         "sweep_lod", sweep_fn, vol_or, lm_or)
@@ -173,7 +185,7 @@ def main() -> None:
 
     timed("tile_composite", lambda cm_color: tilecast.composite_oit_tile(
         cube_maps._replace(color=cm_color), po, cull_c, camera.eye,
-        camera.screen_to_world, None, cw, ch,
+        camera.screen_to_world, depth_map, cw, ch,
         num_layers=cfg.oit_layers, order=sweep_order)[0], cube_maps.color)
     if args.warp_composite:
         # the warp twin consumes original volume indexing: un-permute
