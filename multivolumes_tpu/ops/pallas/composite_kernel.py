@@ -513,8 +513,14 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 sq = s // 4
                 sh_ = s // 2
                 span = v_hi - v_lo
-                w_sq = jnp.clip(v_lo - 1, 0, s - sq) // 8 * 8
-                w_sh = jnp.clip(v_lo - 1, 0, s - sh_) // 8 * 8
+                # pl.multiple_of: Mosaic cannot statically prove //8*8
+                # produces an 8-aligned sublane offset — the hint is what
+                # the 2026-08 SIGABRT note in tile_composite_pallas was
+                # missing
+                w_sq = pl.multiple_of(
+                    jnp.clip(v_lo - 1, 0, s - sq) // 8 * 8, 8)
+                w_sh = pl.multiple_of(
+                    jnp.clip(v_lo - 1, 0, s - sh_) // 8 * 8, 8)
                 zero_i = jnp.zeros((), jnp.int32)
                 small = span <= sq - 10
                 mid = (span <= sh_ - 10) & ~small
@@ -626,8 +632,10 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 r_span = r_max - r_min
                 tq = th // 4
                 th2 = th // 2
-                r_q = jnp.clip(r_min, 0, th - tq) // 8 * 8
-                r_h = jnp.clip(r_min, 0, th - th2) // 8 * 8
+                r_q = pl.multiple_of(
+                    jnp.clip(r_min, 0, th - tq) // 8 * 8, 8)
+                r_h = pl.multiple_of(
+                    jnp.clip(r_min, 0, th - th2) // 8 * 8, 8)
                 zero_r = jnp.zeros((), jnp.int32)
                 small2 = r_span <= tq - 8
                 mid2 = (r_span <= th2 - 8) & ~small2
@@ -713,8 +721,10 @@ def tile_composite_pallas(
     # windows (same process-level caveat as above). OFF by default: the
     # dynamic-offset VMEM stores crash the real Mosaic backend
     # ("Check failed: limits[i] <= dim(i)" SIGABRT, v5e, 2026-08) even
-    # with 8-aligned offsets; CPU interpret mode accepts them, so the
-    # bit-equality tests keep covering the variant until Mosaic does.
+    # with 8-aligned offsets; retried 2026-08-19 with pl.multiple_of
+    # hints on every window offset — still dies on v5e. CPU interpret
+    # mode accepts them, so the bit-equality tests keep covering the
+    # variant until Mosaic does.
     subgrid = os.environ.get("MV_CKERNEL_SUBGRID", "0") == "1"
     # MV_CKERNEL_DEPTHW=0 drops the CubeCast depth weights back to the
     # plain tent (A/B + seam-test escape hatch, same process-level rule)

@@ -42,11 +42,17 @@ def tile_dims(width: int, height: int):
     sweep grids and K-insert run over whole tiles) at the price of
     re-DMAing a volume's faces for more tiles. PROCESS-LEVEL: read at
     trace time — set before the first frame; A/B in separate
-    processes."""
+    processes.
+
+    Defaults from the measured v5e A/B matrix at the 64-volume demo
+    (docs/ARCHITECTURE.md "Tile-composite A/B matrix", 2026-08-19):
+    64x128 tiles 4.4 ms vs 128x256's 7.6 — footprint tracking beats
+    face-DMA reuse down to 64 rows, and reverses below (32x128:
+    8.8 ms, the re-fetch bill)."""
     import os
 
-    tw = 256 if width > 128 else 128
-    th = 128 if height > 64 else _ceil_to(max(height, 8), 8)
+    tw = 128
+    th = 64 if height > 64 else _ceil_to(max(height, 8), 8)
     tw = _ceil_to(int(os.environ.get("MV_TILE_W", tw)), 128)
     th = _ceil_to(int(os.environ.get("MV_TILE_H", th)), 8)
     wp = _ceil_to(width, tw)

@@ -128,6 +128,11 @@ def main() -> None:
                     help="HLO text dump (tools/hlo_map.py --dump) to "
                          "aggregate the trace by source file; pass "
                          "'auto' to dump the compiled step here first")
+    ap.add_argument("--scan", type=int, default=0,
+                    help="trace the K-frame lax.scan dispatch "
+                         "(render_frames) instead of the per-frame "
+                         "async loop — attributes the scan-vs-async "
+                         "gap bench.py reports")
     args = ap.parse_args()
 
     from multivolumes_tpu.utils.platform import configure_for_host
@@ -152,10 +157,46 @@ def main() -> None:
     bunny = "/root/reference/Bin/Assets/bunny.obj"
     if not args.no_mesh and os.path.exists(bunny):
         engine.set_mesh(bunny)
+        # the demo orbit's host-side ladder pick (same call bench.py
+        # makes) — without it the trace profiles the near preset's
+        # full-screen shade, not the production far path
+        engine.select_raster_preset((0.0, 6.0, 60.0))
     cfg = engine.config
 
+    if args.scan:
+        import jax.numpy as jnp
+
+        k = args.scan
+
+        def scan_step(state, cams):
+            return frame_lib.render_frames(state, cams, cfg, use_taa=True)
+
+        scan_jit = jax.jit(lambda s, c: scan_step(s, c)[::-1],
+                           donate_argnums=(0,))
+
+        def cam_block(f0):
+            cams = [cam_lib.orbit_camera((f0 + i + 1) / 60.0,
+                                         cfg.aspect_ratio)
+                    for i in range(k)]
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, 0), *cams)
+
+        state = engine.state
+        st, imgs = scan_jit(state, cam_block(-k))
+        sync(imgs)
+        os.makedirs(args.dir, exist_ok=True)
+        jax.profiler.start_trace(args.dir)
+        for b in range(0, args.frames, k):
+            st, imgs = scan_jit(st, cam_block(b))
+        sync(imgs)
+        jax.profiler.stop_trace()
+        n = max(args.frames // k, 1) * k
+        summarize(args.dir, n, args.top, args.min_ms, hlo=None)
+        return
+
     def step(state, camera):
-        out = frame_lib.render_frame(state, camera, cfg, use_taa=True)
+        out = frame_lib.render_frame(state, camera, cfg, use_taa=True,
+                                     planar=True)
         return out.image, out.state
 
     step_jit = jax.jit(step, donate_argnums=(0,))
