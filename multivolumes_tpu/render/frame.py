@@ -474,12 +474,35 @@ def render_frames(
     _CARRIED = ("frame_idx", "light_maps", "light_maps_oriented",
                 "light_sout", "taa_history", "mesh_prev_wvp")
 
+    def _pin_row_major(x):
+        # Pin the ~1.4 GB oriented light stack ROW-MAJOR through the
+        # scan carry. Without this, XLA adopts the transposed layout the
+        # stack happens to arrive in (orient_variants_cf's fused
+        # transposes) for the whole while-loop carry, then inserts a
+        # full relayout copy EVERY iteration to feed the sweep kernel's
+        # row-major bitcast — measured 4.06 ms/frame at n=64 (the entire
+        # scan-vs-async gap, tools/trace_ops.py --scan). Pinning both
+        # the init value and the body output makes the carry row-major:
+        # one amortized entry relayout per K-frame call, zero per frame.
+        if jax.default_backend() == "cpu" or mesh is not None:
+            return x  # CPU tests / sharded path: nothing to pin
+        from jax.experimental import layout as layout_lib
+
+        return layout_lib.with_layout_constraint(
+            x, layout_lib.Layout(major_to_minor=tuple(range(x.ndim))))
+
     def body(mut, cam):
         st = dataclasses.replace(state, **dict(zip(_CARRIED, mut)))
         out = render_frame(st, cam, config, show_mesh=show_mesh,
                            use_taa=use_taa, mesh=mesh, planar=True)
-        return tuple(getattr(out.state, f) for f in _CARRIED), out.image
+        new = dict((f, getattr(out.state, f)) for f in _CARRIED)
+        new["light_maps_oriented"] = _pin_row_major(
+            new["light_maps_oriented"])
+        return tuple(new[f] for f in _CARRIED), out.image
 
-    mut0 = tuple(getattr(state, f) for f in _CARRIED)
+    mut0 = dict((f, getattr(state, f)) for f in _CARRIED)
+    mut0["light_maps_oriented"] = _pin_row_major(
+        mut0["light_maps_oriented"])
+    mut0 = tuple(mut0[f] for f in _CARRIED)
     mut_end, images = jax.lax.scan(body, mut0, cameras, unroll=unroll)
     return images, dataclasses.replace(state, **dict(zip(_CARRIED, mut_end)))
