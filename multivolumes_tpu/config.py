@@ -171,8 +171,11 @@ class RenderConfig:
     # under the far raster preset (whose host pick guarantees the mesh
     # projects inside raster_far_bound <= window); the near preset
     # reprojects full-screen — no silent identity fallback for a mesh
-    # that outgrew the window.
-    taa_reproj_window: int = 448
+    # that outgrew the window. Default matches mesh_shade_window: the
+    # pick bounds the mesh at 360 px, velocity dilation adds ~10 px of
+    # orbit motion — the quad-row history gather is ~0.9 ms at 448 px
+    # (traced), 448^2/384^2 = 1.36x the aligned window's bill.
+    taa_reproj_window: int = 384
     # Static window (px) for the mesh's deferred shade (plane-table
     # interpolation, shadow PCF, BRDF), centred on the mesh's projected
     # bbox. The per-pixel gathers are the mesh pass's screen-space cost;

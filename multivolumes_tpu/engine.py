@@ -335,5 +335,28 @@ class MultiRayCaster:
         image, self.state = step_jit(self.state, camera)
         return image
 
+    def render_block(self, cameras, use_taa: bool = True) -> jnp.ndarray:
+        """Render K frames in ONE dispatch (`render_frames` lax.scan) —
+        the production throughput loop: one host call amortizes this
+        1-core host's dispatch overhead over K frames, and the scan
+        carry (row-major-pinned, frame.py) updates the light/TAA state
+        in place. Measured faster than the per-frame async loop at the
+        all64 demo (20.6 vs 21.0 ms/frame, BENCH r4). `cameras` is a
+        Camera pytree with a leading K axis (stack per-frame cameras
+        with tree_map); returns PLANAR (K, 3, H, W) display images —
+        convert channel order on the host (np.moveaxis), never on
+        device (docs/ARCHITECTURE.md lane-padding rule)."""
+        key = (self.config, use_taa, "block")
+        block_jit = self._render_jits.get(key)
+        if block_jit is None:
+            cfg = self.config
+            block_jit = jax.jit(
+                lambda s, c: frame_lib.render_frames(s, c, cfg,
+                                                     use_taa=use_taa),
+                donate_argnums=(0,))
+            self._render_jits[key] = block_jit
+        images, self.state = block_jit(self.state, cameras)
+        return images
+
 
 Renderer = MultiRayCaster

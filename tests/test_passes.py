@@ -515,3 +515,15 @@ def test_render_frames_scan_matches_sequential():
                 np.moveaxis(np.asarray(imgs[f]), 0, -1), seq_imgs[f],
                 atol=2e-5)
         assert int(s_end.frame_idx) == k
+
+    # the engine's throughput API (render_block) is the same dispatch
+    # with the engine's state/jit-cache plumbing
+    from multivolumes_tpu.engine import MultiRayCaster
+
+    eng = MultiRayCaster(cfg)
+    eng.state = st
+    imgs = np.asarray(eng.render_block(cams_stacked))
+    assert imgs.shape == (k, 3, cfg.height, cfg.width)
+    np.testing.assert_allclose(
+        np.moveaxis(imgs[-1], 0, -1), seq_imgs[-1], atol=2e-5)
+    assert int(eng.state.frame_idx) == k
