@@ -110,7 +110,9 @@ def _pass_breakdown(state, cfg, lat_ms: float) -> None:
         state.vol_tex_ids, po, shadow, shadow_vp,
         state.light_pos, state.light_color, state.ambient,
         state.sh_coeffs, cfg.max_light_samples, sub_ids=ids,
-        sout_cache=state.light_sout)[0])
+        sout_cache=state.light_sout,
+        shadow_quads=(state.mesh_shadow_quads
+                      if shadow is not None else None))[0])
     # the cohort's oriented-stack refresh (production carries it in
     # state; the .at[ids].set is in-place under donation)
     timed("orient", lambda m: sweep_lib.pad_light_lanes(

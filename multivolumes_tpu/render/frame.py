@@ -131,6 +131,8 @@ def render_frame(
             has_light_probe=config.has_light_probe,
             sub_ids=ids,
             sout_cache=state.light_sout,
+            shadow_quads=(state.mesh_shadow_quads
+                          if shadow_map is not None else None),
         )
         light_maps = state.light_maps.at[ids].set(
             maps_c.astype(state.light_maps.dtype))

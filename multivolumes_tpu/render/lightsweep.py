@@ -111,6 +111,9 @@ def light_transmittance(
     impl: str = "pallas",  # "pallas": one kernel invocation per volume
                            # for each L-step march; "xla": the lax.scan
                            # twin (goldens/tests)
+    shadow_quads=None,  # (4*(Sm/2)^2, 4) mesh.build_shadow_quads table
+                        # (state.mesh_shadow_quads): quad-row shadow
+                        # sampling instead of 4 element gathers
 ):
     """Per-volume transmittance fields toward the light, with inter-volume
     occlusion chained through a shared lateral map.
@@ -255,15 +258,37 @@ def light_transmittance(
             xs_ = uu * ws - 0.5
             ys_ = vv * hs - 0.5
             x0f, y0f = jnp.floor(xs_), jnp.floor(ys_)
-            fx, fy = xs_ - x0f, ys_ - y0f
 
             def cidx(vvv, nn):
                 return jnp.clip(vvv.astype(jnp.int32), 0, nn - 1)
 
-            xa, xb = cidx(x0f, ws), cidx(x0f + 1, ws)
-            ya, yb = cidx(y0f, hs), cidx(y0f + 1, hs)
-            sm0 = shadow_map[ya, xa] * (1 - fx) + shadow_map[ya, xb] * fx
-            sm1 = shadow_map[yb, xa] * (1 - fx) + shadow_map[yb, xb] * fx
+            have_quads = (shadow_quads is not None
+                          and hs % 2 == 0 and ws % 2 == 0
+                          and shadow_quads.shape[0]
+                          == 4 * (hs // 2) * (ws // 2))
+            if have_quads:
+                # ONE parity-selected quad-row gather for all four
+                # bilinear corners (mesh._shadow_map_compare's table,
+                # cached in state): the per-corner element gathers were
+                # 4 x 0.376 ms/frame at G=192 on v5e (traced) — element
+                # gathers run ~65 Mtaps/s, packed rows ~5.6 ms/M rows
+                hh, ww2 = hs // 2, ws // 2
+                x0 = cidx(x0f, ws - 1)
+                y0 = cidx(y0f, hs - 1)
+                fx = jnp.clip(xs_ - x0.astype(jnp.float32), 0.0, 1.0)
+                fy = jnp.clip(ys_ - y0.astype(jnp.float32), 0.0, 1.0)
+                base = (((y0 & 1) * 2 + (x0 & 1)) * (hh * ww2))
+                quad = shadow_quads[base + (y0 >> 1) * ww2 + (x0 >> 1)]
+                sm0 = quad[..., 0] * (1 - fx) + quad[..., 1] * fx
+                sm1 = quad[..., 2] * (1 - fx) + quad[..., 3] * fx
+            else:
+                fx, fy = xs_ - x0f, ys_ - y0f
+                xa, xb = cidx(x0f, ws), cidx(x0f + 1, ws)
+                ya, yb = cidx(y0f, hs), cidx(y0f + 1, hs)
+                sm0 = (shadow_map[ya, xa] * (1 - fx)
+                       + shadow_map[ya, xb] * fx)
+                sm1 = (shadow_map[yb, xa] * (1 - fx)
+                       + shadow_map[yb, xb] * fx)
             sm_g = sm0 * (1 - fy) + sm1 * fy + shadow_bias   # (G, G)
             # light-space z advance per unit world w along a ray
             dirx, diry, dirz = (-light_dir_world[0], -light_dir_world[1],
@@ -528,6 +553,8 @@ def ray_march_light_sweep_update(
     sub_ids=None,     # (C,) volume indices refreshed this frame
     sout_cache=None,  # (N, L, L)
     impl: str = "pallas",
+    shadow_quads=None,  # cached quad-packed shadow table (see
+                        # light_transmittance)
 ):
     """Refresh the light maps of a volume cohort (the reference's
     temporal amortization, `MultiRayCaster::RayMarchL` one volume per
@@ -549,7 +576,7 @@ def ray_march_light_sweep_update(
         rho, per_object, light_dir, step_scale,
         shadow_map=shadow_map, shadow_vp=shadow_vp,
         sub_ids=sub_ids, sout_cache=sout_cache, return_sout=True,
-        impl=impl)
+        impl=impl, shadow_quads=shadow_quads)
 
     maps = _shade_light_fields(shadow, rho, tex_sub, ao_src, grad_dir_src,
                                sh_coeffs, ambient, light_color,

@@ -135,8 +135,7 @@ def main() -> None:
     depth_map = mesh_out.depth if mesh_out is not None else None
 
     # amortized light update (the production per-frame cohort) + orient
-    shadow_for_sweep = (jnp.full((cfg.shadow_map_size,) * 2, 0.8, jnp.float32)
-                        if args.mesh else None)
+    shadow_for_sweep = state.mesh_shadow_map if args.mesh else None
     c = min(cfg.light_refresh or cfg.num_volumes, cfg.num_volumes)
     ids = jnp.arange(c, dtype=jnp.int32)
     lm_c = timed(
@@ -146,7 +145,9 @@ def main() -> None:
             state.light_pos, state.light_color, state.ambient,
             state.sh_coeffs, cfg.max_light_samples,
             has_light_probe=cfg.has_light_probe,
-            sub_ids=ids, sout_cache=state.light_sout)[0],
+            sub_ids=ids, sout_cache=state.light_sout,
+            shadow_quads=(state.mesh_shadow_quads
+                          if shadow_for_sweep is not None else None))[0],
         state.rho_light, state.ao_static, state.grad_dir)
 
     vol_or = state.volumes_oriented.astype(dtype)
