@@ -290,15 +290,28 @@ def main() -> None:
     mode = "scan" if dt_scan <= dt_async else "async"
     dt = max(min(dt_scan, dt_async), 1e-6)
 
-    # secondary: per-frame p50/p95 (each frame synced; readback subtracted)
+    # secondary: frame-time percentiles. Each sample is a BATCH of
+    # `bsz` async frames with ONE sync: the tunnel RTT varies by tens
+    # of ms sample-to-sample on this host (see the rtt line), so a
+    # single-frame sync measures rtt noise, not the frame (a run
+    # printed "p50 0.7 ms" once the frame got faster than the rtt
+    # spread). Batching divides both the rtt jitter and the
+    # latency-estimate error by bsz while still exposing multi-ms
+    # pacing spikes (r3's 86 ms tail would read +15 ms on its batch).
+    bsz = 4
     per_frame = []
-    for f in range(frames):
-        camera = cam_lib.orbit_camera((frames + f + 1) / 60.0,
-                                      cfg.aspect_ratio)
+    for f0 in range(0, frames, bsz):
+        batch_cams = [
+            cam_lib.orbit_camera((frames + f0 + i + 1) / 60.0,
+                                 cfg.aspect_ratio)
+            for i in range(bsz)
+        ]
         t1 = time.perf_counter()
-        img, state = step_jit(state, camera)
+        for camera in batch_cams:
+            img, state = step_jit(state, camera)
         sync(img)
-        per_frame.append((time.perf_counter() - t1) * 1e3 - lat)
+        per_frame.append(
+            ((time.perf_counter() - t1) * 1e3 - lat) / bsz)
     # tunnel-RTT distribution over the same count of trivial syncs: every
     # per-frame sample above includes ONE readback, so RTT jitter is a
     # floor on the per-frame tail — print both so a p95 spike can be
@@ -312,8 +325,8 @@ def main() -> None:
         t1 = time.perf_counter()
         sync(tiny)
         rtts.append((time.perf_counter() - t1) * 1e3)
-    print("per-frame(ms): " + " ".join(f"{t:.0f}" for t in per_frame),
-          file=sys.stderr)
+    print(f"per-frame(ms, {bsz}-frame batches): "
+          + " ".join(f"{t:.1f}" for t in per_frame), file=sys.stderr)
     print("tunnel-rtt(ms): " + " ".join(f"{t:.0f}" for t in rtts),
           file=sys.stderr)
     per_frame.sort()

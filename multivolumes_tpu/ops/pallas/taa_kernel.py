@@ -71,10 +71,15 @@ def _shift_x(band, dx: int):
         [band[..., :1]] * (-dx) + [band[..., :dx]], axis=-1)
 
 
-def _taa_band_kernel(cm_ref, c0_ref, cp_ref, hist_ref, blur_ref, out_ref):
+def _taa_band_kernel(cm_ref, c0_ref, cp_ref, hist_ref, blur_ref, out_ref,
+                     img_ref=None):
     """cm/c0/cp: (4, TH, W) current rgba rows shifted by dy=-1/0/+1;
     hist_ref: (4, TH, W) reprojected history; blur_ref: (1, TH, W);
-    out_ref: (4, TH, W) new history (channels 0..2 = resolved color)."""
+    out_ref: (4, TH, W) new history (channels 0..2 = resolved color);
+    img_ref (optional): (3, TH, W) DISPLAY image — the tone-map curve
+    (`PSToneMap.hlsl:19-28`, postprocess.tone_map_ch) applied to the
+    resolved color in-band, so the planar frame tail needs no separate
+    full-screen tonemap + stack kernels."""
     rows = {-1: cm_ref, 0: c0_ref, 1: cp_ref}
 
     def tap(c, dy):
@@ -159,6 +164,14 @@ def _taa_band_kernel(cm_ref, c0_ref, cp_ref, hist_ref, blur_ref, out_ref):
     out_ref[1] = rg
     out_ref[2] = rb
     out_ref[3] = meta
+    if img_ref is not None:
+        def tmap(x):
+            x = x * 1.05 / (x + 0.7)
+            return jnp.power(jnp.abs(x), 1.25)
+
+        img_ref[0] = tmap(rr)
+        img_ref[1] = tmap(rg)
+        img_ref[2] = tmap(rb)
 
 
 def _pad_views(cur, hist, blur, h_mult: int):
@@ -180,29 +193,43 @@ def _pad_views(cur, hist, blur, h_mult: int):
     return cur_m, cur_0, cur_p, hist_p, blur_p
 
 
-def _resolve_bands(cur_m, cur_0, cur_p, hist_p, blur_p, interpret: bool):
+def _resolve_bands(cur_m, cur_0, cur_p, hist_p, blur_p, interpret: bool,
+                   tonemap: bool = False):
     """The band pallas_call on already-padded, already-shifted inputs
-    ((4, HP, WP) each, HP a _TH multiple). Purely local row bands."""
+    ((4, HP, WP) each, HP a _TH multiple). Purely local row bands.
+    tonemap=True adds a second (3, HP, WP) output: the display-mapped
+    image (see _taa_band_kernel)."""
     _, hp, wp = cur_0.shape
     spec = pl.BlockSpec((4, _TH, wp), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((4, hp, wp), jnp.float32)
+    out_specs = spec
+    kernel = _taa_band_kernel
+    if tonemap:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)]
+        out_specs = [spec, pl.BlockSpec((3, _TH, wp), lambda i: (0, i, 0),
+                                        memory_space=pltpu.VMEM)]
     return pl.pallas_call(
-        _taa_band_kernel,
-        out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        kernel,
+        out_shape=out_shape,
         grid=(hp // _TH,),
         in_specs=[spec, spec, spec, spec,
                   pl.BlockSpec((1, _TH, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=spec,
+        out_specs=out_specs,
         interpret=interpret,
     )(cur_m, cur_0, cur_p, hist_p, blur_p)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def taa_resolve(cur, hist, blur, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("interpret", "tonemap"))
+def taa_resolve(cur, hist, blur, interpret: bool | None = None,
+                tonemap: bool = False):
     """cur (4, H, W) current rgba fields; hist (4, H, W) reprojected
     history; blur (H, W) cur_history_blur. Returns the new history
-    (4, H, W) whose channels 0..2 are the resolved color."""
+    (4, H, W) whose channels 0..2 are the resolved color — plus the
+    display-mapped (3, H, W) image when tonemap=True (fused in-band,
+    saving the frame tail's separate tonemap + planar-stack kernels)."""
     if interpret is None:
         interpret = interpret_default()
     cur = cur.astype(jnp.float32)
@@ -210,7 +237,10 @@ def taa_resolve(cur, hist, blur, interpret: bool | None = None):
     blur = blur.astype(jnp.float32)
     _, h, w = cur.shape
     views = _pad_views(cur, hist, blur, _TH)
-    out = _resolve_bands(*views, interpret)
+    out = _resolve_bands(*views, interpret, tonemap=tonemap)
+    if tonemap:
+        hist_out, img = out
+        return hist_out[:, :h, :w], img[:, :h, :w]
     return out[:, :h, :w]
 
 

@@ -418,19 +418,30 @@ def render_frame(
         # never silently fall back to unreprojected history
         far_preset = bool(config.raster_preset == "far"
                           and config.raster_far_tiers)
-        (rr, rg, rb), new_history = taa_lib.temporal_aa(
+        # planar single-device: the resolve kernel also emits the
+        # display image (tone map fused in-band — no separate
+        # full-screen tonemap/stack kernels in the throughput tail)
+        fuse_tm = planar and mesh is None
+        taa_out = taa_lib.temporal_aa(
             (sc_r, sc_g, sc_b, sc_a), state.taa_history, velocity,
             reproj_center=(mesh_out.screen_center if has_mesh else None),
             reproj_window=(config.taa_reproj_window if far_preset else 0),
-            device_mesh=mesh,
+            device_mesh=mesh, tonemap_out=fuse_tm,
         )
+        if fuse_tm:
+            (rr, rg, rb), new_history, image = taa_out
+        else:
+            (rr, rg, rb), new_history = taa_out
+            image = None
     else:
         rr, rg, rb = sc_r, sc_g, sc_b
         new_history = state.taa_history
+        image = None
 
-    ir, ig, ib = postprocess.tone_map_ch(rr, rg, rb)
     ax = 0 if planar else -1
-    image = jnp.stack([ir, ig, ib], ax)
+    if image is None:
+        ir, ig, ib = postprocess.tone_map_ch(rr, rg, rb)
+        image = jnp.stack([ir, ig, ib], ax)
     hdr = jnp.stack([sc_r, sc_g, sc_b, sc_a], ax)
 
     new_state = dataclasses.replace(

@@ -144,7 +144,7 @@ def _sample_bilinear_ch(img, u, v):
 
 def temporal_aa(current, history, velocity, use_pallas: bool = True,
                 reproj_center=None, reproj_window: int = 0,
-                device_mesh=None):
+                device_mesh=None, tonemap_out: bool = False):
     """current: (r, g, b, a) scalar fields ((H, W) each; a <= 0.9997 marks
     transparency); history: (4, H, W) channel-leading previous output +
     metadata; velocity: (vx, vy) fields, or None when the frame has no
@@ -156,16 +156,23 @@ def temporal_aa(current, history, velocity, use_pallas: bool = True,
     The production path fuses the whole resolve into one Pallas kernel
     (`ops/pallas/taa_kernel.py`); only the velocity-dilated history
     reprojection (a genuine bilinear gather) stays in XLA. This jnp body
-    is the semantics twin, kept for goldens (use_pallas=False)."""
+    is the semantics twin, kept for goldens (use_pallas=False).
+
+    tonemap_out=True (Pallas single-device path only) additionally
+    returns the display-mapped PLANAR (3, H, W) image as a third
+    element, tone-mapped inside the resolve kernel — the throughput
+    frame tail then needs no separate tonemap/stack kernels."""
     if use_pallas:
         return _temporal_aa_pallas(current, history, velocity,
                                    reproj_center, reproj_window,
-                                   device_mesh)
+                                   device_mesh, tonemap_out=tonemap_out)
+    assert not tonemap_out, "tonemap_out is a Pallas-path contract"
     return _temporal_aa_jnp(current, history, velocity)
 
 
 def _temporal_aa_pallas(current, history, velocity, reproj_center=None,
-                        reproj_window: int = 0, device_mesh=None):
+                        reproj_window: int = 0, device_mesh=None,
+                        tonemap_out: bool = False):
     from multivolumes_tpu.ops.pallas import taa_kernel
 
     cr, cg_, cb, ca = current
@@ -219,8 +226,14 @@ def _temporal_aa_pallas(current, history, velocity, reproj_center=None,
     cur = jnp.stack([cr, cg_, cb, ca], 0)
     if device_mesh is not None and "rows" in device_mesh.axis_names:
         # 2-D device mesh: band-resolve a contiguous row band per device
+        assert not tonemap_out, "fused tonemap is single-device only"
         new_history = taa_kernel.taa_resolve_sharded(
             device_mesh, cur, hist, blur)
+    elif tonemap_out:
+        new_history, img = taa_kernel.taa_resolve(cur, hist, blur,
+                                                  tonemap=True)
+        return ((new_history[0], new_history[1], new_history[2]),
+                new_history, img)
     else:
         new_history = taa_kernel.taa_resolve(cur, hist, blur)
     return (new_history[0], new_history[1], new_history[2]), new_history

@@ -93,15 +93,20 @@ def main() -> None:
         adaptive=cfg.adaptive_raymarch)
     shadow_vp = mesh_lib.shadow_view_proj(state)
     shadow = state.mesh_shadow_map if cfg.show_mesh else None
-    march = jax.jit(lambda lm, f: lightmarch.ray_march_light(
-        state.volumes, state.vol_tex_ids, lm, po, cull, f,
-        shadow, shadow_vp, state.light_pos, state.light_color,
+    # big arrays enter as ARGUMENTS: a closed-over volume stack
+    # (~340 MB) becomes an HLO constant literal and the remote compile
+    # helper rejects the oversized program (HTTP 413)
+    march = jax.jit(lambda vols, sm, lm, f: lightmarch.ray_march_light(
+        vols, state.vol_tex_ids, lm, po, cull, f,
+        sm, shadow_vp, state.light_pos, state.light_color,
         state.ambient, state.sh_coeffs, cfg.max_light_samples,
-        has_light_probe=cfg.has_light_probe))
+        has_light_probe=cfg.has_light_probe),
+        donate_argnums=(2,))  # the 680 MB map stack updates in place
     t0 = time.perf_counter()
     ref_maps = state.light_maps.astype(jnp.float32)
     for f in range(cfg.num_volumes):
-        ref_maps = march(ref_maps, jnp.asarray(f, jnp.int32))
+        ref_maps = march(state.volumes, shadow, ref_maps,
+                         jnp.asarray(f, jnp.int32))
     ref_maps.block_until_ready()
     print(f"reference light warmup: {time.perf_counter() - t0:.1f} s",
           file=sys.stderr)
