@@ -55,6 +55,12 @@ def render_frame(
                            # TPU (docs/ARCHITECTURE.md), so the
                            # throughput path (render_frames) keeps the
                            # jit boundary planar and converts on host
+    precomp=None,          # (per_object, cull, lod_order) computed
+                           # OUTSIDE a K-frame scan: cameras are known
+                           # upfront, so render_frames vmaps this
+                           # small-op prep chain across K instead of
+                           # re-running it serially inside every scan
+                           # iteration (per-frame "prep" glue)
 ) -> FrameOutput:
     width, height = config.width, config.height
     show_mesh = config.show_mesh if show_mesh is None else show_mesh
@@ -63,7 +69,11 @@ def render_frame(
     screen_to_world = camera.screen_to_world
     eye = camera.eye
 
-    per_object = build_per_object(state.volume_worlds, view_proj)
+    if precomp is not None:
+        per_object, cull_pre, order_pre = precomp
+    else:
+        per_object = build_per_object(state.volume_worlds, view_proj)
+        cull_pre = order_pre = None
 
     # --- opaque mesh: shadow + depth + base pass -------------------------
     has_mesh = bool(show_mesh and state.mesh_indices.shape[0] > 1)
@@ -87,7 +97,7 @@ def render_frame(
         new_prev_wvp = state.mesh_prev_wvp
 
     # --- volume culling / LOD -------------------------------------------
-    cull = cull_lib.cull_volumes(
+    cull = cull_pre if cull_pre is not None else cull_lib.cull_volumes(
         per_object,
         eye,
         jnp.array([width, height], jnp.float32),
@@ -230,6 +240,7 @@ def render_frame(
                     light_w=light_w,
                     vol_zmax=state.vol_zmax,
                     sorted_output=use_tile,
+                    order=order_pre,
                 )
             if use_tile:
                 cube_maps, sweep_mips, sweep_order = out
@@ -244,6 +255,9 @@ def render_frame(
                 lod_cull, config.num_volumes, config.cube_map_size,
                 config.lod_bucket_caps,
             )
+            if order_pre is not None:
+                lod_order = order_pre  # batched-prep scan: reuse; the
+                # argsort above is dead code XLA removes
         else:
             cube_maps = sweep_lib.ray_march_view_sweep(
                 vol_or,
@@ -504,10 +518,37 @@ def render_frames(
         return layout_lib.with_layout_constraint(
             x, layout_lib.Layout(major_to_minor=tuple(range(x.ndim))))
 
-    def body(mut, cam):
+    # Batched per-frame prep: cameras are known upfront, so the small-op
+    # prep chain (per-object matrices, cull, LOD order) runs ONCE,
+    # vmapped over the K frames, instead of serially inside every scan
+    # iteration — the scan body then starts directly at the big passes.
+    # (volume_worlds is scan-invariant: it is not in _CARRIED.)
+    from multivolumes_tpu.render import sweep as sweep_lib
+
+    def _prep(view_proj, eye):
+        po = build_per_object(state.volume_worlds, view_proj)
+        cu = cull_lib.cull_volumes(
+            po, eye,
+            jnp.array([config.width, config.height], jnp.float32),
+            config.max_ray_samples, config.cube_map_size,
+            config.num_cube_mips, adaptive=config.adaptive_raymarch)
+        if config.lod_bucket_caps is not None and config.adaptive_raymarch:
+            lod_cull = cu._replace(use_cube_map=cu.visible)
+            order = sweep_lib.lod_partition(
+                lod_cull, config.num_volumes, config.cube_map_size,
+                config.lod_bucket_caps)[0]
+        else:
+            order = jnp.arange(config.num_volumes, dtype=jnp.int32)
+        return po, cu, order
+
+    prep_k = jax.vmap(_prep)(cameras.view_proj, cameras.eye)
+
+    def body(mut, xs):
+        cam, prep = xs
         st = dataclasses.replace(state, **dict(zip(_CARRIED, mut)))
         out = render_frame(st, cam, config, show_mesh=show_mesh,
-                           use_taa=use_taa, mesh=mesh, planar=True)
+                           use_taa=use_taa, mesh=mesh, planar=True,
+                           precomp=prep)
         new = dict((f, getattr(out.state, f)) for f in _CARRIED)
         new["light_maps_oriented"] = _pin_row_major(
             new["light_maps_oriented"])
@@ -517,5 +558,6 @@ def render_frames(
     mut0["light_maps_oriented"] = _pin_row_major(
         mut0["light_maps_oriented"])
     mut0 = tuple(mut0[f] for f in _CARRIED)
-    mut_end, images = jax.lax.scan(body, mut0, cameras, unroll=unroll)
+    mut_end, images = jax.lax.scan(body, mut0, (cameras, prep_k),
+                                   unroll=unroll)
     return images, dataclasses.replace(state, **dict(zip(_CARRIED, mut_end)))

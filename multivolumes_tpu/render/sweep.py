@@ -664,6 +664,7 @@ def ray_march_view_sweep_lod(
     light_w: int | None = None,
     vol_zmax=None,
     sorted_output: bool = False,
+    order=None,  # precomputed lod_partition order (batched-prep scan)
 ):
     """LOD-bucketed sweep: the honest work-graph equivalent.
 
@@ -707,7 +708,8 @@ def ray_march_view_sweep_lod(
 
     run_mask_full = cull.face_mask & cull.visible[:, None]
 
-    order, buckets = lod_partition(cull, n, s, bucket_caps)
+    order_own, buckets = lod_partition(cull, n, s, bucket_caps)
+    order = order_own if order is None else order
 
     # packed f16-pair storage (N, 6, 2, S, S) for the gather composite;
     # the warp composite consumes plain channels (pack=False) in the
@@ -719,6 +721,14 @@ def ray_march_view_sweep_lod(
     else:
         color = jnp.zeros((n, 6, 4, s, s), dtype)
     mips = jnp.zeros((n,), jnp.int32)
+    # sorted_output assembles by CONCATENATING padded bucket pieces
+    # (bucket spans [b0, b0+count) tile the row axis exactly): the
+    # dynamic-update-slice form copied the whole (N, 6, 4, S, S) buffer
+    # once per bucket (~0.86 ms/frame at n=64, traced
+    # dynamic-update-slice.355/356) because the chained DUS ops never
+    # go in-place across the pallas-call boundary; a concat of pad ops
+    # writes each byte exactly once.
+    color_parts, depth_parts = [], []
 
     max_mip = max((s // 8).bit_length() - 1, 0)  # deepest level (>= 8 texels)
     for (b0, count, size_b, mip_b) in buckets:
@@ -747,7 +757,33 @@ def ray_march_view_sweep_lod(
         eye_f_b = eye_faces[ids]
         if depth_map is not None:
             po_b = PerObject(*(x[ids] for x in per_object))
-            if size_b >= 32:
+            if size_b >= 64:
+                # QUARTER-resolution occlusion bounds for the big
+                # buckets: the per-texel depth tap is the sweep's
+                # dominant glue (traced ~1.2 ms/frame at n=64 + mesh
+                # incl. the gather's layout copies) and drops 16x here.
+                # Conservative by the same two mechanisms as the
+                # half-res path below, with the source strengthened to
+                # match the coarser grid: the tap reads a 4x4
+                # MAX-pooled depth (z = 1 far, so every fine pixel
+                # under a coarse tap sees a bound >= its own farthest
+                # depth) and the 3x3 coarse max-dilate covers the
+                # projection slop between a cell's fine texels and its
+                # centre. s_max still only GROWS vs the exact tap;
+                # overshoot is clipped by the composite's per-pixel
+                # depth test. The cube DEPTH map (CubeCast weights)
+                # coarsens with it — seam impact is bounded by the
+                # demo-scale fidelity number (tools/fidelity_demo.py).
+                sc = size_b // 4
+                occl4 = _pool2_max(occl_depth)
+                s_max_c, depth_c = _occlusion_s_max(
+                    po_b, eye_local[ids], eye_f_b, occl4, sc,
+                    n_eff=n_eff_v * 0.25)
+                s_max_b = _upsample2_nearest(_upsample2_nearest(
+                    _dilate3_max(s_max_c), size_b // 2), size_b)
+                depth_b = _upsample2_nearest(_upsample2_nearest(
+                    depth_c, size_b // 2), size_b)
+            elif size_b >= 32:
                 # Occlusion bounds at HALF the bucket resolution: the
                 # depth tap is one gather per ray (measured ~6.8 ms at
                 # n=64 + mesh), and s_max is smooth away from mesh
@@ -771,8 +807,10 @@ def ray_march_view_sweep_lod(
                     po_b, eye_local[ids], eye_f_b, occl_depth, size_b,
                     n_eff=n_eff_v)
             if sorted_output:
-                cube_depth = cube_depth.at[
-                    b0:b0 + count, :, 0:size_b, 0:size_b].set(depth_b)
+                depth_parts.append(jnp.pad(
+                    depth_b,
+                    ((0, 0), (0, 0), (0, s - size_b), (0, s - size_b)),
+                    constant_values=1.0))  # pad = far clip, like the init
             else:
                 cube_depth = cube_depth.at[
                     ids, :, 0:size_b, 0:size_b].set(depth_b)
@@ -808,13 +846,18 @@ def ray_march_view_sweep_lod(
         else:
             out_b = scatter.astype(dtype)
         if sorted_output:
-            # static slice bounds -> one dynamic-update-slice per bucket
-            color = color.at[
-                b0:b0 + count, :, :, 0:size_b, 0:size_b].set(out_b)
+            color_parts.append(jnp.pad(
+                out_b, ((0, 0), (0, 0), (0, 0),
+                        (0, s - size_b), (0, s - size_b))))
         else:
             color = color.at[ids, :, :, 0:size_b, 0:size_b].set(out_b)
         mips = mips.at[ids].set(eff_mip)
 
     if sorted_output:
+        color = (color_parts[0] if len(color_parts) == 1
+                 else jnp.concatenate(color_parts, axis=0))
+        if depth_parts:
+            cube_depth = (depth_parts[0] if len(depth_parts) == 1
+                          else jnp.concatenate(depth_parts, axis=0))
         return CubeMaps(color=color, depth=cube_depth), mips, order
     return CubeMaps(color=color, depth=cube_depth), mips

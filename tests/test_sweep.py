@@ -271,3 +271,42 @@ def test_coarse_occlusion_bound_is_conservative():
         float((b[finite] - f[finite]).min()))
     # and the step actually occludes some rays (the test bites)
     assert (f[finite] < 10.0).any()
+
+
+def test_quarter_occlusion_bound_is_conservative():
+    """Buckets >= 64 sample occlusion at QUARTER resolution from a 4x4
+    max-pooled depth source (sweep.py `size_b >= 64` branch). The
+    production math exactly: pooled source + 3x3 coarse dilate + two
+    nearest upsamples must never tighten the bound vs the exact
+    full-resolution tap of the half-pooled source the >=32 path uses."""
+    cfg = RenderConfig(width=160, height=120, grid_size=16,
+                       light_grid_size=8, max_ray_samples=32,
+                       num_volumes=4, num_volume_srcs=1, cube_map_size=64)
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.make_camera(jnp.array([2.0, 10.0, -40.0]), jnp.zeros(3),
+                              160 / 120)
+    po = build_per_object(st.volume_worlds, cam.view_proj)
+
+    yy = jnp.arange(120, dtype=jnp.float32)[:, None]
+    depth = jnp.where(jnp.broadcast_to(yy, (120, 160)) > 60, 0.55, 1.0)
+
+    eye_local = sweep.math3d.transform_point3(cam.eye, po.world_i)
+    eye_faces = sweep.eye_to_face_frames(eye_local)
+    n_eff = jnp.full((4,), 64.0, jnp.float32)
+
+    occl2 = jax.jit(sweep._pool2_max)(depth)          # the >=32 source
+    occl4 = jax.jit(sweep._pool2_max)(occl2)          # the >=64 source
+    fine, _ = jax.jit(lambda: sweep._occlusion_s_max(
+        po, eye_local, eye_faces, occl2, 64, n_eff=n_eff))()
+    coarse, _ = jax.jit(lambda: sweep._occlusion_s_max(
+        po, eye_local, eye_faces, occl4, 16, n_eff=n_eff * 0.25))()
+    bound = jax.jit(lambda c: sweep._upsample2_nearest(
+        sweep._upsample2_nearest(sweep._dilate3_max(c), 32), 64))(coarse)
+
+    f = np.asarray(fine)
+    b = np.asarray(bound)
+    finite = np.isfinite(f) & (f < 1e30)
+    assert finite.any()
+    assert (b[finite] >= f[finite] - 2e-3).all(), (
+        float((b[finite] - f[finite]).min()))
+    assert (f[finite] < 10.0).any()
