@@ -156,6 +156,13 @@ def ray_march_light(
     max_light_samples: int,
     has_light_probe: bool = True,
     point_light: bool = False,
+    z_slab=None,  # (z0 traced, zc static): march only light-grid z rows
+                  # [z0, z0+zc) — same math, 1/(L/zc) the rays per
+                  # dispatch. The demo-scale fidelity warmup marches a
+                  # 96^3 grid x 2 rays x 96 steps through 64 volumes per
+                  # call; one full-grid dispatch runs minutes on a chip
+                  # and has crashed the remote TPU worker — slabs keep
+                  # each dispatch short (tools/fidelity_demo.py).
 ) -> jnp.ndarray:
     """Refresh one volume's light map; returns the updated channel-mid
     (N, 3, L, L, L) stack.
@@ -172,10 +179,16 @@ def ray_march_light(
 
     # Voxel centers of the target volume's light grid, in its local space.
     ts = (jnp.arange(l, dtype=jnp.float32) + 0.5) / l * 2.0 - 1.0
-    lz, ly_, lx = jnp.meshgrid(ts, ts, ts, indexing="ij")
+    if z_slab is not None:
+        z0, zc = z_slab
+        ts_z = jax.lax.dynamic_slice(ts, (z0,), (zc,))
+    else:
+        ts_z = ts
+    lz, ly_, lx = jnp.meshgrid(ts_z, ts, ts, indexing="ij")
+    gshape = lz.shape  # (zc, L, L) under z_slab, else (L, L, L)
 
     tex_id = vol_tex_ids[vid]
-    tex_idx = jnp.broadcast_to(tex_id, (l, l, l)).astype(jnp.int32)
+    tex_idx = jnp.broadcast_to(tex_id, gshape).astype(jnp.int32)
     u, v, w = lx * 0.5 + 0.5, ly_ * 0.5 + 0.5, lz * 0.5 + 0.5
     density = indexed_trilinear_soa(volumes, tex_idx, u, v, w)[3]
     has_density = density >= ZERO_THRESHOLD
@@ -188,7 +201,7 @@ def ray_march_light(
     if shadow_map is not None:
         shadow = shadow_test_soa(wx, wy, wz, shadow_map, shadow_vp)
     else:
-        shadow = jnp.ones((l, l, l), jnp.float32)
+        shadow = jnp.ones(gshape, jnp.float32)
 
     # SH ambient: AO ray along the negated density gradient
     # (`CSRayMarchL.hlsl:61-75`).
@@ -226,7 +239,7 @@ def ray_march_light(
         onx = wx * m[0, 0] + wy * m[1, 0] + wz * m[2, 0] + m[3, 0]
         ony = wx * m[0, 1] + wy * m[1, 1] + wz * m[2, 1] + m[3, 1]
         onz = wx * m[0, 2] + wy * m[1, 2] + wz * m[2, 2] + m[3, 2]
-        tex_b = jnp.broadcast_to(tex_n, (l, l, l)).astype(jnp.int32)
+        tex_b = jnp.broadcast_to(tex_n, gshape).astype(jnp.int32)
 
         if point_light:
             # `_POINT_LIGHT_`: local light point (full affine transform,
@@ -271,7 +284,7 @@ def ray_march_light(
             active2 = has_density & hit2
             transm = cast_light_ray(
                 volumes, tex_b, (c2x, c2y, c2z), (avx, avy, avz),
-                jnp.ones((l, l, l), jnp.float32),
+                jnp.ones(gshape, jnp.float32),
                 step_scale, max_light_samples, active2,
             )
             transm = jnp.where(active2, transm, 1.0)
@@ -287,7 +300,7 @@ def ray_march_light(
     is_self = jnp.arange(n) == vid
     (shadow, ao), _ = jax.lax.scan(
         per_volume,
-        (shadow, jnp.ones((l, l, l), jnp.float32)),
+        (shadow, jnp.ones(gshape, jnp.float32)),
         (per_object.world_i, vol_tex_ids, is_self),
     )
 
@@ -300,9 +313,9 @@ def ray_march_light(
         amb_g = jnp.where(has_density, ao * irr_g, 0.0)
         amb_b = jnp.where(has_density, ao * irr_b, 0.0)
     else:
-        amb_r = jnp.full((l, l, l), amb[0])
-        amb_g = jnp.full((l, l, l), amb[1])
-        amb_b = jnp.full((l, l, l), amb[2])
+        amb_r = jnp.full(gshape, amb[0])
+        amb_g = jnp.full(gshape, amb[1])
+        amb_b = jnp.full(gshape, amb[2])
 
     new_map = jnp.stack(
         [
@@ -312,4 +325,9 @@ def ray_march_light(
         ],
         axis=0,
     )
+    if z_slab is not None:
+        zero = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(
+            light_maps, new_map.astype(light_maps.dtype)[None],
+            (vid, zero, z0, zero, zero))
     return light_maps.at[vid].set(new_map.astype(light_maps.dtype))

@@ -164,3 +164,43 @@ def test_point_light_matches_directional_at_infinity():
 
     np.testing.assert_allclose(far_point, directional, atol=1e-3)
     assert np.abs(near_point - directional).max() > 1e-2
+
+
+def test_light_march_z_slab_equals_full():
+    """ray_march_light(z_slab=...) chunks the light grid's z rows into
+    separate dispatches (the demo-scale fidelity warmup's crash guard);
+    the chunked result must equal the one-dispatch full-grid march."""
+    import jax
+    import jax.numpy as jnp
+
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.render import cull as cull_lib, lightmarch
+    from multivolumes_tpu.render.perframe import build_per_object
+    from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
+                       max_ray_samples=16, max_light_samples=12,
+                       num_volumes=2, num_volume_srcs=1, cube_map_size=16,
+                       shadow_map_size=32, has_light_probe=True)
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.default_camera(cfg.aspect_ratio)
+    po = build_per_object(st.volume_worlds, cam.view_proj)
+    cull = cull_lib.cull_volumes(
+        po, cam.eye, jnp.array([96.0, 64.0]), cfg.max_ray_samples,
+        cfg.cube_map_size, cfg.num_cube_mips)
+
+    def march(lm, z_slab):
+        return lightmarch.ray_march_light(
+            st.volumes, st.vol_tex_ids, lm, po, cull,
+            jnp.asarray(0), None, jnp.eye(4), st.light_pos,
+            st.light_color, st.ambient, st.sh_coeffs,
+            cfg.max_light_samples, has_light_probe=True, z_slab=z_slab)
+
+    full = np.asarray(jax.jit(lambda lm: march(lm, None))(st.light_maps))
+    zc = 4
+    slab = jax.jit(lambda lm, z0: march(lm, (z0, zc)))
+    out = st.light_maps
+    for z0 in range(0, cfg.light_grid_size, zc):
+        out = slab(out, jnp.asarray(z0, jnp.int32))
+    np.testing.assert_allclose(np.asarray(out), full, atol=2e-6)

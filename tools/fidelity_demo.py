@@ -96,17 +96,30 @@ def main() -> None:
     # big arrays enter as ARGUMENTS: a closed-over volume stack
     # (~340 MB) becomes an HLO constant literal and the remote compile
     # helper rejects the oversized program (HTTP 413)
-    march = jax.jit(lambda vols, sm, lm, f: lightmarch.ray_march_light(
+    # z-SLAB dispatches: one full-grid reference march (96^3 rays x 2
+    # x 96 steps through 64 volumes) runs minutes on-chip and has
+    # crashed the remote TPU worker mid-warmup; 16-row slabs keep each
+    # dispatch seconds long (identical math, lightmarch z_slab)
+    lgrid = int(state.light_maps.shape[-1])
+    zc = lgrid if args.small else min(16, lgrid)
+    march = jax.jit(lambda vols, sm, lm, f, z0: lightmarch.ray_march_light(
         vols, state.vol_tex_ids, lm, po, cull, f,
         sm, shadow_vp, state.light_pos, state.light_color,
         state.ambient, state.sh_coeffs, cfg.max_light_samples,
-        has_light_probe=cfg.has_light_probe),
+        has_light_probe=cfg.has_light_probe,
+        z_slab=(z0, zc)),
         donate_argnums=(2,))  # the 680 MB map stack updates in place
     t0 = time.perf_counter()
     ref_maps = state.light_maps.astype(jnp.float32)
     for f in range(cfg.num_volumes):
-        ref_maps = march(state.volumes, shadow, ref_maps,
-                         jnp.asarray(f, jnp.int32))
+        for z0 in range(0, lgrid, zc):
+            ref_maps = march(state.volumes, shadow, ref_maps,
+                             jnp.asarray(f, jnp.int32),
+                             jnp.asarray(z0, jnp.int32))
+        if f % 8 == 7:
+            ref_maps.block_until_ready()
+            print(f"  warmed {f + 1}/{cfg.num_volumes} "
+                  f"({time.perf_counter() - t0:.0f} s)", file=sys.stderr)
     ref_maps.block_until_ready()
     print(f"reference light warmup: {time.perf_counter() - t0:.1f} s",
           file=sys.stderr)
