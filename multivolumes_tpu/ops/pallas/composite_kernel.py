@@ -87,7 +87,8 @@ def _finite(x):
 
 
 def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
-                 u_block=8, subgrid=True, with_depth=False):
+                 u_block=8, subgrid=True, with_depth=False,
+                 dma_ext=False):
     """Bind static geometry; return the kernel body.
 
     with_depth=True adds the paper's depth-aware CubeCast weights
@@ -151,34 +152,60 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
         sel_row = jax.lax.broadcasted_iota(jnp.int32, (s_pad, u_block), 0)
         sel_col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, u_block), 1)
 
-        def face_copy(i, slot):
+        def face_copy(i, slot, ext: int):
             return pltpu.make_async_copy(
-                color_hbm.at[tlist[t, i]], vol_scr.at[slot], sem.at[slot])
+                color_hbm.at[tlist[t, i], :, :, pl.ds(0, ext)],
+                vol_scr.at[slot, :, :, pl.ds(0, ext)], sem.at[slot])
 
-        def dep_copy(i, slot):
+        def dep_copy(i, slot, ext: int):
             return pltpu.make_async_copy(
-                depth_hbm.at[tlist[t, i]], dep_scr.at[slot], sem_d.at[slot])
+                depth_hbm.at[tlist[t, i], :, pl.ds(0, ext)],
+                dep_scr.at[slot, :, pl.ds(0, ext)], sem_d.at[slot])
+
+        # Per-volume DMA extents: a volume at effective resolution n_eff
+        # only ever has its first n_eff face ROWS read (every sweep range
+        # is clipped to hi = n_eff - 1; rows beyond stay stale in VMEM
+        # and are never read by pass 2, so stale garbage is dead). Most
+        # volumes at n=64 sit in the S/2 and S/4 LOD buckets — copying
+        # their full (6, 4, S, S_pad) slab paid ~4x the bytes per
+        # (tile, volume) pair, and for low-LOD volumes the tiny sweeps
+        # leave no compute to hide the full-slab copy under. The extent
+        # variant is derived from the scalar-prefetched n_eff, so start
+        # and wait (same vid) always pick the same chain.
+        exts = ([s, s // 2, s // 4] if dma_ext and s % 32 == 0 else [s])
+
+        def _variant(i):
+            nv = vol_flt[tlist[t, i], 20]
+            # largest extent covering n_eff: exts[k] >= nv > exts[k+1]
+            return [(nv > (exts[k + 1] if k + 1 < len(exts) else 0))
+                    & ((nv <= exts[k - 1] // 2) if k > 0 else True)
+                    for k in range(len(exts))]
 
         def start_copies(i, slot):
-            face_copy(i, slot).start()
-            if with_depth:
-                # depth rides only on MESH tiles: the weights are read
-                # exclusively under the mesh_t gate below, and the
-                # (6, S, S_pad) f32 plane is +50% on the color DMA —
-                # paying it on every (tile, volume) pair cost ~1.5 ms
-                # at n=64 when the mesh touches ~15% of tiles. mesh_t
-                # is tile-uniform and known before the first copy, so
-                # every started copy is waited (same gate both sides).
-                @pl.when(mesh_t)
-                def _():
-                    dep_copy(i, slot).start()
+            for k, ok in enumerate(_variant(i)):
+                @pl.when(ok)
+                def _(k=k):
+                    face_copy(i, slot, exts[k]).start()
+                    if with_depth:
+                        # depth rides only on MESH tiles: the weights
+                        # are read exclusively under the mesh_t gate
+                        # below, and the (6, S, S_pad) f32 plane is
+                        # +50% on the color DMA. mesh_t is tile-uniform
+                        # and known before the first copy, so every
+                        # started copy is waited (same gate both sides).
+                        @pl.when(mesh_t)
+                        def _():
+                            dep_copy(i, slot, exts[k]).start()
 
         def wait_copies(i, slot):
-            face_copy(i, slot).wait()
-            if with_depth:
-                @pl.when(mesh_t)
-                def _():
-                    dep_copy(i, slot).wait()
+            for k, ok in enumerate(_variant(i)):
+                @pl.when(ok)
+                def _(k=k):
+                    face_copy(i, slot, exts[k]).wait()
+                    if with_depth:
+                        @pl.when(mesh_t)
+                        def _():
+                            dep_copy(i, slot, exts[k]).wait()
 
         def vol_body(i, _):
             vid = tlist[t, i]
@@ -420,7 +447,8 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
             # previously measured kernel exactly — a traced zero offset
             # would still route stores through dynamic-offset pl.ds
             full = s_sub == s
-            v0f = jnp.float32(0.0) if full else v0.astype(jnp.float32)
+            v0f = (jnp.float32(0.0) if full
+                   else v0.astype(jnp.float32))
             r_c = r_col[:s_sub] + v0f
             x_r = x_row[:s_sub]
             # pass-1 auxiliary (Catmull-Smith): for face row r, the
@@ -537,6 +565,15 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 def _():
                     pass1(s, zero_i, use_dep)
             else:
+                # NOTE (2026-08-19, v5e): static top-window pass-1 row
+                # variants by n_eff (s/2, s/4 windows under pl.when)
+                # were built and measured here — 5.0 ms vs the 4.9 ms
+                # full-grid baseline at the 64-volume demo, i.e. the
+                # pass-1 row count is NOT this kernel's bottleneck
+                # (the u-sweep range already tracks the footprint), and
+                # non-power-of-two windows SIGABRT Mosaic's
+                # LoweringEmitter ("limits[i] <= dim(i)"). Removed: no
+                # win, extra per-face code under every variant.
                 pass1(s, jnp.zeros((), jnp.int32), use_dep)
 
         def pass2(th_sub: int, r0, use_dep: bool = False):
@@ -726,13 +763,21 @@ def tile_composite_pallas(
     # mode accepts them, so the bit-equality tests keep covering the
     # variant until Mosaic does.
     subgrid = os.environ.get("MV_CKERNEL_SUBGRID", "0") == "1"
+    # MV_CKERNEL_DMAEXT=1 enables per-volume n_eff-extent face DMA
+    # (same process-level rule). Default OFF: measured NEUTRAL on v5e
+    # (4.9 ms either way at the 64-volume demo — the double-buffered
+    # full-slab copy is already hidden under compute), and the variant
+    # predicates add per-volume branches. Kept as a knob: on a
+    # DMA-bound scene (many tiny volumes per tile) the 4x byte cut is
+    # real; equality tests cover the path in interpret mode.
+    dma_ext = os.environ.get("MV_CKERNEL_DMAEXT", "0") == "1"
     # MV_CKERNEL_DEPTHW=0 drops the CubeCast depth weights back to the
     # plain tent (A/B + seam-test escape hatch, same process-level rule)
     if os.environ.get("MV_CKERNEL_DEPTHW", "1") == "0":
         with_depth = False
     kernel = _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers,
                           width, height, u_block=u_block, subgrid=subgrid,
-                          with_depth=with_depth)
+                          with_depth=with_depth, dma_ext=dma_ext)
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),      # face images (HBM)
