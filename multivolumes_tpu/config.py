@@ -102,6 +102,13 @@ class RenderConfig:
     # footprints — see lightsweep.ray_march_light_sweep_update. 0 = all
     # volumes every frame. At demo counts <= 1 this is a full refresh.
     light_refresh: int = 1
+    # Shear-warp sweep axis, derived HOST-SIDE from the light direction
+    # (argmax |dir|) by the engine when the light is set: the light is a
+    # scene setting, not per-frame data, so baking the axis into the
+    # traced graph replaces a 3-branch lax.switch (~0.3 ms/frame of
+    # conditional copies at n=64, and 3x the compiled light code). None
+    # keeps the data-dependent switch (twins/tests).
+    light_axis: int | None = None
     # Pack cube-map RGBA as f16 pairs before compositing (halves the
     # dominant per-pixel gather cost; ~3-digit precision).
     packed_composite: bool = True

@@ -64,6 +64,20 @@ class MultiRayCaster:
         # compiled step instead of retracing on every flip
         self._render_jits: dict = {}
         self._mesh_aabb = None        # world AABB (2, 3), host numpy
+        self._set_light_axis()
+
+    def _set_light_axis(self) -> None:
+        """Bake the shear-warp sweep axis (argmax |light dir|) into
+        config: the light is a host-side scene setting, so the axis is
+        known at trace time — the sweep then skips its data-dependent
+        3-branch lax.switch (config.light_axis). Axis changes retrace
+        (<= 3 cache entries ever)."""
+        if self.config.light_mode != "sweep":
+            return
+        ax, ay, az = np.abs(np.asarray(self.state.light_pos[:3]))
+        # tie order matches the traced pick in lightsweep (z, then y)
+        axis = 2 if (az >= ax and az >= ay) else (1 if ay >= ax else 0)
+        self.config = self.config.with_(light_axis=axis)
 
     # --- MultiRayCaster API (`MultiRayCaster.h:31-50`) -------------------
 
@@ -181,6 +195,7 @@ class MultiRayCaster:
             light_pos=jnp.asarray([*pos, 1.0], jnp.float32),
             light_color=jnp.asarray([*color, intensity], jnp.float32),
         )
+        self._set_light_axis()
         self._refresh_shadow_map()
         self._refresh_light_cache()
 

@@ -143,6 +143,7 @@ def render_frame(
             sout_cache=state.light_sout,
             shadow_quads=(state.mesh_shadow_quads
                           if shadow_map is not None else None),
+            static_axis=config.light_axis,
         )
         light_maps = state.light_maps.at[ids].set(
             maps_c.astype(state.light_maps.dtype))

@@ -114,6 +114,12 @@ def light_transmittance(
     shadow_quads=None,  # (4*(Sm/2)^2, 4) mesh.build_shadow_quads table
                         # (state.mesh_shadow_quads): quad-row shadow
                         # sampling instead of 4 element gathers
+    static_axis=None,   # int: sweep-axis known at TRACE time (the light
+                        # direction is a host-side setting; the engine
+                        # derives argmax |dir| and bakes it into config)
+                        # — skips the 3-branch lax.switch, whose operand
+                        # /result copies traced ~0.3 ms/frame at n=64
+                        # and which triples the compiled light code
 ):
     """Per-volume transmittance fields toward the light, with inter-volume
     occlusion chained through a shared lateral map.
@@ -452,9 +458,12 @@ def light_transmittance(
             t_fields = jnp.transpose(t_fields, (0, 2, 1, 3))
         return t_fields, s_out_all
 
-    t_fields, s_out_all = jax.lax.switch(
-        axis, [lambda: sweep_all(0), lambda: sweep_all(1),
-               lambda: sweep_all(2)])
+    if static_axis is not None:
+        t_fields, s_out_all = sweep_all(int(static_axis))
+    else:
+        t_fields, s_out_all = jax.lax.switch(
+            axis, [lambda: sweep_all(0), lambda: sweep_all(1),
+                   lambda: sweep_all(2)])
     if return_sout:
         return t_fields, s_out_all
     return t_fields
@@ -555,6 +564,7 @@ def ray_march_light_sweep_update(
     impl: str = "pallas",
     shadow_quads=None,  # cached quad-packed shadow table (see
                         # light_transmittance)
+    static_axis=None,   # see light_transmittance
 ):
     """Refresh the light maps of a volume cohort (the reference's
     temporal amortization, `MultiRayCaster::RayMarchL` one volume per
@@ -576,7 +586,7 @@ def ray_march_light_sweep_update(
         rho, per_object, light_dir, step_scale,
         shadow_map=shadow_map, shadow_vp=shadow_vp,
         sub_ids=sub_ids, sout_cache=sout_cache, return_sout=True,
-        impl=impl, shadow_quads=shadow_quads)
+        impl=impl, shadow_quads=shadow_quads, static_axis=static_axis)
 
     maps = _shade_light_fields(shadow, rho, tex_sub, ao_src, grad_dir_src,
                                sh_coeffs, ambient, light_color,

@@ -376,3 +376,35 @@ def test_light_transmittance_pallas_matches_xla():
             impl="pallas"))(rho)
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_static_axis_matches_switch():
+    """config.light_axis bakes the shear-warp sweep axis at trace time
+    (the engine derives it host-side from the light direction); the
+    static-axis path must be bit-identical to the data-dependent
+    lax.switch for every dominant axis."""
+    from multivolumes_tpu.config import RenderConfig, SharedConsts
+    from multivolumes_tpu.render import lightsweep
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=96, height=64, grid_size=16,
+                       light_grid_size=12, max_ray_samples=16,
+                       max_light_samples=24, num_volumes=2,
+                       num_volume_srcs=1, cube_map_size=16,
+                       shadow_map_size=32)
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.default_camera(cfg.aspect_ratio)
+    po = build_per_object(st.volume_worlds, cam.view_proj)
+    step = SharedConsts.MAX_DIST / 24.0
+
+    dirs = {0: [0.9, 0.3, 0.2], 1: [0.2, 0.9, 0.3], 2: [0.3, 0.2, 0.9]}
+    for axis, d in dirs.items():
+        ld = jnp.asarray(d, jnp.float32)
+        ld = ld / jnp.linalg.norm(ld)
+        switch = jax.jit(lambda ld=ld: lightsweep.light_transmittance(
+            st.rho_light[st.vol_tex_ids], po, ld, step))()
+        static = jax.jit(lambda ld=ld: lightsweep.light_transmittance(
+            st.rho_light[st.vol_tex_ids], po, ld, step,
+            static_axis=axis))()
+        np.testing.assert_array_equal(np.asarray(switch),
+                                      np.asarray(static))
