@@ -110,16 +110,33 @@ def main() -> None:
         z_slab=(z0, zc)),
         donate_argnums=(2,))  # the 680 MB map stack updates in place
     t0 = time.perf_counter()
+    # RESUMABLE warmup: the remote TPU worker has crashed twice partway
+    # through this ~400-dispatch march (sustained-load flakiness, not
+    # dispatch length — 16-row slabs crash the same way full grids do).
+    # Checkpoint the warmed maps to disk every 16 volumes so a rerun
+    # resumes instead of restarting; drive with a retry loop.
+    cache = os.environ.get("MV_FIDELITY_CACHE",
+                           "/tmp/fidelity_ref_maps.npz")
+    f_start = 0
     ref_maps = state.light_maps.astype(jnp.float32)
-    for f in range(cfg.num_volumes):
+    if not args.small and os.path.exists(cache):
+        saved = np.load(cache)
+        if int(saved["done"]) > 0 and saved["maps"].shape == ref_maps.shape:
+            ref_maps = jnp.asarray(saved["maps"])
+            f_start = int(saved["done"])
+            print(f"  resuming warmup at volume {f_start} ({cache})",
+                  file=sys.stderr)
+    for f in range(f_start, cfg.num_volumes):
         for z0 in range(0, lgrid, zc):
             ref_maps = march(state.volumes, shadow, ref_maps,
                              jnp.asarray(f, jnp.int32),
                              jnp.asarray(z0, jnp.int32))
-        if f % 8 == 7:
-            ref_maps.block_until_ready()
+        if f % 16 == 15 and not args.small:
+            host = np.asarray(ref_maps)
+            np.savez(cache, maps=host, done=f + 1)
             print(f"  warmed {f + 1}/{cfg.num_volumes} "
-                  f"({time.perf_counter() - t0:.0f} s)", file=sys.stderr)
+                  f"({time.perf_counter() - t0:.0f} s, checkpointed)",
+                  file=sys.stderr)
     ref_maps.block_until_ready()
     print(f"reference light warmup: {time.perf_counter() - t0:.1f} s",
           file=sys.stderr)
