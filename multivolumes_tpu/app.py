@@ -32,14 +32,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxRaySamples", type=int, default=256)
     p.add_argument("--maxLightSamples", type=int, default=96)
     p.add_argument("--numVolumes", type=int, default=2)
-    p.add_argument("--volume", nargs="+", default=None,
+    p.add_argument("--volume", nargs="+", default=None, action="append",
                    metavar="[FILE] X Y Z SCALE",
                    help="reference -volume parity "
                         "(`MultiVolumes.cpp:559-568`): an optional R32F "
                         "volume DDS loaded into source 0, then the scene "
                         "placement x y z scale (any trailing subset, as "
                         "in the reference); numbers-only keeps the "
-                        "procedural volumes")
+                        "procedural volumes. REPEATABLE: occurrence k's "
+                        "file loads into volume source k (the reference "
+                        "ships a fixed 10-file source list, "
+                        "MultiVolumes.cpp:58-67, and cycles volumes "
+                        "across sources i %% numVolumeSrcs — repetition "
+                        "makes that multi-source scene reachable from "
+                        "the CLI); later placement floats win (the "
+                        "reference's last-wins stof loop)")
     p.add_argument("--volumeFile", type=str, default=None,
                    help="R32F volume DDS loaded into source 0 (alias for "
                         "the file part of --volume)")
@@ -157,13 +164,15 @@ def _poll_commands(timeout: float = 0.0):
         timeout = 0.0
 
 
-def parse_volume_arg(tokens, default_file=None):
+def parse_volume_arg(tokens, default_file=None,
+                     vol_pos_scale=None):
     """-volume [FILE] x y z s (`MultiVolumes.cpp:559-568`): leading
     non-numeric token = volume file; the numbers update vol_pos_scale
     in order, keeping defaults for the rest (reference stof behavior).
     Returns (volume_file, [x, y, z, scale])."""
     volume_file = default_file
-    vol_pos_scale = [0.0, 0.0, 0.0, 10.0]
+    if vol_pos_scale is None:
+        vol_pos_scale = [0.0, 0.0, 0.0, 10.0]
     if tokens:
         tokens = list(tokens)
         try:
@@ -175,6 +184,21 @@ def parse_volume_arg(tokens, default_file=None):
     return volume_file, vol_pos_scale
 
 
+def parse_volume_args(occurrences, default_file=None):
+    """All --volume occurrences (argparse action="append"): occurrence
+    k's file maps to volume source k; the placement floats accumulate
+    last-wins (one global vol_pos_scale, as in the reference).
+    Returns ([file_or_None per source index], [x, y, z, scale])."""
+    files = []
+    vol_pos_scale = [0.0, 0.0, 0.0, 10.0]
+    for k, tokens in enumerate(occurrences or [None]):
+        f, vol_pos_scale = parse_volume_arg(
+            tokens, default_file=(default_file if k == 0 else None),
+            vol_pos_scale=vol_pos_scale)
+        files.append(f)
+    return files, vol_pos_scale
+
+
 def main(argv=None) -> None:
     args = build_arg_parser().parse_args(argv)
 
@@ -182,7 +206,7 @@ def main(argv=None) -> None:
 
     configure_for_host(force_cpu=args.warp)
 
-    volume_file, vol_pos_scale = parse_volume_arg(
+    volume_files, vol_pos_scale = parse_volume_args(
         args.volume, default_file=args.volumeFile)
 
     cfg = RenderConfig(
@@ -201,8 +225,9 @@ def main(argv=None) -> None:
     if args.bf16 is not None:
         cfg = cfg.with_(use_bf16=args.bf16)
     engine = MultiRayCaster(cfg)
-    if volume_file:
-        engine.load_volume_file(0, volume_file)
+    for k, volume_file in enumerate(volume_files[:cfg.num_volume_srcs]):
+        if volume_file:
+            engine.load_volume_file(k, volume_file)
     if args.radiance:
         engine.set_radiance_file(args.radiance)
     if args.mesh:

@@ -109,6 +109,16 @@ class RenderConfig:
     # conditional copies at n=64, and 3x the compiled light code). None
     # keeps the data-dependent switch (twins/tests).
     light_axis: int | None = None
+    # Multi-chip MEMORY scaling (opt-in): shard the per-volume light
+    # stacks (light_maps / light_maps_oriented / light_sout — the
+    # dominant carried state, ~1.4 GB oriented at demo scale) over the
+    # device mesh's "volumes" axis instead of replicating. The sharded
+    # view sweep reads its LOCAL shard (no per-frame collective moves
+    # a stack; pinned by tests/test_sharding_placement.py), and the
+    # cohort refresh updates stay shard-local masked writes. Default
+    # off: single-chip and small meshes prefer replication (zero
+    # resharding risk, identical math).
+    shard_light_stacks: bool = False
     # Pack cube-map RGBA as f16 pairs before compositing (halves the
     # dominant per-pixel gather cost; ~3-digit precision).
     packed_composite: bool = True
@@ -179,10 +189,13 @@ class RenderConfig:
     # projects inside raster_far_bound <= window); the near preset
     # reprojects full-screen — no silent identity fallback for a mesh
     # that outgrew the window. Default matches mesh_shade_window: the
-    # pick bounds the mesh at 360 px, velocity dilation adds ~10 px of
-    # orbit motion — the quad-row history gather is ~0.9 ms at 448 px
-    # (traced), 448^2/384^2 = 1.36x the aligned window's bill.
-    taa_reproj_window: int = 384
+    # pick HOLDS the far preset to 1.05x the bound (hysteresis ceiling
+    # 378 px at the default 360), velocity dilation adds ~10 px of
+    # orbit motion — so the window must cover ceil(1.05*bound)+dilation
+    # (388 px at defaults), not the bare bound. 416 = that ceiling
+    # rounded up to a 32-px step; the quad-row history gather is
+    # ~0.9 ms at 448 px (traced), 416^2/384^2 = 1.17x the old bill.
+    taa_reproj_window: int = 416
     # Static window (px) for the mesh's deferred shade (plane-table
     # interpolation, shadow PCF, BRDF), centred on the mesh's projected
     # bbox. The per-pixel gathers are the mesh pass's screen-space cost;

@@ -365,10 +365,25 @@ class MultiRayCaster:
         block_jit = self._render_jits.get(key)
         if block_jit is None:
             cfg = self.config
-            block_jit = jax.jit(
-                lambda s, c: frame_lib.render_frames(s, c, cfg,
-                                                     use_taa=use_taa),
-                donate_argnums=(0,))
+            if cfg.debug_finite:
+                # same checkify plumbing as render(): the in-frame
+                # isfinite guards must be functionalized before jit or
+                # they fail at trace time inside the scan body
+                from jax.experimental import checkify
+
+                inner = jax.jit(checkify.checkify(
+                    lambda s, c: frame_lib.render_frames(
+                        s, c, cfg, use_taa=use_taa)))
+
+                def block_jit(state, cams):
+                    err, out = inner(state, cams)
+                    err.throw()
+                    return out
+            else:
+                block_jit = jax.jit(
+                    lambda s, c: frame_lib.render_frames(s, c, cfg,
+                                                         use_taa=use_taa),
+                    donate_argnums=(0,))
             self._render_jits[key] = block_jit
         images, self.state = block_jit(self.state, cameras)
         return images

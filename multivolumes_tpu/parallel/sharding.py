@@ -41,13 +41,24 @@ def make_mesh(n_devices: int, rows: int = 1) -> Mesh:
     return Mesh(devices, ("volumes",))
 
 
-def state_shardings(mesh: Mesh, state: SceneState) -> SceneState:
+def state_shardings(mesh: Mesh, state: SceneState,
+                    shard_light: bool = False) -> SceneState:
     """Per-field NamedShardings: volume axis sharded, rest replicated (or
     row-sharded for screen-size buffers on a 2-D mesh)."""
     has_rows = "rows" in mesh.axis_names
     rep = NamedSharding(mesh, P())
     vol = NamedSharding(mesh, P("volumes"))
     rows = NamedSharding(mesh, P("rows")) if has_rows else rep
+    # The light stacks are the dominant carried state (~1.4 GB oriented
+    # at demo scale). Replicated by default: the sharded view sweep
+    # slices its local volumes out with zero per-frame collectives, and
+    # the amortized cohort refresh updates them replicated. shard_light
+    # (config.shard_light_stacks) shards them over the volume axis for
+    # multi-chip MEMORY scaling — per-device bytes fall to 1/D, the
+    # sweep reads its LOCAL shard, and the cohort refresh lowers to a
+    # shard-local masked write (placement_check pins that no collective
+    # ever carries a stack).
+    light = vol if shard_light else rep
 
     return SceneState(
         frame_idx=rep,
@@ -56,15 +67,9 @@ def state_shardings(mesh: Mesh, state: SceneState) -> SceneState:
         vol_zmax=rep,
         vol_tex_ids=vol,
         volume_worlds=vol,
-        # The big slow-changing light stacks stay REPLICATED: the view
-        # sweep reads every local volume's maps each frame (shard_map
-        # slices them locally, zero per-frame collectives), and the
-        # amortized cohort refresh updates them replicated (its compute
-        # is the C/N fraction — sharding it would trade a tiny compute
-        # win for a full-array scatter collective every frame).
-        light_maps=rep,
-        light_maps_oriented=rep,
-        light_sout=rep,
+        light_maps=light,
+        light_maps_oriented=light,
+        light_sout=light,
         sh_coeffs=rep,
         radiance=rep,
         light_pos=rep,
@@ -93,7 +98,8 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh):
         return out.image, out.state
 
     dummy = state_lib.create_scene(cfg)
-    s_shard = state_shardings(mesh, dummy)
+    s_shard = state_shardings(mesh, dummy,
+                              shard_light=cfg.shard_light_stacks)
     cam_shard = jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P()),
         cam_lib.default_camera(cfg.aspect_ratio),
@@ -107,14 +113,15 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh):
     )
 
 
-def shard_state(state: SceneState, mesh: Mesh) -> SceneState:
-    shardings = state_shardings(mesh, state)
+def shard_state(state: SceneState, mesh: Mesh,
+                shard_light: bool = False) -> SceneState:
+    shardings = state_shardings(mesh, state, shard_light=shard_light)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), state, shardings
     )
 
 
-def placement_check(n_devices: int) -> dict:
+def placement_check(n_devices: int, shard_light: bool = False) -> dict:
     """Compile the sharded step and verify the collective pattern of the
     SURVEY section-2.6 plan from the post-SPMD HLO:
 
@@ -137,12 +144,14 @@ def placement_check(n_devices: int) -> dict:
         max_ray_samples=16, max_light_samples=8,
         num_volumes=max(n_devices, 2), num_volume_srcs=2,
         cube_map_size=8, shadow_map_size=32,
+        shard_light_stacks=shard_light,
     )
     mesh = make_mesh(n_devices)
     state = state_lib.create_scene(cfg)
     camera = cam_lib.default_camera(cfg.aspect_ratio)
     step = make_sharded_step(cfg, mesh)
-    txt = step.lower(shard_state(state, mesh), camera).compile().as_text()
+    txt = step.lower(shard_state(state, mesh, shard_light=shard_light),
+                     camera).compile().as_text()
 
     def elems(shape: str) -> int:
         m = re.search(r"\[([\d,]*)\]", shape)

@@ -69,17 +69,24 @@ def render_frame(
     screen_to_world = camera.screen_to_world
     eye = camera.eye
 
+    # every pass body runs under a jax.named_scope: the scope lands in
+    # each HLO op's metadata op_name, so a device trace aggregates
+    # per-pass IN-FRAME (tools/trace_ops.py --by-pass) — the instrument
+    # of record for pass attribution (bench's standalone-jit pass
+    # breakdown measures a different compilation context)
     if precomp is not None:
         per_object, cull_pre, order_pre = precomp
     else:
-        per_object = build_per_object(state.volume_worlds, view_proj)
+        with jax.named_scope("prep"):
+            per_object = build_per_object(state.volume_worlds, view_proj)
         cull_pre = order_pre = None
 
     # --- opaque mesh: shadow + depth + base pass -------------------------
     has_mesh = bool(show_mesh and state.mesh_indices.shape[0] > 1)
     if has_mesh:
-        mesh_out = mesh_lib.render_mesh(state, camera, config,
-                                        device_mesh=mesh)
+        with jax.named_scope("mesh"):
+            mesh_out = mesh_lib.render_mesh(state, camera, config,
+                                            device_mesh=mesh)
         depth_map = mesh_out.depth
         shadow_map = mesh_out.shadow
         shadow_vp = mesh_out.shadow_vp
@@ -97,15 +104,19 @@ def render_frame(
         new_prev_wvp = state.mesh_prev_wvp
 
     # --- volume culling / LOD -------------------------------------------
-    cull = cull_pre if cull_pre is not None else cull_lib.cull_volumes(
-        per_object,
-        eye,
-        jnp.array([width, height], jnp.float32),
-        config.max_ray_samples,
-        config.cube_map_size,
-        config.num_cube_mips,
-        adaptive=config.adaptive_raymarch,
-    )
+    if cull_pre is not None:
+        cull = cull_pre
+    else:
+        with jax.named_scope("prep"):
+            cull = cull_lib.cull_volumes(
+                per_object,
+                eye,
+                jnp.array([width, height], jnp.float32),
+                config.max_ray_samples,
+                config.cube_map_size,
+                config.num_cube_mips,
+                adaptive=config.adaptive_raymarch,
+            )
 
     # --- light-space march ------------------------------------------------
     n_vols = config.num_volumes
@@ -125,52 +136,55 @@ def render_frame(
         ids = jnp.mod(
             state.frame_idx * c + jnp.arange(c, dtype=jnp.int32), n_vols
         ).astype(jnp.int32)
-        maps_c, light_sout = lightsweep.ray_march_light_sweep_update(
-            state.rho_light,
-            state.ao_static,
-            state.grad_dir,
-            state.vol_tex_ids,
-            per_object,
-            shadow_map,
-            shadow_vp,
-            state.light_pos,
-            state.light_color,
-            state.ambient,
-            state.sh_coeffs,
-            config.max_light_samples,
-            has_light_probe=config.has_light_probe,
-            sub_ids=ids,
-            sout_cache=state.light_sout,
-            shadow_quads=(state.mesh_shadow_quads
-                          if shadow_map is not None else None),
-            static_axis=config.light_axis,
-        )
-        light_maps = state.light_maps.at[ids].set(
-            maps_c.astype(state.light_maps.dtype))
-        # the carried stack is lane-padded (sweep.pad_light_lanes): pad
-        # the refreshed cohort to match before the in-place update
-        light_oriented = state.light_maps_oriented.at[ids].set(
-            sweep_lib.pad_light_lanes(sweep_lib.orient_variants_cf(
-                maps_c.astype(state.light_maps_oriented.dtype))))
+        with jax.named_scope("light"):
+            maps_c, light_sout = lightsweep.ray_march_light_sweep_update(
+                state.rho_light,
+                state.ao_static,
+                state.grad_dir,
+                state.vol_tex_ids,
+                per_object,
+                shadow_map,
+                shadow_vp,
+                state.light_pos,
+                state.light_color,
+                state.ambient,
+                state.sh_coeffs,
+                config.max_light_samples,
+                has_light_probe=config.has_light_probe,
+                sub_ids=ids,
+                sout_cache=state.light_sout,
+                shadow_quads=(state.mesh_shadow_quads
+                              if shadow_map is not None else None),
+                static_axis=config.light_axis,
+            )
+            light_maps = state.light_maps.at[ids].set(
+                maps_c.astype(state.light_maps.dtype))
+        with jax.named_scope("orient"):
+            # the carried stack is lane-padded (sweep.pad_light_lanes):
+            # pad the refreshed cohort to match the in-place update
+            light_oriented = state.light_maps_oriented.at[ids].set(
+                sweep_lib.pad_light_lanes(sweep_lib.orient_variants_cf(
+                    maps_c.astype(state.light_maps_oriented.dtype))))
     else:
         # reference semantics: gather march, one volume per frame
-        light_maps = lightmarch.ray_march_light(
-            state.volumes,
-            state.vol_tex_ids,
-            state.light_maps,
-            per_object,
-            cull,
-            state.frame_idx,
-            shadow_map,
-            shadow_vp,
-            state.light_pos,
-            state.light_color,
-            state.ambient,
-            state.sh_coeffs,
-            config.max_light_samples,
-            has_light_probe=config.has_light_probe,
-            point_light=config.point_light,
-        )
+        with jax.named_scope("light"):
+            light_maps = lightmarch.ray_march_light(
+                state.volumes,
+                state.vol_tex_ids,
+                state.light_maps,
+                per_object,
+                cull,
+                state.frame_idx,
+                shadow_map,
+                shadow_vp,
+                state.light_pos,
+                state.light_color,
+                state.ambient,
+                state.sh_coeffs,
+                config.max_light_samples,
+                has_light_probe=config.has_light_probe,
+                point_light=config.point_light,
+            )
         light_oriented = None  # reference path: orient on demand below
         light_sout = state.light_sout
 
@@ -208,41 +222,44 @@ def render_frame(
             # update-slice assembly, no per-volume scatter loop); the
             # warp/gather twins keep original volume indexing
             if mesh is not None:
-                out = sweep_lib.ray_march_view_sweep_lod_sharded(
-                    mesh,
-                    vol_or,
-                    state.vol_tex_ids,
-                    lm_or,
-                    per_object,
-                    lod_cull,
-                    eye,
-                    depth_map,
-                    config.cube_map_size,
-                    dtype=dtype,
-                    bucket_caps=config.lod_bucket_caps,
-                    pack=not use_warp,
-                    light_w=light_w,
-                    vol_zmax=state.vol_zmax,
-                    sorted_output=use_tile,
-                )
+                with jax.named_scope("sweep"):
+                    out = sweep_lib.ray_march_view_sweep_lod_sharded(
+                        mesh,
+                        vol_or,
+                        state.vol_tex_ids,
+                        lm_or,
+                        per_object,
+                        lod_cull,
+                        eye,
+                        depth_map,
+                        config.cube_map_size,
+                        dtype=dtype,
+                        bucket_caps=config.lod_bucket_caps,
+                        pack=not use_warp,
+                        light_w=light_w,
+                        vol_zmax=state.vol_zmax,
+                        sorted_output=use_tile,
+                        light_sharded=config.shard_light_stacks,
+                    )
             else:
-                out = sweep_lib.ray_march_view_sweep_lod(
-                    vol_or,
-                    state.vol_tex_ids,
-                    lm_or,
-                    per_object,
-                    lod_cull,
-                    eye,
-                    depth_map,
-                    config.cube_map_size,
-                    dtype=dtype,
-                    bucket_caps=config.lod_bucket_caps,
-                    pack=not use_warp,
-                    light_w=light_w,
-                    vol_zmax=state.vol_zmax,
-                    sorted_output=use_tile,
-                    order=order_pre,
-                )
+                with jax.named_scope("sweep"):
+                    out = sweep_lib.ray_march_view_sweep_lod(
+                        vol_or,
+                        state.vol_tex_ids,
+                        lm_or,
+                        per_object,
+                        lod_cull,
+                        eye,
+                        depth_map,
+                        config.cube_map_size,
+                        dtype=dtype,
+                        bucket_caps=config.lod_bucket_caps,
+                        pack=not use_warp,
+                        light_w=light_w,
+                        vol_zmax=state.vol_zmax,
+                        sorted_output=use_tile,
+                        order=order_pre,
+                    )
             if use_tile:
                 cube_maps, sweep_mips, sweep_order = out
             else:
@@ -252,28 +269,30 @@ def render_frame(
             )
             # same pure function the LOD sweep used — the composite's
             # footprint classes mirror the sweep's buckets
-            lod_order, lod_buckets = sweep_lib.lod_partition(
-                lod_cull, config.num_volumes, config.cube_map_size,
-                config.lod_bucket_caps,
-            )
+            with jax.named_scope("prep"):
+                lod_order, lod_buckets = sweep_lib.lod_partition(
+                    lod_cull, config.num_volumes, config.cube_map_size,
+                    config.lod_bucket_caps,
+                )
             if order_pre is not None:
                 lod_order = order_pre  # batched-prep scan: reuse; the
                 # argsort above is dead code XLA removes
         else:
-            cube_maps = sweep_lib.ray_march_view_sweep(
-                vol_or,
-                state.vol_tex_ids,
-                lm_or,
-                per_object,
-                cull_for_composite,
-                eye,
-                depth_map,
-                config.cube_map_size,
-                num_planes=config.sweep_planes,
-                dtype=dtype,
-                light_w=light_w,
-                vol_zmax=state.vol_zmax,
-            )
+            with jax.named_scope("sweep"):
+                cube_maps = sweep_lib.ray_march_view_sweep(
+                    vol_or,
+                    state.vol_tex_ids,
+                    lm_or,
+                    per_object,
+                    cull_for_composite,
+                    eye,
+                    depth_map,
+                    config.cube_map_size,
+                    num_planes=config.sweep_planes,
+                    dtype=dtype,
+                    light_w=light_w,
+                    vol_zmax=state.vol_zmax,
+                )
         if (config.packed_composite and not use_warp
                 and cube_maps.color.shape[2] == 4):
             cube_maps = cube_maps._replace(
@@ -288,18 +307,19 @@ def render_frame(
     else:
         use_warp = False  # the raycast fallback needs the gather composite
         use_tile = False
-        cube_maps = raymarch.ray_march_view(
-            state.volumes,
-            state.vol_tex_ids,
-            jnp.moveaxis(light_maps, 1, -1),  # golden path: channel-last
-            per_object,
-            cull,
-            eye,
-            depth_map,
-            config.cube_map_size,
-            config.max_ray_samples,
-            adaptive=config.adaptive_raymarch,
-        )
+        with jax.named_scope("sweep"):
+            cube_maps = raymarch.ray_march_view(
+                state.volumes,
+                state.vol_tex_ids,
+                jnp.moveaxis(light_maps, 1, -1),  # golden path: channel-last
+                per_object,
+                cull,
+                eye,
+                depth_map,
+                config.cube_map_size,
+                config.max_ray_samples,
+                adaptive=config.adaptive_raymarch,
+            )
         cull_for_composite = cull
         use_raycast = True
 
@@ -317,10 +337,11 @@ def render_frame(
         )
 
     # --- background: sky behind mesh -------------------------------------
-    sky_r, sky_g, sky_b = postprocess.render_environment(
-        state.radiance, screen_to_world, eye, width, height,
-        scale=config.sky_scale,
-    )
+    with jax.named_scope("sky"):
+        sky_r, sky_g, sky_b = postprocess.render_environment(
+            state.radiance, screen_to_world, eye, width, height,
+            scale=config.sky_scale,
+        )
     if mesh_rgb is not None:
         bg_r = jnp.where(mesh_valid, mesh_rgb[0], sky_r)
         bg_g = jnp.where(mesh_valid, mesh_rgb[1], sky_g)
@@ -342,71 +363,75 @@ def render_frame(
         if mesh is not None and "rows" in mesh.axis_names:
             # 2-D device mesh: the screen composite shards over pixel
             # rows (the sweep already sharded over volumes)
-            vr, vg, vb, va = tilecast.composite_oit_tile_sharded(
-                mesh,
-                cube_maps,
-                per_object,
-                cull_for_composite,
-                eye,
-                screen_to_world,
-                depth_map,
-                cw,
-                ch,
-                num_layers=config.oit_layers,
-                order=sweep_order,
-            )
+            with jax.named_scope("composite"):
+                vr, vg, vb, va = tilecast.composite_oit_tile_sharded(
+                    mesh,
+                    cube_maps,
+                    per_object,
+                    cull_for_composite,
+                    eye,
+                    screen_to_world,
+                    depth_map,
+                    cw,
+                    ch,
+                    num_layers=config.oit_layers,
+                    order=sweep_order,
+                )
         else:
-            vr, vg, vb, va = tilecast.composite_oit_tile(
-                cube_maps,
-                per_object,
-                cull_for_composite,
-                eye,
-                screen_to_world,
-                depth_map,
-                cw,
-                ch,
-                num_layers=config.oit_layers,
-                order=sweep_order,
-            )
+            with jax.named_scope("composite"):
+                vr, vg, vb, va = tilecast.composite_oit_tile(
+                    cube_maps,
+                    per_object,
+                    cull_for_composite,
+                    eye,
+                    screen_to_world,
+                    depth_map,
+                    cw,
+                    ch,
+                    num_layers=config.oit_layers,
+                    order=sweep_order,
+                )
     elif use_warp:
         from multivolumes_tpu.render import warp as warp_lib
 
         tile = config.warp_tile
         if tile is None:
             tile = 512 if config.num_volumes <= 8 else 384
-        vr, vg, vb, va = warp_lib.composite_oit_warp(
-            cube_maps,
-            per_object,
-            cull_for_composite,
-            eye,
-            screen_to_world,
-            depth_map,
-            cw,
-            ch,
-            num_layers=config.oit_layers,
-            tile=tile,
-            lod_order=lod_order,
-            lod_buckets=lod_buckets,
-        )
+        with jax.named_scope("composite"):
+            vr, vg, vb, va = warp_lib.composite_oit_warp(
+                cube_maps,
+                per_object,
+                cull_for_composite,
+                eye,
+                screen_to_world,
+                depth_map,
+                cw,
+                ch,
+                num_layers=config.oit_layers,
+                tile=tile,
+                lod_order=lod_order,
+                lod_buckets=lod_buckets,
+            )
     else:
-        vr, vg, vb, va = composite.composite_oit(
-            cube_maps,
-            state.volumes,
-            state.vol_tex_ids,
-            jnp.moveaxis(light_maps, 1, -1) if use_raycast else light_maps,
-            per_object,
-            cull_for_composite,
-            eye,
-            screen_to_world,
-            depth_map,
-            cw,
-            ch,
-            config.max_ray_samples,
-            num_layers=config.oit_layers,
-            adaptive=config.adaptive_raymarch,
-            use_raycast=use_raycast,
-            has_depth=has_mesh,
-        )
+        with jax.named_scope("composite"):
+            vr, vg, vb, va = composite.composite_oit(
+                cube_maps,
+                state.volumes,
+                state.vol_tex_ids,
+                jnp.moveaxis(light_maps, 1, -1) if use_raycast else light_maps,
+                per_object,
+                cull_for_composite,
+                eye,
+                screen_to_world,
+                depth_map,
+                cw,
+                ch,
+                config.max_ray_samples,
+                num_layers=config.oit_layers,
+                adaptive=config.adaptive_raymarch,
+                use_raycast=use_raycast,
+                has_depth=has_mesh,
+            )
     if config.debug_finite:
         from jax.experimental import checkify
 
@@ -418,11 +443,12 @@ def render_frame(
         mu = postprocess._upsample_matrix(width, cw)
         mv = postprocess._upsample_matrix(height, ch)
         vr, vg, vb, va = (mv @ c @ mu.T for c in (vr, vg, vb, va))
-    t = 1.0 - va
-    sc_r = vr + t * bg_r
-    sc_g = vg + t * bg_g
-    sc_b = vb + t * bg_b
-    sc_a = va + t * bg_a  # mesh pixels opaque (alpha 1), sky alpha 0
+    with jax.named_scope("tail"):
+        t = 1.0 - va
+        sc_r = vr + t * bg_r
+        sc_g = vg + t * bg_g
+        sc_b = vb + t * bg_b
+        sc_a = va + t * bg_a  # mesh pixels opaque (alpha 1), sky alpha 0
 
     # --- TAA + tone map ---------------------------------------------------
     if use_taa:
@@ -433,16 +459,26 @@ def render_frame(
         # never silently fall back to unreprojected history
         far_preset = bool(config.raster_preset == "far"
                           and config.raster_far_tiers)
+        # the pick's hysteresis holds "far" to 1.05x the bound and
+        # velocity dilation reaches ~10 px past the silhouette — a
+        # window smaller than that ceiling would silently reproject
+        # mesh-edge pixels as identity (ghosting); fall back to the
+        # always-safe full-screen reprojection instead
+        reproj_ok = (config.taa_reproj_window
+                     >= -(-21 * int(config.raster_far_bound) // 20) + 16)
         # planar single-device: the resolve kernel also emits the
         # display image (tone map fused in-band — no separate
         # full-screen tonemap/stack kernels in the throughput tail)
         fuse_tm = planar and mesh is None
-        taa_out = taa_lib.temporal_aa(
-            (sc_r, sc_g, sc_b, sc_a), state.taa_history, velocity,
-            reproj_center=(mesh_out.screen_center if has_mesh else None),
-            reproj_window=(config.taa_reproj_window if far_preset else 0),
-            device_mesh=mesh, tonemap_out=fuse_tm,
-        )
+        with jax.named_scope("tail"):
+            taa_out = taa_lib.temporal_aa(
+                (sc_r, sc_g, sc_b, sc_a), state.taa_history, velocity,
+                reproj_center=(mesh_out.screen_center
+                               if has_mesh else None),
+                reproj_window=(config.taa_reproj_window
+                               if far_preset and reproj_ok else 0),
+                device_mesh=mesh, tonemap_out=fuse_tm,
+            )
         if fuse_tm:
             (rr, rg, rb), new_history, image = taa_out
         else:
@@ -454,10 +490,11 @@ def render_frame(
         image = None
 
     ax = 0 if planar else -1
-    if image is None:
-        ir, ig, ib = postprocess.tone_map_ch(rr, rg, rb)
-        image = jnp.stack([ir, ig, ib], ax)
-    hdr = jnp.stack([sc_r, sc_g, sc_b, sc_a], ax)
+    with jax.named_scope("tail"):
+        if image is None:
+            ir, ig, ib = postprocess.tone_map_ch(rr, rg, rb)
+            image = jnp.stack([ir, ig, ib], ax)
+        hdr = jnp.stack([sc_r, sc_g, sc_b, sc_a], ax)
 
     new_state = dataclasses.replace(
         state,

@@ -729,10 +729,15 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
     far = bool(config.raster_preset == "far" and config.raster_far_tiers)
     tiers = config.raster_far_tiers if far else NEAR_TIERS
     small = config.raster_far_small if far else None
-    # dense window only when it provably contains the mesh (preset pick
-    # bounds the projected bbox by raster_far_bound)
+    # The host pick's hysteresis HOLDS the far preset until the bbox
+    # exceeds 1.05x the bound (engine.select_raster_preset) — so "the
+    # window provably contains the mesh" means window >= ceil(1.05 *
+    # bound), not the bare bound. Gating on the bound alone lets a
+    # window == bound config drop mesh pixels in the hysteresis band.
+    far_ceiling = -(-21 * int(config.raster_far_bound) // 20)
+    # dense window only when it provably contains the mesh
     dw = (config.mesh_shade_window
-          if far and config.mesh_shade_window >= config.raster_far_bound
+          if far and config.mesh_shade_window >= far_ceiling
           else None)
     n_rows = (device_mesh.shape["rows"]
               if device_mesh is not None
@@ -782,7 +787,8 @@ def render_mesh(state, camera: Camera, config: RenderConfig,
     # full-screen — a mesh can never silently show background outside a
     # window it outgrew.
     win = config.mesh_shade_window
-    use_window = 0 < win < min(width, height) and far
+    use_window = (0 < win < min(width, height) and far
+                  and win >= far_ceiling)
 
     # One per-TRIANGLE plane table -> ONE row gather per pixel (vs three
     # vertex rows + barycentric setup; see _triangle_planes). Barycentric

@@ -557,6 +557,7 @@ def ray_march_view_sweep_lod_sharded(
     light_w: int | None = None,
     vol_zmax=None,
     sorted_output: bool = False,
+    light_sharded: bool = False,
 ):
     """Multi-chip LOD sweep: genuinely partition the march over the
     volume axis with `jax.shard_map` (GSPMD cannot partition the opaque
@@ -566,8 +567,12 @@ def ray_march_view_sweep_lod_sharded(
     multi-chip reading of the work-graph capacity limits); the sharded
     cube maps then all-gather (~0.8 MB/volume) into the replicated
     screen-space composite — the SURVEY section-2.6 plan. The big
-    slow-changing stacks (source volumes, light maps) stay replicated:
-    their refresh is amortized, the per-frame march is not.
+    slow-changing source volumes stay replicated (their refresh is
+    amortized, the per-frame march is not); the per-volume LIGHT stacks
+    stay replicated by default but shard over the volume axis with
+    `light_sharded=True` (config.shard_light_stacks — multi-chip MEMORY
+    scaling: each device reads only its local shard, so no collective
+    ever moves a stack).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -578,10 +583,13 @@ def ray_march_view_sweep_lod_sharded(
     caps = tuple(c if c >= (1 << 20) else max(1, c // nd)
                  for c in bucket_caps)
 
-    def local_fn(vol_or, tex_l, lm_full, po_l, cull_l, eye_, depth_, vz_):
+    def local_fn(vol_or, tex_l, lm_in, po_l, cull_l, eye_, depth_, vz_):
         d = jax.lax.axis_index(axis)
         nl = tex_l.shape[0]
-        lm_l = jax.lax.dynamic_slice_in_dim(lm_full, d * nl, nl, 0)
+        # replicated stack: slice this device's volumes out locally;
+        # sharded stack: lm_in IS the local shard already
+        lm_l = (lm_in if light_sharded
+                else jax.lax.dynamic_slice_in_dim(lm_in, d * nl, nl, 0))
         out = ray_march_view_sweep_lod(
             vol_or, tex_l, lm_l, po_l, cull_l, eye_, depth_,
             cube_map_size, dtype=dtype, bucket_caps=caps, impl=impl,
@@ -600,7 +608,8 @@ def ray_march_view_sweep_lod_sharded(
     outs = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(axis), P(axis), P(), P(), P()),
+        in_specs=(P(), P(axis), P(axis) if light_sharded else P(),
+                  P(axis), P(axis), P(), P(), P()),
         out_specs=((P(axis),) * 4 if sorted_output else (P(axis),) * 3),
         check_vma=False,
     )(volumes_oriented, vol_tex_ids, light_maps_oriented, per_object,

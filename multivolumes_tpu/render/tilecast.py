@@ -180,7 +180,13 @@ def _tile_prep(
     eye_local = math3d.transform_point3(eye, per_object.world_i)  # (N, 3)
     wi3 = per_object.world_i[:, :3, :3]
     b_mat = jnp.einsum("ij,njk->nik", a_mat, wi3)             # (N, 3, 3)
-    n_eff = (s >> jnp.clip(cull.mip_level, 0, 31)).astype(jnp.float32)
+    # floor at 1: the kernel's face DMA is predicated on n_eff > 0 (its
+    # extent variant select, composite_kernel._variant) — an n_eff of 0
+    # (a caller passing mip_level >= log2(s)) would skip the copy and
+    # composite the previous volume's stale VMEM slot; and the sweep
+    # clip hi = n_eff - 1 must stay >= 0
+    n_eff = jnp.maximum(
+        s >> jnp.clip(cull.mip_level, 0, 31), 1).astype(jnp.float32)
 
     # --- per-(volume, face) homographies + Catmull-Smith orientation ----
     # swap decision at the volume's projected centre (same granularity as

@@ -475,18 +475,28 @@ def test_rasterize_dense_top_exact_coverage():
 def test_render_frames_scan_matches_sequential():
     """`render_frames` (K frames in ONE lax.scan dispatch — the
     frames-in-flight analog) must carry state identically to K
-    sequential `render_frame` calls, for unroll 1 and 2."""
+    sequential `render_frame` calls, for unroll 1 and 2.
+
+    The sequential reference uses the ENGINE's config: the engine bakes
+    the shear-warp sweep axis at init (`MultiRayCaster._set_light_axis`,
+    config.light_axis), and the static-axis light path is fast-math
+    DIFFERENT from the `light_axis=None` 3-branch lax.switch (~5e-4 on
+    the image) — comparing across the two configs measures that switch
+    inlining, not scan carry drift."""
     import jax
 
     from multivolumes_tpu.config import RenderConfig
     from multivolumes_tpu.core import camera as cam_lib
+    from multivolumes_tpu.engine import MultiRayCaster
     from multivolumes_tpu.render import frame as frame_lib
     from multivolumes_tpu.scene import state as state_lib
 
-    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
-                       max_ray_samples=16, max_light_samples=8,
-                       num_volumes=4, num_volume_srcs=2,
-                       cube_map_size=16, shadow_map_size=32)
+    eng = MultiRayCaster(RenderConfig(
+        width=96, height=64, grid_size=16, light_grid_size=8,
+        max_ray_samples=16, max_light_samples=8,
+        num_volumes=4, num_volume_srcs=2,
+        cube_map_size=16, shadow_map_size=32))
+    cfg = eng.config  # light_axis baked — the production static axis
     st = state_lib.create_scene(cfg)
     k = 3
     cams = [cam_lib.orbit_camera((f + 1) / 60.0, cfg.aspect_ratio)
@@ -517,11 +527,9 @@ def test_render_frames_scan_matches_sequential():
         assert int(s_end.frame_idx) == k
 
     # the engine's throughput API (render_block) is the same dispatch
-    # with the engine's state/jit-cache plumbing
-    from multivolumes_tpu.engine import MultiRayCaster
-
-    eng = MultiRayCaster(cfg)
-    eng.state = st
+    # with the engine's state/jit-cache plumbing (render_block DONATES
+    # the state buffers — hand it a copy so `st` stays alive)
+    eng.state = jax.tree_util.tree_map(jnp.copy, st)
     imgs = np.asarray(eng.render_block(cams_stacked))
     assert imgs.shape == (k, 3, cfg.height, cfg.width)
     np.testing.assert_allclose(

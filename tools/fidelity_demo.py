@@ -101,7 +101,8 @@ def main() -> None:
     # crashed the remote TPU worker mid-warmup; 16-row slabs keep each
     # dispatch seconds long (identical math, lightmarch z_slab)
     lgrid = int(state.light_maps.shape[-1])
-    zc = lgrid if args.small else min(16, lgrid)
+    zc = lgrid if args.small else min(
+        int(os.environ.get("MV_FID_ZC", "8")), lgrid)
     march = jax.jit(lambda vols, sm, lm, f, z0: lightmarch.ray_march_light(
         vols, state.vol_tex_ids, lm, po, cull, f,
         sm, shadow_vp, state.light_pos, state.light_color,
@@ -126,13 +127,34 @@ def main() -> None:
             f_start = int(saved["done"])
             print(f"  resuming warmup at volume {f_start} ({cache})",
                   file=sys.stderr)
+    def _host_chunks(arr):
+        # CHUNKED readback: a single 680 MB device->host transfer has
+        # crashed the remote TPU worker at this exact site on every
+        # round-5 attempt (4/4, same traceback) — per-volume ~11 MB
+        # slices are the same size class as the bench's frame readbacks,
+        # which never crash it
+        return np.stack([jax.device_get(arr[i])
+                         for i in range(arr.shape[0])])
+
+    # SYNC per slab: async-dispatching the ~400 slab marches crashed
+    # the remote worker on every round-5 attempt (the crash surfaces at
+    # the next readback; a sync after each dispatch bounds the in-flight
+    # queue to ONE kernel and localizes the crash in the log). ~30 ms
+    # rtt per slab — noise against the march itself.
+    # (block_until_ready is not a sync on this runtime: fetch one
+    # scalar, utils.timing.sync.)
+    from multivolumes_tpu.utils.timing import sync as _sync
+
     for f in range(f_start, cfg.num_volumes):
         for z0 in range(0, lgrid, zc):
             ref_maps = march(state.volumes, shadow, ref_maps,
                              jnp.asarray(f, jnp.int32),
                              jnp.asarray(z0, jnp.int32))
-        if f % 16 == 15 and not args.small:
-            host = np.asarray(ref_maps)
+            _sync(ref_maps)
+            print(f"    slab f={f} z0={z0} ok "
+                  f"({time.perf_counter() - t0:.0f} s)", file=sys.stderr)
+        if f % 4 == 3 and not args.small:
+            host = _host_chunks(ref_maps)
             np.savez(cache, maps=host, done=f + 1)
             print(f"  warmed {f + 1}/{cfg.num_volumes} "
                   f"({time.perf_counter() - t0:.0f} s, checkpointed)",

@@ -28,16 +28,33 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_PASS_SCOPES = ("prep", "mesh", "light", "orient", "sweep", "composite",
+                "sky", "tail")
+
+
+def _scope_of(op_name: str) -> str:
+    """Pass scope from an HLO metadata op_name: render_frame wraps every
+    pass body in jax.named_scope, so op_name looks like
+    'jit(step)/mesh/raster/scatter-min'. Returns the first path segment
+    that names a pass, else 'glue'."""
+    for seg in op_name.split("/"):
+        if seg in _PASS_SCOPES:
+            return seg
+    return "glue"
+
+
 def _file_of_ops(hlo_path: str):
-    """fusion.N -> dominant source file, from an HLO text dump (see
-    tools/hlo_map.py for the format)."""
+    """fusion.N -> (dominant source file, dominant pass scope), from an
+    HLO text dump (see tools/hlo_map.py for the format)."""
     import collections as c
     import re as re_
 
     comp_of_op = {}
     meta = c.defaultdict(c.Counter)
+    scope = c.defaultdict(c.Counter)
     cur = None
     mre = re_.compile(r'source_file="([^"]*)"')
+    ore = re_.compile(r'op_name="([^"]*)"')
     with open(hlo_path) as f:
         for line in f:
             m = re_.match(r"%?([\w\-.]+) \(", line)
@@ -54,11 +71,27 @@ def _file_of_ops(hlo_path: str):
             mm = mre.search(line)
             if mm and cur:
                 meta[cur][os.path.basename(mm.group(1))] += 1
+            om = ore.search(line)
+            if om:
+                # computation bodies accumulate votes for their calling
+                # fusion; every op also records its own scope directly
+                # (covers non-calling ops: copies, standalone HLO)
+                sc = _scope_of(om.group(1))
+                if cur:
+                    scope[cur][sc] += 1
+                scope["@" + im.group(1)][sc] += 1
     out = {}
+    scope_out = {}
     for op, comp in comp_of_op.items():
         if meta.get(comp):
             out[op] = meta[comp].most_common(1)[0][0]
-    return out
+        if scope.get(comp):
+            scope_out[op] = scope[comp].most_common(1)[0][0]
+    # ops with their own metadata (non-fusion, e.g. standalone copies)
+    for key, ctr in scope.items():
+        if key.startswith("@"):
+            scope_out.setdefault(key[1:], ctr.most_common(1)[0][0])
+    return out, scope_out
 
 
 def summarize(trace_dir: str, frames: int, top: int, min_ms: float,
@@ -102,18 +135,27 @@ def summarize(trace_dir: str, frames: int, top: int, min_ms: float,
 
     if hlo and os.path.exists(hlo):
         # aggregate by dominant source file — names the long tail
-        fof = _file_of_ops(hlo)
+        fof, sof = _file_of_ops(hlo)
         by_file = collections.Counter()
+        by_pass = collections.Counter()
         for name, ms in tot.items():
             if name.startswith("jit_") or name.startswith("jit("):
                 continue  # parent span double-counts children
-            by_file[fof.get(name.rstrip("}"), f"<{name.split('.')[0]}>")] \
-                += ms
+            key = name.rstrip("}")
+            by_file[fof.get(key, f"<{name.split('.')[0]}>")] += ms
+            by_pass[sof.get(key, "glue")] += ms
         print("\nby source file (device ms/frame):")
         for fname, ms in by_file.most_common(30):
             if ms / frames < 0.02:
                 break
             print(f"  {ms / frames:8.3f}  {fname}")
+        # per-PASS in-frame attribution (jax.named_scope in render_frame
+        # -> HLO op_name metadata): the numbers SUM to the device total,
+        # so this table — not bench's standalone-jit breakdown — is the
+        # instrument of record for "which pass costs what"
+        print("\nby pass scope (device ms/frame, sums to total):")
+        for sc, ms in by_pass.most_common():
+            print(f"  {ms / frames:8.3f}  {sc}")
 
 
 def main() -> None:
