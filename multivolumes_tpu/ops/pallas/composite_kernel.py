@@ -80,6 +80,47 @@ def _safe(x, eps=_EPS):
     return jnp.where(jnp.abs(x) > eps, x, jnp.where(x >= 0, eps, -eps))
 
 
+def _row_window_variants(r_min, r_max, total: int, run, quarters: bool):
+    """Run `run(start, span)` on exactly ONE static row window covering
+    the inclusive scalar row range [r_min, r_max] (0 <= r_min <= r_max
+    < total, total % 4 == 0).
+
+    This is the Mosaic-safe replacement for dynamic-offset VMEM stores:
+    the 2026-08 MV_CKERNEL_SUBGRID experiment windowed rows with
+    `pl.ds(r0, span)` at a traced 8-aligned r0 and SIGABRTed the real
+    backend ("Check failed: limits[i] <= dim(i)", v5e, pl.multiple_of
+    hints included). Quantizing the window to quarter-grid STATIC
+    offsets and selecting the (start, span) pair with `pl.when` keeps
+    every load/store offset a compile-time constant — nothing dynamic
+    reaches the store path — at the cost of up to one quarter of
+    overshoot on each side. Exactly one predicate fires by
+    construction (they partition on (q_lo, q_hi)); `run` must be
+    idempotent per call site (it runs once)."""
+    q = total // 4
+    q_lo = jnp.clip(r_min // q, 0, 3)
+    q_hi = jnp.clip(r_max // q, 0, 3)
+    two = q_hi <= q_lo + 1
+    if quarters:
+        one = q_hi == q_lo
+        for k in range(4):
+            @pl.when(one & (q_lo == k))
+            def _(k=k):
+                run(k * q, q)
+        for k in range(3):
+            @pl.when(~one & two & (jnp.minimum(q_lo, 2) == k))
+            def _(k=k):
+                run(k * q, 2 * q)
+    else:
+        for k in range(3):
+            @pl.when(two & (jnp.minimum(q_lo, 2) == k))
+            def _(k=k):
+                run(k * q, 2 * q)
+
+    @pl.when(~two)
+    def _():
+        run(0, total)
+
+
 def _finite(x):
     # magnitude guard instead of isfinite: kills inf/NaN from degenerate
     # homography ratios (NaN compares false -> 0)
@@ -87,7 +128,7 @@ def _finite(x):
 
 
 def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
-                 u_block=8, subgrid=True, with_depth=False,
+                 u_block=8, rowwin=True, with_depth=False,
                  dma_ext=False):
     """Bind static geometry; return the kernel body.
 
@@ -302,7 +343,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
                     _face_warp(f, use_f, vid, slot, face_flt, vol_scr,
                                tmp_scr, face_scr, xg, yg, x_row, r_col,
                                sel_row, sel_col, y_top, y_bot, hi,
-                               subgrid=subgrid, ty_f=ty_f, height=height,
+                               rowwin=rowwin, ty_f=ty_f, height=height,
                                dep_scr=dep_scr, tmpd_scr=tmpd_scr,
                                scene_ref=scene_ref, mesh_t=mesh_t,
                                with_depth=with_depth)
@@ -323,19 +364,25 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
                 a_new = jnp.where(store_ok, aa, zero)
 
                 # streaming nearest-K insert, VMEM-resident; skipped
-                # when the warp left every pixel transparent
-                @pl.when(jnp.max(store_ok.astype(jnp.int32)) > 0)
-                def _():
-                    zn, rn, gn, bn, an = z_new, r_new, g_new, b_new, a_new
+                # when the warp left every pixel transparent. The insert
+                # only runs on the static row window covering store_ok's
+                # live rows (rows outside would insert z = FLT_MAX — a
+                # no-op): ~11 VPU ops x k_layers x (th, tw) per listed
+                # volume was tile-height-bound, not footprint-bound.
+                def insert(r0: int, sp: int):
+                    sl = slice(r0, r0 + sp)
+                    zn, rn = z_new[sl], r_new[sl]
+                    gn, bn, an = g_new[sl], b_new[sl], a_new[sl]
                     for k in range(k_layers):
-                        z_k = layers_scr[0, k]
+                        z_k = layers_scr[0, k, sl]
                         take = zn < z_k
-                        layers_scr[0, k] = jnp.where(take, zn, z_k)
+                        layers_scr[0, k, sl] = jnp.where(take, zn, z_k)
                         zn = jnp.where(take, z_k, zn)
                         for ch, new in ((1, rn), (2, gn), (3, bn),
                                         (4, an)):
-                            old = layers_scr[ch, k]
-                            layers_scr[ch, k] = jnp.where(take, new, old)
+                            old = layers_scr[ch, k, sl]
+                            layers_scr[ch, k, sl] = jnp.where(take, new,
+                                                              old)
                             if ch == 1:
                                 rn = jnp.where(take, old, new)
                             elif ch == 2:
@@ -344,6 +391,18 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
                                 bn = jnp.where(take, old, new)
                             else:
                                 an = jnp.where(take, old, new)
+
+                @pl.when(jnp.max(store_ok.astype(jnp.int32)) > 0)
+                def _():
+                    if rowwin and th % 32 == 0:
+                        ridx = jax.lax.broadcasted_iota(
+                            jnp.int32, (th, tw), 0)
+                        r_min = jnp.min(jnp.where(store_ok, ridx, th))
+                        r_max = jnp.max(jnp.where(store_ok, ridx, -1))
+                        _row_window_variants(r_min, r_max, th, insert,
+                                             quarters=True)
+                    else:
+                        insert(0, th)
             return 0
 
         @pl.when(count > 0)
@@ -387,7 +446,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
 
 def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                xg, yg, x_row, r_col, sel_row, sel_col,
-               y_top, y_bot, hi, subgrid=True, ty_f=None, height=None,
+               y_top, y_bot, hi, rowwin=True, ty_f=None, height=None,
                dep_scr=None, tmpd_scr=None, scene_ref=None, mesh_t=None,
                with_depth=False):
     """Exact two-pass projective warp of face f onto the tile, written
@@ -422,35 +481,25 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
         vt_lo = jnp.clip(jnp.min(jnp.where(use_f, vt, _BIG)), 0.0, hi)
         vt_hi = jnp.clip(jnp.max(jnp.where(use_f, vt, -_BIG)), 0.0, hi)
         v_lo = jnp.floor(vt_lo).astype(jnp.int32)
-        # cap at hi: vt <= hi, so row hi+1 would get exactly zero tent
-        # weight — and must never be read anyway, because the subgrid
-        # pass-1 variant leaves rows beyond its s_sub uninitialized
-        # (NaN scratch times zero weight is still NaN)
+        # cap at hi: vt <= hi, so row hi+1 would get exactly zero
+        # tent weight anyway
         v_hi = jnp.minimum(
             jnp.minimum(jnp.floor(vt_hi).astype(jnp.int32) + 1, s - 1),
             hi.astype(jnp.int32))
 
-        def pass1(s_sub: int, v0, use_dep: bool = False):
-            """u-sweep pass 1 over face rows [v0, v0 + s_sub) only.
-            Exact when the window covers [v_lo - 1, v_hi + 1]: the full
-            variant's row-liveness test (ok1) is false outside that
-            band, so the u-range reduction sees the identical row set,
-            and pass 2 reads only [v_lo, v_hi]. Low-LOD volumes (the
-            majority at n=64) and big volumes spanning several tiles
-            (per-tile v-span ~ n_eff / span) both fit a fraction of the
-            grid — FMA work and the one-hot hoist matmul shrink by
-            s_sub / s. use_dep additionally u-interpolates the volume's
+        def pass1(use_dep: bool = False):
+            """u-sweep pass 1 over the full face-row grid. Static
+            face-row windows by n_eff and dynamic 8-aligned windows
+            (MV_CKERNEL_SUBGRID) were both built and measured on v5e
+            (2026-08): no win — the u-sweep range already tracks the
+            footprint (see ARCHITECTURE.md gotchas) — and the dynamic
+            variant SIGABRTs Mosaic. Row windowing lives in pass 2 /
+            the K-insert, where the static-variant trick applies.
+            use_dep additionally u-interpolates the volume's
             unprojected cube depth into tmpd_scr (same tent weights,
             which sum to 1 per row — a true interpolation)."""
-            # full grid: keep the original STATIC slices (v0 == 0) so
-            # the MV_CKERNEL_SUBGRID=0 escape hatch reproduces the
-            # previously measured kernel exactly — a traced zero offset
-            # would still route stores through dynamic-offset pl.ds
-            full = s_sub == s
-            v0f = (jnp.float32(0.0) if full
-                   else v0.astype(jnp.float32))
-            r_c = r_col[:s_sub] + v0f
-            x_r = x_row[:s_sub]
+            r_c = r_col
+            x_r = x_row
             # pass-1 auxiliary (Catmull-Smith): for face row r, the
             # screen y where v(x, y) == r, and the u coordinate there
             k0 = pv0 - r_c * dn0
@@ -472,22 +521,12 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
             u_hi = jnp.floor(cu_hi).astype(jnp.int32) + 1  # inclusive
             n_ub = (u_hi - u_lo) // u_block + 1
 
-            if full:
-                tmp_scr[:] = jnp.zeros((4, s, tw), jnp.float32)
-                img_all = vol_scr[slot, f].reshape(
-                    4 * s, vol_scr.shape[-1])
-                if use_dep:
-                    tmpd_scr[:] = jnp.zeros((s, tw), jnp.float32)
-                    dimg = dep_scr[slot, f]
-            else:
-                tmp_scr[:, pl.ds(v0, s_sub), :] = jnp.zeros(
-                    (4, s_sub, tw), jnp.float32)
-                img_all = vol_scr[slot, f, :, pl.ds(v0, s_sub), :].reshape(
-                    4 * s_sub, vol_scr.shape[-1])
-                if use_dep:
-                    tmpd_scr[pl.ds(v0, s_sub), :] = jnp.zeros(
-                        (s_sub, tw), jnp.float32)
-                    dimg = dep_scr[slot, f, pl.ds(v0, s_sub), :]
+            tmp_scr[:] = jnp.zeros((4, s, tw), jnp.float32)
+            img_all = vol_scr[slot, f].reshape(
+                4 * s, vol_scr.shape[-1])
+            if use_dep:
+                tmpd_scr[:] = jnp.zeros((s, tw), jnp.float32)
+                dimg = dep_scr[slot, f]
 
             def u_blk(b, _):
                 ub0 = u_lo + b * u_block
@@ -497,109 +536,54 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 cols = jax.lax.dot_general(
                     img_all, sel, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                                   # (4*s_sub, u_block)
-                acc = (tmp_scr[:] if full
-                       else tmp_scr[:, pl.ds(v0, s_sub), :])
+                )                                   # (4*s, u_block)
+                acc = tmp_scr[:]
                 if use_dep:
                     cols_d = jax.lax.dot_general(
                         dimg, selb.astype(jnp.float32),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )                               # (s_sub, u_block)
-                    accd = (tmpd_scr[:] if full
-                            else tmpd_scr[pl.ds(v0, s_sub), :])
+                    )                               # (s, u_block)
+                    accd = tmpd_scr[:]
                 for j in range(u_block):
                     u_f = (ub0 + j).astype(jnp.float32)
                     wu = jnp.maximum(1.0 - jnp.abs(cu - u_f), 0.0)
-                    colj = cols[:, j:j + 1].reshape(4, s_sub, 1)
+                    colj = cols[:, j:j + 1].reshape(4, s, 1)
                     acc = acc + colj * wu[None]
                     if use_dep:
                         accd = accd + cols_d[:, j:j + 1] * wu
-                if full:
-                    tmp_scr[:] = acc
-                    if use_dep:
-                        tmpd_scr[:] = accd
-                else:
-                    tmp_scr[:, pl.ds(v0, s_sub), :] = acc
-                    if use_dep:
-                        tmpd_scr[pl.ds(v0, s_sub), :] = accd
+                tmp_scr[:] = acc
+                if use_dep:
+                    tmpd_scr[:] = accd
                 return 0
 
             jax.lax.fori_loop(0, n_ub, u_blk, 0)
 
-        def run_pass1(use_dep: bool):
-            if subgrid and s >= 32 and s % 32 == 0:
-                # window start: at least one row of margin below v_lo so
-                # the row set the u-range reduction sees matches the full
-                # variant's ok1-true band exactly -> bit-equal. The start
-                # is aligned DOWN to 8 rows: Mosaic requires dynamic
-                # sublane store/load offsets provably 8-aligned ("cannot
-                # statically prove that index in dimension 1 is a
-                # multiple of 8"), so the window may begin up to 8 rows
-                # below v_lo - 1 — the span thresholds below keep
-                # v_hi + 1 covered even then.
-                sq = s // 4
-                sh_ = s // 2
-                span = v_hi - v_lo
-                # pl.multiple_of: Mosaic cannot statically prove //8*8
-                # produces an 8-aligned sublane offset — the hint is what
-                # the 2026-08 SIGABRT note in tile_composite_pallas was
-                # missing
-                w_sq = pl.multiple_of(
-                    jnp.clip(v_lo - 1, 0, s - sq) // 8 * 8, 8)
-                w_sh = pl.multiple_of(
-                    jnp.clip(v_lo - 1, 0, s - sh_) // 8 * 8, 8)
-                zero_i = jnp.zeros((), jnp.int32)
-                small = span <= sq - 10
-                mid = (span <= sh_ - 10) & ~small
-
-                @pl.when(small)
-                def _():
-                    pass1(sq, w_sq, use_dep)
-
-                @pl.when(mid)
-                def _():
-                    pass1(sh_, w_sh, use_dep)
-
-                @pl.when(~small & ~mid)
-                def _():
-                    pass1(s, zero_i, use_dep)
-            else:
-                # NOTE (2026-08-19, v5e): static top-window pass-1 row
-                # variants by n_eff (s/2, s/4 windows under pl.when)
-                # were built and measured here — 5.0 ms vs the 4.9 ms
-                # full-grid baseline at the 64-volume demo, i.e. the
-                # pass-1 row count is NOT this kernel's bottleneck
-                # (the u-sweep range already tracks the footprint), and
-                # non-power-of-two windows SIGABRT Mosaic's
-                # LoweringEmitter ("limits[i] <= dim(i)"). Removed: no
-                # win, extra per-face code under every variant.
-                pass1(s, jnp.zeros((), jnp.int32), use_dep)
-
-        def pass2(th_sub: int, r0, use_dep: bool = False):
-            """v-sweep over the tile rows [r0, r0 + th_sub) only. Pixels
-            outside use_f never reach the output (the caller's select
-            masks them), so a window covering the live rows is exact;
-            vt recomputes on the sub-window (xg is row-independent, yg
-            is affine in the row index). use_dep modulates each v tap by
-            the CubeCast depth weight max(1 - 0.5*|sceneDist -
-            tapDist|, 0) (tapDist = the pass-1 u-interpolated cube
-            depth), normalizing by the weight sum with plain-tent
-            fallback where every weight is zero (`PSCube.hlsli:104`)."""
+        def pass2(th_sub: int, r0: int, use_dep: bool = False):
+            """v-sweep over the STATIC tile-row window [r0, r0 + th_sub).
+            Pixels outside use_f never reach the output (the caller's
+            select masks them), so a window covering the live rows is
+            exact; vt recomputes on the sub-window (xg is
+            row-independent, yg is affine in the row index). use_dep
+            modulates each v tap by the CubeCast depth weight
+            max(1 - 0.5*|sceneDist - tapDist|, 0) (tapDist = the pass-1
+            u-interpolated cube depth), normalizing by the weight sum
+            with plain-tent fallback where every weight is zero
+            (`PSCube.hlsli:104`)."""
             if th_sub == th:
                 vt_w = vt
                 scene_w = scene_ref[...] if use_dep else None
             else:
                 rows = (jax.lax.broadcasted_iota(
                     jnp.int32, (th_sub, tw), 0).astype(jnp.float32)
-                    + r0.astype(jnp.float32))
+                    + jnp.float32(r0))
                 yg_w = -((ty_f + rows + 0.5) / height * 2.0 - 1.0)
                 xg_w = xg[:th_sub]
                 dq_w = dn0 * xg_w + dn1 * yg_w + dn2
                 vt_w = jnp.clip(
                     _finite((pv0 * xg_w + pv1 * yg_w + pv2) / _safe(dq_w)),
                     0.0, hi)
-                scene_w = (scene_ref[pl.ds(r0, th_sub), :]
+                scene_w = (scene_ref[r0:r0 + th_sub, :]
                            if use_dep else None)
             if use_dep:
                 # clip z -> view distance (`UnprojectZ`, PSCube.hlsli)
@@ -644,67 +628,42 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 fr, fg, fb, fa = fr * inv, fg * inv, fb * inv, fa * inv
             else:
                 fr, fg, fb, fa = out
-            if th_sub == th:
-                face_scr[0] = fr
-                face_scr[1] = fg
-                face_scr[2] = fb
-                face_scr[3] = fa
-            else:
-                face_scr[0, pl.ds(r0, th_sub), :] = fr
-                face_scr[1, pl.ds(r0, th_sub), :] = fg
-                face_scr[2, pl.ds(r0, th_sub), :] = fb
-                face_scr[3, pl.ds(r0, th_sub), :] = fa
+            face_scr[0, r0:r0 + th_sub, :] = fr
+            face_scr[1, r0:r0 + th_sub, :] = fg
+            face_scr[2, r0:r0 + th_sub, :] = fb
+            face_scr[3, r0:r0 + th_sub, :] = fa
 
         def run_pass2(use_dep: bool):
-            if subgrid and th >= 32 and th % 32 == 0:
-                # live tile-row range of this face's pixels; starts
-                # aligned down to 8 rows (same Mosaic dynamic-offset rule
-                # as pass 1), thresholds leave 8 rows of slack so
-                # [r_min, r_max] stays covered at the worst alignment
+            if rowwin and th % 32 == 0:
+                # live tile-row range of this face's pixels -> one
+                # static half/full row window (quarter windows skipped:
+                # pass 2's body is large and the variant count doubles)
                 ridx = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
-                ui = use_f.astype(jnp.int32)
-                row_any = jnp.max(ui, axis=1, keepdims=True)     # (th, 1)
+                row_any = jnp.max(use_f.astype(jnp.int32), axis=1,
+                                  keepdims=True)                # (th, 1)
                 r_min = jnp.min(jnp.where(row_any > 0, ridx, th))
                 r_max = jnp.max(jnp.where(row_any > 0, ridx, -1))
-                r_span = r_max - r_min
-                tq = th // 4
-                th2 = th // 2
-                r_q = pl.multiple_of(
-                    jnp.clip(r_min, 0, th - tq) // 8 * 8, 8)
-                r_h = pl.multiple_of(
-                    jnp.clip(r_min, 0, th - th2) // 8 * 8, 8)
-                zero_r = jnp.zeros((), jnp.int32)
-                small2 = r_span <= tq - 8
-                mid2 = (r_span <= th2 - 8) & ~small2
-
-                @pl.when(small2)
-                def _():
-                    pass2(tq, r_q, use_dep)
-
-                @pl.when(mid2)
-                def _():
-                    pass2(th2, r_h, use_dep)
-
-                @pl.when(~small2 & ~mid2)
-                def _():
-                    pass2(th, zero_r, use_dep)
+                _row_window_variants(
+                    r_min, r_max, th,
+                    lambda r0, sp: pass2(sp, r0, use_dep),
+                    quarters=False)
             else:
-                pass2(th, jnp.zeros((), jnp.int32), use_dep)
+                pass2(th, 0, use_dep)
 
         if with_depth:
             # depth weighting only where a seam can exist: tiles without
             # a mesh pixel would zero every weight and fall back anyway
             @pl.when(mesh_t)
             def _():
-                run_pass1(True)
+                pass1(True)
                 run_pass2(True)
 
             @pl.when(~mesh_t)
             def _():
-                run_pass1(False)
+                pass1(False)
                 run_pass2(False)
         else:
-            run_pass1(False)
+            pass1(False)
             run_pass2(False)
 
 
@@ -754,15 +713,14 @@ def tile_composite_pallas(
     import os
 
     u_block = int(os.environ.get("MV_CKERNEL_UBLOCK", "8"))
-    # MV_CKERNEL_SUBGRID=1 enables the quarter-grid pass-1/pass-2 row
-    # windows (same process-level caveat as above). OFF by default: the
-    # dynamic-offset VMEM stores crash the real Mosaic backend
-    # ("Check failed: limits[i] <= dim(i)" SIGABRT, v5e, 2026-08) even
-    # with 8-aligned offsets; retried 2026-08-19 with pl.multiple_of
-    # hints on every window offset — still dies on v5e. CPU interpret
-    # mode accepts them, so the bit-equality tests keep covering the
-    # variant until Mosaic does.
-    subgrid = os.environ.get("MV_CKERNEL_SUBGRID", "0") == "1"
+    # MV_CKERNEL_ROWWIN=0 drops the STATIC pass-2/K-insert row windows
+    # back to full-tile sweeps (A/B escape hatch, same process-level
+    # rule). Default ON: the windows are `pl.when`-selected static
+    # (start, span) pairs (_row_window_variants) — the lowering shape
+    # Mosaic accepts, replacing the dynamic-offset MV_CKERNEL_SUBGRID
+    # experiment that SIGABRTed v5e ("Check failed: limits[i] <=
+    # dim(i)", 2026-08, pl.multiple_of hints included; knob deleted).
+    rowwin = os.environ.get("MV_CKERNEL_ROWWIN", "1") == "1"
     # MV_CKERNEL_DMAEXT=1 enables per-volume n_eff-extent face DMA
     # (same process-level rule). Default OFF: measured NEUTRAL on v5e
     # (4.9 ms either way at the 64-volume demo — the double-buffered
@@ -776,7 +734,7 @@ def tile_composite_pallas(
     if os.environ.get("MV_CKERNEL_DEPTHW", "1") == "0":
         with_depth = False
     kernel = _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers,
-                          width, height, u_block=u_block, subgrid=subgrid,
+                          width, height, u_block=u_block, rowwin=rowwin,
                           with_depth=with_depth, dma_ext=dma_ext)
 
     in_specs = [

@@ -146,11 +146,10 @@ def test_warp_composite_matches_gather():
 
 
 def test_tile_composite_pass_windows_vs_gather():
-    """Pin the tile kernel's dynamic pass-1/pass-2 row windows: at
-    cube_map_size 32 with mixed LOD buckets the {s/4, s/2, s} face-row
-    and {th/4, th/2, th} tile-row variants all fire; the output must
-    still match the per-pixel gather composite (the s=16 tests never
-    reach the face-row windows)."""
+    """Pin the tile kernel's static pass-2/K-insert row windows: at
+    cube_map_size 32 with mixed LOD buckets the quarter/half/full
+    tile-row variants all fire; the output must still match the
+    per-pixel gather composite."""
     from multivolumes_tpu.config import RenderConfig
     from multivolumes_tpu.render import frame as frame_lib
     from multivolumes_tpu.scene import state as state_lib
@@ -174,10 +173,11 @@ def test_tile_composite_pass_windows_vs_gather():
     assert np.percentile(diff, 99.5) < 3e-2, np.percentile(diff, 99.5)
 
 
-def test_tile_composite_subgrid_bit_equal():
-    """The pass-1/pass-2 row windows must be EXACTLY the full-grid
-    kernel's output (the windows cover the ok1 band and the masked
-    rows, see composite_kernel.pass1/pass2) — a tolerance gate could
+def test_tile_composite_rowwin_bit_equal():
+    """The static pass-2/K-insert row windows (MV_CKERNEL_ROWWIN,
+    default ON) must be EXACTLY the full-tile kernel's output (the
+    pl.when-selected static window always covers the live rows, see
+    composite_kernel._row_window_variants) — a tolerance gate could
     let a dropped live row slip through on a busy scene."""
     import os
 
@@ -205,17 +205,17 @@ def test_tile_composite_subgrid_bit_equal():
             s, cam, cfg, use_taa=False))(st)
         return np.asarray(out.image)
 
-    prev = os.environ.get("MV_CKERNEL_SUBGRID")
+    prev = os.environ.get("MV_CKERNEL_ROWWIN")
     try:
-        os.environ["MV_CKERNEL_SUBGRID"] = "1"
+        os.environ["MV_CKERNEL_ROWWIN"] = "1"
         on = render()
-        os.environ["MV_CKERNEL_SUBGRID"] = "0"
+        os.environ["MV_CKERNEL_ROWWIN"] = "0"
         off = render()
     finally:
         if prev is None:
-            os.environ.pop("MV_CKERNEL_SUBGRID", None)
+            os.environ.pop("MV_CKERNEL_ROWWIN", None)
         else:
-            os.environ["MV_CKERNEL_SUBGRID"] = prev
+            os.environ["MV_CKERNEL_ROWWIN"] = prev
         tile_composite_pallas.clear_cache()
     np.testing.assert_array_equal(on, off)
 
