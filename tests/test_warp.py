@@ -359,3 +359,61 @@ def test_warp_composite_mesh_intersection_fidelity():
     if seam.any():
         seam_err = diff[seam].mean()
         assert seam_err < 3e-2, f"seam mean {seam_err:.4f}"
+
+
+def test_cube_cast_matches_np_twin():
+    """Third-implementation check on the CubeCast filter chain: the
+    engine's `composite.cube_cast_soa` (the gather twin that the Pallas
+    tile kernel is tested against) must match `np_twin.cube_cast` — an
+    independent per-pixel port written literally from `PSCube.hlsli:
+    51-108` — on random rays over mixed-LOD volumes, with and without
+    the depth-aware weights."""
+    import np_twin
+    from multivolumes_tpu.config import SharedConsts
+
+    rng = np.random.default_rng(7)
+    s, r = 16, 256
+    n_eff = rng.choice([4.0, 8.0, 16.0], r).astype(np.float32)
+    # one volume slot per ray -> a single batched engine call covers
+    # every ray against its own random cube map
+    cube_color = rng.uniform(0.0, 1.0, (r, 6, 4, s, s)).astype(np.float32)
+
+    # local-space cube surface positions: a random face axis pinned to
+    # +-1, the others uniform — with a bias toward edges/corners so the
+    # GetDomain exterior clamp branch fires
+    pos = rng.uniform(-1.0, 1.0, (r, 3))
+    edge = rng.random(r) < 0.5
+    pos[edge] = np.sign(pos[edge]) * (1.0 - rng.uniform(
+        0.0, 0.06, (edge.sum(), 3)) / n_eff[edge, None])
+    axis = rng.integers(0, 3, r)
+    sign = rng.choice([-1.0, 1.0], r)
+    pos[np.arange(r), axis] = sign
+    d = rng.normal(size=(r, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    # depths clustered so the CubeCast weights land in (0, 1)
+    base = rng.uniform(0.3, 0.8, r).astype(np.float32)
+    depth_map = np.clip(
+        base[:, None, None, None]
+        + rng.uniform(-0.05, 0.05, (r, 6, s, s)), 0.0, 1.0
+    ).astype(np.float32)
+
+    vol_id = jnp.arange(r, dtype=jnp.int32)
+    for has_depth in (True, False):
+        got = composite.cube_cast_soa(
+            jnp.asarray(cube_color), jnp.asarray(depth_map),
+            vol_id, jnp.asarray(n_eff),
+            *(jnp.asarray(pos[:, c]) for c in range(3)),
+            *(jnp.asarray(d[:, c]) for c in range(3)),
+            jnp.asarray(base), has_depth=has_depth)
+        have = np.stack([np.asarray(ch) for ch in got], -1)  # (r, 4)
+        want = np.stack([
+            np_twin.cube_cast(
+                cube_color[i], depth_map[i], float(n_eff[i]),
+                pos[i], d[i], float(base[i]),
+                SharedConsts.Z_NEAR, SharedConsts.Z_FAR,
+                has_depth=has_depth)
+            for i in range(r)])
+        np.testing.assert_allclose(
+            have, want, rtol=2e-4, atol=2e-4,
+            err_msg=f"has_depth={has_depth}")
