@@ -232,7 +232,8 @@ def density_gradient(vol, uvw):
 
 def light_texel(vols, tex_ids, worlds, world_is, vid, local_pos,
                 light_dir, light_color, ambient, irradiance_fn,
-                step_scale, num_samples, shadow=1.0):
+                step_scale, num_samples, shadow=1.0,
+                point_light=False, has_light_probe=True):
     """Per-texel `CSRayMarchL.hlsl` main() (directional light): the full
     N-volume transmittance loop + AO fan, written literally from the
     HLSL as the independent check on `lightmarch.ray_march_light`.
@@ -241,7 +242,8 @@ def light_texel(vols, tex_ids, worlds, world_is, vid, local_pos,
     worlds/world_is: (N, 4, 4) row-vector transforms; local_pos (3,) the
     texel center in volume vid's local space; irradiance_fn(dir (3,)) ->
     (3,) SH irradiance (the SH chain is validated independently in
-    tests/test_sh.py). Returns the (3,) light-map texel."""
+    tests/test_sh.py); point_light mirrors `_POINT_LIGHT_` (light_dir is
+    then the light POINT). Returns the (3,) light-map texel."""
     ZERO = ZERO_THRESHOLD
     vol_v = vols[tex_ids[vid]]
     uvw = np.asarray(local_pos) * 0.5 + 0.5
@@ -269,8 +271,16 @@ def light_texel(vols, tex_ids, worlds, world_is, vid, local_pos,
             origin_n = (world_pos[0] * m[0, :3] + world_pos[1] * m[1, :3]
                         + world_pos[2] * m[2, :3] + m[3, :3])
             if shadow >= ZERO:
-                ld = (light_dir[0] * m[0, :3] + light_dir[1] * m[1, :3]
-                      + light_dir[2] * m[2, :3])
+                if point_light:
+                    # `_POINT_LIGHT_` (`CSRayMarchL.hlsl:87-92`): the
+                    # light POINT transforms with the full affine
+                    # (w = 1); direction is per-texel toward it
+                    lp = (light_dir[0] * m[0, :3] + light_dir[1] * m[1, :3]
+                          + light_dir[2] * m[2, :3] + m[3, :3])
+                    ld = lp - origin_n
+                else:
+                    ld = (light_dir[0] * m[0, :3] + light_dir[1] * m[1, :3]
+                          + light_dir[2] * m[2, :3])
                 ld = ld / np.linalg.norm(ld)
                 o, hit = compute_ray_origin(origin_n.copy(), ld)
                 if hit:
@@ -288,5 +298,10 @@ def light_texel(vols, tex_ids, worlds, world_is, vid, local_pos,
                 min(max(transm + 0.5, 0.0), 1.0) ** 0.25)
 
     lcol = np.asarray(light_color[:3]) * light_color[3]
-    amb = ao * irradiance if has_density else np.zeros(3)
+    if has_light_probe:
+        amb = ao * irradiance if has_density else np.zeros(3)
+    else:
+        # `_HAS_LIGHT_PROBE_` off: the constant ambient term survives
+        # (`CSRayMarchL.hlsl:114-121`)
+        amb = np.asarray(ambient[:3]) * ambient[3]
     return shadow * lcol + amb

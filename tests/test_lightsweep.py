@@ -475,3 +475,58 @@ def test_reference_march_matches_np_twin_per_texel():
     # one texel to sit near a step-count knife edge
     assert np.median(errs) < 2e-3, np.median(errs)
     assert np.percentile(errs, 90) < 2e-2, np.percentile(errs, 90)
+
+
+def test_point_light_march_matches_np_twin_per_texel():
+    """Same third-implementation check for the `_POINT_LIGHT_` fallback
+    (`CSRayMarchL.hlsl:87-92`): per-texel direction toward the light
+    POINT (full-affine transform into each volume's space)."""
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.render import cull as cull_lib, lightmarch
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=96, height=64, grid_size=16, light_grid_size=8,
+                       max_ray_samples=16, max_light_samples=16,
+                       num_volumes=2, num_volume_srcs=1,
+                       cube_map_size=16, shadow_map_size=32)
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.default_camera(cfg.aspect_ratio)
+    po = build_per_object(st.volume_worlds, cam.view_proj)
+    cull = cull_lib.cull_volumes(po, cam.eye, jnp.array([96.0, 64.0]),
+                                 16, 16, 5)
+    light_pos = jnp.asarray([9.0, 14.0, -7.0, 1.0], jnp.float32)
+
+    frame = jnp.asarray(0, jnp.int32)
+    got = np.asarray(jax.jit(lambda lm: lightmarch.ray_march_light(
+        st.volumes, st.vol_tex_ids, lm, po, cull, frame, None, jnp.eye(4),
+        light_pos, st.light_color, st.ambient, st.sh_coeffs, 16,
+        has_light_probe=False, point_light=True))(st.light_maps))
+    vid = int(lightmarch.select_update_volume(cull.visible, frame))
+
+    vols = [np.asarray(v, np.float64) for v in st.volumes]
+    tex_ids = [int(t) for t in st.vol_tex_ids]
+    worlds = np.asarray(po.world, np.float64)
+    world_is = np.asarray(po.world_i, np.float64)
+
+    l = 8
+    ts = (np.arange(l) + 0.5) / l * 2.0 - 1.0
+    rng = np.random.RandomState(5)
+    dens = np.asarray(st.rho_light[tex_ids[vid]])
+    occ = np.argwhere(dens >= 0.01)
+    pick = [tuple(occ[i]) for i in rng.choice(len(occ), 8, replace=False)]
+
+    errs = []
+    for (i, j, k) in pick:
+        local = np.array([ts[k], ts[j], ts[i]])
+        want = np_twin.light_texel(
+            vols, tex_ids, worlds, world_is, vid, local,
+            np.asarray(light_pos, np.float64)[:3],
+            np.asarray(st.light_color, np.float64),
+            np.asarray(st.ambient, np.float64), lambda d: np.zeros(3),
+            np_twin.MAX_DIST / 16, 16, point_light=True,
+            has_light_probe=False)
+        have = got[vid, :, i, j, k]
+        errs.append(np.abs(have - want))
+    errs = np.stack(errs)
+    assert np.median(errs) < 2e-3, np.median(errs)
+    assert np.percentile(errs, 90) < 2e-2, np.percentile(errs, 90)
