@@ -453,12 +453,15 @@ def composite_oit(
     ocx, ocy, ocz, oc_hit = raymarch.compute_ray_origin_soa(
         l_ox, l_oy, l_oz, ndx, ndy, ndz
     )
+    # flat-16 ROW gather of the inverse matrices: a (K, H, W, 4, 4)
+    # gather pads its minor (4, 4) dims 32x on TPU (16 GB at demo
+    # scale); the (N, 16) row form gathers clean rows (~5.6 ms/M)
     t_max_l = raymarch.get_t_max_soa(
         jnp.broadcast_to(xg[None], ocx.shape),
         jnp.broadcast_to(yg[None], ocx.shape),
         jnp.broadcast_to(scene_z[None], ocx.shape),
         ocx, ocy, ocz, ndx, ndy, ndz,
-        per_object.world_view_proj_i[layer_vol],
+        per_object.world_view_proj_i.reshape(-1, 16)[layer_vol],
     )
     rc = _ray_cast_layers(
         volumes, l_tex, light_maps, layer_vol,

@@ -116,16 +116,26 @@ def compute_target_hit_soa(ox, oy, oz, tx, ty, tz, dx, dy, dz):
 def get_t_max_soa(cx, cy, cz, ox, oy, oz, dx, dy, dz, wvp_i):
     """Occluded end point from a scene-depth sample (`GetTMax`,
     `RayMarch.hlsli:82-97`). clip pos (cx, cy, cz=z); wvp_i: (..., 4, 4)
-    broadcastable row-vector inverse matrix."""
-    hw = cx * wvp_i[..., 0, 3] + cy * wvp_i[..., 1, 3] + cz * wvp_i[..., 2, 3] + wvp_i[..., 3, 3]
+    broadcastable row-vector inverse matrix, or (..., 16) row-major
+    flat rows — per-element-gathered matrices MUST use the flat form: a
+    (..., 4, 4) gather result tiles its minor (4, 4) dims as T(4, 128)
+    on TPU (32x HBM padding — 15.6 GB at 8 layers x 1280x800, the
+    round-5 fidelity-run OOM), while a 16-wide row stays a plain row
+    gather."""
+    flat16 = wvp_i.shape[-1] == 16
+
+    def m(r, c):
+        return wvp_i[..., r * 4 + c] if flat16 else wvp_i[..., r, c]
+
+    hw = cx * m(0, 3) + cy * m(1, 3) + cz * m(2, 3) + m(3, 3)
     hw = _safe(hw, 1e-20)
 
     def unproj(col):
         return (
-            cx * wvp_i[..., 0, col]
-            + cy * wvp_i[..., 1, col]
-            + cz * wvp_i[..., 2, col]
-            + wvp_i[..., 3, col]
+            cx * m(0, col)
+            + cy * m(1, col)
+            + cz * m(2, col)
+            + m(3, col)
         ) / hw
 
     px, py, pz = unproj(0), unproj(1), unproj(2)
