@@ -48,6 +48,32 @@ def make_camera(eye, focus, aspect: float,
     return Camera(eye=eye, view=view, proj=proj)
 
 
+def band_camera(camera: Camera, k: int, bands: int) -> Camera:
+    """Off-center projection for horizontal row band k of `bands`.
+
+    Rendering the band at height H/bands with this camera reproduces
+    rows [k*H/bands, (k+1)*H/bands) of the full-frame render EXACTLY
+    (identical pixel centres): post-multiply the projection by a clip-
+    space y scale+offset — y' = s*y + (1 - s + 2k)*w with s = bands —
+    so band-row j' lands on the same NDC y as full-frame row
+    k*H/bands + j'. Per-pixel passes are band-local; an exactness test
+    pins full-vs-banded equality (tests/test_fidelity.py).
+
+    Why: the demo-scale reference-twin frame is ONE minutes-long
+    dispatch, which reliably crashes the remote TPU worker (the same
+    sustained-load failure the fidelity light warmup hit — fixed there
+    with z-slab chunking, `lightmarch.py` z_slab); banding keeps each
+    dispatch seconds long and syncable."""
+    s = float(bands)
+    band = jnp.asarray(
+        [[1.0, 0.0, 0.0, 0.0],
+         [0.0, s, 0.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0],
+         [0.0, 1.0 - s + 2.0 * k, 0.0, 1.0]], jnp.float32)
+    return Camera(eye=camera.eye, view=camera.view,
+                  proj=camera.proj @ band)
+
+
 def default_camera(aspect: float) -> Camera:
     """Start pose from `MultiVolumes.cpp:273-278`."""
     return make_camera(

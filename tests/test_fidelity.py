@@ -80,6 +80,41 @@ def test_full_frame_fast_vs_reference_semantics():
     assert p99_m < 1e-2, f"march sub-gate: p99 {p99_m:.2e}"
 
 
+def test_banded_ref_frame_matches_full():
+    """Banded off-center-projection rendering (cam_lib.band_camera — the
+    shape tools/fidelity_demo.py uses to keep each demo-scale
+    reference-twin dispatch seconds long) must reproduce the full-frame
+    reference render exactly up to band-local reassociation: per-pixel
+    passes see identical pixel centres by construction; residuals are
+    fast-math noise, not geometry."""
+    cfg = _FAST.with_(
+        march_mode="reference", light_mode="reference",
+        composite_mode="gather", packed_composite=False, use_bf16=False,
+    )
+    camera = cam_lib.orbit_camera(0.35, cfg.aspect_ratio)
+    state = state_lib.create_scene(cfg)
+    # one warm frame so a light cohort is marched (any state works: both
+    # renders below consume the SAME state)
+    state = jax.jit(lambda s, c: frame_lib.render_frame(
+        s, c, cfg, use_taa=False))(state, camera).state
+
+    full = np.asarray(jax.jit(lambda s: frame_lib.render_frame(
+        s, camera, cfg, use_taa=False).image)(state))
+
+    bands = 4
+    cfg_b = cfg.with_(height=cfg.height // bands)
+    band_fn = jax.jit(lambda s, cam: frame_lib.render_frame(
+        s, cam, cfg_b, use_taa=False).image)
+    parts = [np.asarray(band_fn(state, cam_lib.band_camera(
+        camera, k, bands))) for k in range(bands)]
+    banded = np.concatenate(parts, axis=0)
+
+    assert banded.shape == full.shape
+    diff = np.abs(banded - full)
+    assert diff.mean() < 1e-5, diff.mean()
+    assert diff.max() < 1e-2, diff.max()
+
+
 def test_debug_finite_guard_catches_injected_inf():
     """VERDICT round-3 item 9: the debug-mode isfinite sentinels
     (config.debug_finite) must (a) pass clean on a demo scene and (b)

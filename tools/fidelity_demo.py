@@ -171,9 +171,41 @@ def main() -> None:
                 ref_maps.astype(state.light_maps_oriented.dtype))))
 
     # --- one frame through each chain -------------------------------------
+    # The reference frame renders in ROW BANDS via off-center
+    # projections (cam_lib.band_camera, exactness pinned by
+    # tests/test_fidelity.py): one full-frame reference-twin dispatch
+    # runs minutes on-chip and crashed the remote TPU worker on every
+    # round-5 attempt (21/21), the same sustained-load failure the
+    # light warmup hit before z-slab chunking. Bands sync one at a time.
     t0 = time.perf_counter()
-    ref = np.asarray(jax.jit(lambda s: frame_lib.render_frame(
-        s, camera, cfg_ref, use_taa=False).image)(state_ref))
+    bands = 1 if args.small else max(int(os.environ.get(
+        "MV_FID_BANDS", "8")), 1)
+    if bands > 1:
+        assert cfg.height % bands == 0
+        cfg_band = cfg_ref.with_(height=cfg.height // bands)
+        band_fn = jax.jit(lambda s, cam: frame_lib.render_frame(
+            s, cam, cfg_band, use_taa=False).image)
+        # band-level checkpoint: the worker's sustained-load crashes
+        # can land mid-loop; a rerun resumes at the next band
+        bcache = cache + f".bands{bands}.npz"
+        parts, k0 = [], 0
+        if os.path.exists(bcache):
+            saved = np.load(bcache)
+            parts = [saved[f"b{i}"] for i in range(int(saved["done"]))]
+            k0 = len(parts)
+            print(f"  resuming ref bands at {k0} ({bcache})",
+                  file=sys.stderr)
+        for k in range(k0, bands):
+            parts.append(np.asarray(band_fn(
+                state_ref, cam_lib.band_camera(camera, k, bands))))
+            np.savez(bcache, done=len(parts),
+                     **{f"b{i}": p for i, p in enumerate(parts)})
+            print(f"    ref band {k + 1}/{bands} ok "
+                  f"({time.perf_counter() - t0:.0f} s)", file=sys.stderr)
+        ref = np.concatenate(parts, axis=0)
+    else:
+        ref = np.asarray(jax.jit(lambda s: frame_lib.render_frame(
+            s, camera, cfg_ref, use_taa=False).image)(state_ref))
     print(f"reference frame: {time.perf_counter() - t0:.1f} s",
           file=sys.stderr)
     t0 = time.perf_counter()
