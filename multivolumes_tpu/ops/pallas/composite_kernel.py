@@ -128,9 +128,12 @@ def _finite(x):
 
 
 def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
-                 u_block=8, rowwin=True, with_depth=False,
+                 u_block=8, rowwin=(True, True), with_depth=False,
                  dma_ext=False):
     """Bind static geometry; return the kernel body.
+
+    rowwin = (pass-2 face-sweep windows, nearest-K-insert windows) —
+    independently switchable static row windows (MV_CKERNEL_ROWWIN).
 
     with_depth=True adds the paper's depth-aware CubeCast weights
     (`PSCube.hlsli:51-108`): the volume's cube DEPTH map (pre-unprojected
@@ -343,7 +346,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
                     _face_warp(f, use_f, vid, slot, face_flt, vol_scr,
                                tmp_scr, face_scr, xg, yg, x_row, r_col,
                                sel_row, sel_col, y_top, y_bot, hi,
-                               rowwin=rowwin, ty_f=ty_f, height=height,
+                               rowwin=rowwin[0], ty_f=ty_f, height=height,
                                dep_scr=dep_scr, tmpd_scr=tmpd_scr,
                                scene_ref=scene_ref, mesh_t=mesh_t,
                                with_depth=with_depth)
@@ -394,7 +397,7 @@ def _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers, width, height,
 
                 @pl.when(jnp.max(store_ok.astype(jnp.int32)) > 0)
                 def _():
-                    if rowwin and th % 32 == 0:
+                    if rowwin[1] and th % 32 == 0:
                         ridx = jax.lax.broadcasted_iota(
                             jnp.int32, (th, tw), 0)
                         r_min = jnp.min(jnp.where(store_ok, ridx, th))
@@ -578,7 +581,13 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                     jnp.int32, (th_sub, tw), 0).astype(jnp.float32)
                     + jnp.float32(r0))
                 yg_w = -((ty_f + rows + 0.5) / height * 2.0 - 1.0)
-                xg_w = xg[:th_sub]
+                # xg is row-constant (lane iota), so Mosaic stores it
+                # sublane-REPLICATED (vreg-grid row extent 1): a row
+                # slice xg[:th_sub] asks ApplyVectorLayout for th_sub/8
+                # vreg rows from 1 and SIGABRTs ("limits[i] <= dim(i)
+                # (4 vs. 1)", v5e 2026-08-20). Broadcast row 0 instead —
+                # bit-identical values, replication-preserving.
+                xg_w = jnp.broadcast_to(xg[0:1], (th_sub, tw))
                 dq_w = dn0 * xg_w + dn1 * yg_w + dn2
                 vt_w = jnp.clip(
                     _finite((pv0 * xg_w + pv1 * yg_w + pv2) / _safe(dq_w)),
@@ -593,7 +602,12 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
             def v_step(v, carry):
                 wv = jnp.maximum(
                     1.0 - jnp.abs(vt_w - v.astype(jnp.float32)), 0.0)
-                row = tmp_scr[:, pl.ds(v, 1), :]    # (4, 1, tw)
+                # FOUR 2-D (1, tw) loads, NOT one (4, 1, tw) load +
+                # row[ch] extracts: the 3-D minor-dim-1 vector extract
+                # SIGABRTs Mosaic's ApplyVectorLayout inside the row
+                # window's pl.when nest (vector_extract_strided_slice,
+                # "limits[i] <= dim(i) (4 vs. 1)", v5e 2026-08-20)
+                row = [tmp_scr[ch, pl.ds(v, 1), :] for ch in range(4)]
                 fr, fg, fb, fa, *gs_t = carry
                 if use_dep:
                     # weight FLOOR instead of a separate plain
@@ -638,11 +652,13 @@ def _face_warp(f, use_f, vid, slot, face_flt, vol_scr, tmp_scr, face_scr,
                 # live tile-row range of this face's pixels -> one
                 # static half/full row window (quarter windows skipped:
                 # pass 2's body is large and the variant count doubles)
-                ridx = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
-                row_any = jnp.max(use_f.astype(jnp.int32), axis=1,
-                                  keepdims=True)                # (th, 1)
-                r_min = jnp.min(jnp.where(row_any > 0, ridx, th))
-                r_max = jnp.max(jnp.where(row_any > 0, ridx, -1))
+                # full-(th, tw) iota + reduce, NOT a (th, 1) keepdims
+                # reduction: minor-dim-1 vectors are a Mosaic lowering
+                # hazard (docs/ARCHITECTURE.md gotchas), and this matches
+                # the insert site's formulation
+                ridx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+                r_min = jnp.min(jnp.where(use_f, ridx, th))
+                r_max = jnp.max(jnp.where(use_f, ridx, -1))
                 _row_window_variants(
                     r_min, r_max, th,
                     lambda r0, sp: pass2(sp, r0, use_dep),
@@ -720,7 +736,11 @@ def tile_composite_pallas(
     # Mosaic accepts, replacing the dynamic-offset MV_CKERNEL_SUBGRID
     # experiment that SIGABRTed v5e ("Check failed: limits[i] <=
     # dim(i)", 2026-08, pl.multiple_of hints included; knob deleted).
-    rowwin = os.environ.get("MV_CKERNEL_ROWWIN", "1") == "1"
+    # "p2"/"ins" enable only one of the two window sites (pass-2 face
+    # sweep / nearest-K insert) — the Mosaic-SIGABRT bisection handles
+    _rw = os.environ.get("MV_CKERNEL_ROWWIN", "1")
+    rowwin_p2 = _rw in ("1", "p2")
+    rowwin_ins = _rw in ("1", "ins")
     # MV_CKERNEL_DMAEXT=1 enables per-volume n_eff-extent face DMA
     # (same process-level rule). Default OFF: measured NEUTRAL on v5e
     # (4.9 ms either way at the 64-volume demo — the double-buffered
@@ -734,7 +754,8 @@ def tile_composite_pallas(
     if os.environ.get("MV_CKERNEL_DEPTHW", "1") == "0":
         with_depth = False
     kernel = _make_kernel(n, s, s_pad, th, tw, tiles_x, k_layers,
-                          width, height, u_block=u_block, rowwin=rowwin,
+                          width, height, u_block=u_block,
+                          rowwin=(rowwin_p2, rowwin_ins),
                           with_depth=with_depth, dma_ext=dma_ext)
 
     in_specs = [

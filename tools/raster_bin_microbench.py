@@ -125,10 +125,12 @@ def main() -> None:
 
     def kern(tile_ref, first_ref, x0_ref, y0_ref, coef_ref, out_ref):
         i = pl.program_id(0)
-        xg = jax.lax.broadcasted_iota(jnp.float32, (8, 128, 1), 1) \
-            + x0_ref[i] + 0.5
-        yg = jax.lax.broadcasted_iota(jnp.float32, (8, 128, 1), 0) \
-            + y0_ref[i] + 0.5
+        # integer iota + cast (Mosaic rejects f32 tpu.iota), full
+        # (8, 128, 128) shape (minor-dim-1 vectors are a lowering hazard)
+        xg = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 1) \
+            .astype(jnp.float32) + x0_ref[i] + 0.5
+        yg = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 0) \
+            .astype(jnp.float32) + y0_ref[i] + 0.5
         c = coef_ref[...]                       # (16, 128)
         c1 = xg * c[0][None, None] + yg * c[1][None, None] + c[2][None, None]
         c2 = xg * c[3][None, None] + yg * c[4][None, None] + c[5][None, None]
