@@ -80,29 +80,49 @@ def main() -> None:
         cfg = eng.config
         state = eng.state
 
-        def step(s, cam, cfg=cfg):
-            out = frame_lib.render_frame(s, cam, cfg, use_taa=True,
+        # The per-pixel RayCast frame is ONE multi-second dispatch at
+        # this scale, which crashes the remote TPU worker (the
+        # fidelity-run failure mode); render it in row BANDS via
+        # off-center projections (cam_lib.band_camera — exactness
+        # pinned by tests/test_fidelity.py), one synced dispatch each.
+        # TAA is banded-incompatible (history carry), so the march case
+        # measures the frame without it — its cost is the march.
+        bands = (max(int(os.environ.get("MV_FB_BANDS", "8")), 1)
+                 if name.startswith("march") else 1)
+        cfg_band = cfg.with_(height=cfg.height // bands) \
+            if bands > 1 else cfg
+
+        def step(s, cam, cfg=cfg_band, taa=(bands == 1)):
+            out = frame_lib.render_frame(s, cam, cfg, use_taa=taa,
                                          planar=True)
             return out.image, out.state
 
         step_jit = jax.jit(step, donate_argnums=(0,))
-        cam = cam_lib.orbit_camera(0.0, cfg.aspect_ratio)
+
+        def frame(s, f):
+            cam0 = cam_lib.orbit_camera(f / 60.0, cfg.aspect_ratio)
+            img = None
+            for k in range(bands):
+                cam = (cam_lib.band_camera(cam0, k, bands)
+                       if bands > 1 else cam0)
+                img, s = step_jit(s, cam)
+                sync(img)  # bound in-flight work to one dispatch
+            return img, s
+
         t0 = time.perf_counter()
-        img, state = step_jit(state, cam)
-        sync(img)
+        img, state = frame(state, 0)
         compile_s = time.perf_counter() - t0
         lat = readback_latency()
         t0 = time.perf_counter()
         for f in range(args.frames):
-            cam = cam_lib.orbit_camera((f + 1) / 60.0, cfg.aspect_ratio)
-            img, state = step_jit(state, cam)
-            sync(img)  # per-frame sync: one frame can run minutes
+            img, state = frame(state, f + 1)
         dt = ((time.perf_counter() - t0) * 1e3
-              - lat * args.frames) / args.frames
+              - lat * bands * args.frames) / args.frames
         print(f"{name}: {dt:.1f} ms/frame "
               f"(n={cfg.num_volumes}, {cfg.width}x{cfg.height}, "
               f"grid {cfg.grid_size}, mesh={cfg.show_mesh}, "
-              f"{args.frames} frames, compile+first {compile_s:.0f} s)")
+              f"{args.frames} frames, {bands} band(s), "
+              f"compile+first {compile_s:.0f} s)")
 
 
 if __name__ == "__main__":
