@@ -121,21 +121,26 @@ def _pass_breakdown(state, cfg, lat_ms: float) -> None:
     lod_cull = cull._replace(use_cube_map=cull.visible)
     vol_or = state.volumes_oriented.astype(dtype)
     lm_or = state.light_maps_oriented.astype(dtype)
-    # sorted_output + order + depth: the exact production tile path
-    cube_maps, mips, order = timed(
+    from multivolumes_tpu.render import warp as warp_lib
+
+    swap_basis = warp_lib.screen_basis(camera.screen_to_world, camera.eye)
+    # sorted_output + order + depth + swap_basis: the exact production
+    # tile path (pre-swapped faces, pre-unprojected depth)
+    cube_maps, mips, order, swap = timed(
         "sweep", lambda v, l: sweep_lib.ray_march_view_sweep_lod(
             v, state.vol_tex_ids, l, po, lod_cull, camera.eye, depth_map,
             cfg.cube_map_size, dtype=dtype,
             bucket_caps=cfg.lod_bucket_caps, pack=False,
             light_w=cfg.light_grid_size, vol_zmax=state.vol_zmax,
-            sorted_output=True),
+            sorted_output=True, swap_basis=swap_basis),
         vol_or, lm_or)
 
     cull_c = cull._replace(mip_level=mips, use_cube_map=cull.visible)
     screen = timed("composite", lambda cm: tilecast.composite_oit_tile(
         cube_maps._replace(color=cm), po, cull_c, camera.eye,
         camera.screen_to_world, depth_map, cfg.width, cfg.height,
-        num_layers=cfg.oit_layers, order=order), cube_maps.color)
+        num_layers=cfg.oit_layers, order=order, swap_sorted=swap),
+        cube_maps.color)
 
     from multivolumes_tpu.render import postprocess
 

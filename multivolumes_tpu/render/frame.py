@@ -206,6 +206,17 @@ def render_frame(
         use_warp = config.composite_mode in ("auto", "warp", "tile")
         use_tile = config.composite_mode in ("auto", "tile")
         lod_order = lod_buckets = sweep_order = None
+        sweep_swap = None
+        if use_tile:
+            # tile path: the sweep emits faces pre-swapped for the
+            # composite (and depth pre-unprojected) so the tile prep
+            # never re-materializes the (N, 6, 4, S, S) stack; the
+            # returned flags feed the prep's homography rows
+            from multivolumes_tpu.render import warp as warp_swp
+
+            swap_basis = warp_swp.screen_basis(screen_to_world, eye)
+        else:
+            swap_basis = None
         vol_or = state.volumes_oriented.astype(dtype)
         light_w = config.light_grid_size  # true u extent of the padded stack
         if light_oriented is not None:
@@ -240,6 +251,7 @@ def render_frame(
                         vol_zmax=state.vol_zmax,
                         sorted_output=use_tile,
                         light_sharded=config.shard_light_stacks,
+                        swap_basis=swap_basis,
                     )
             else:
                 with jax.named_scope("sweep"):
@@ -259,9 +271,10 @@ def render_frame(
                         vol_zmax=state.vol_zmax,
                         sorted_output=use_tile,
                         order=order_pre,
+                        swap_basis=swap_basis,
                     )
             if use_tile:
-                cube_maps, sweep_mips, sweep_order = out
+                cube_maps, sweep_mips, sweep_order, sweep_swap = out
             else:
                 (cube_maps, sweep_mips), sweep_order = out, None
             cull_for_composite = cull_for_composite._replace(
@@ -376,6 +389,7 @@ def render_frame(
                     ch,
                     num_layers=config.oit_layers,
                     order=sweep_order,
+                    swap_sorted=sweep_swap,
                 )
         else:
             with jax.named_scope("composite"):
@@ -390,6 +404,7 @@ def render_frame(
                     ch,
                     num_layers=config.oit_layers,
                     order=sweep_order,
+                    swap_sorted=sweep_swap,
                 )
     elif use_warp:
         from multivolumes_tpu.render import warp as warp_lib

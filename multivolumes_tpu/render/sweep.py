@@ -558,6 +558,7 @@ def ray_march_view_sweep_lod_sharded(
     vol_zmax=None,
     sorted_output: bool = False,
     light_sharded: bool = False,
+    swap_basis=None,  # see ray_march_view_sweep_lod
 ):
     """Multi-chip LOD sweep: genuinely partition the march over the
     volume axis with `jax.shard_map` (GSPMD cannot partition the opaque
@@ -583,7 +584,8 @@ def ray_march_view_sweep_lod_sharded(
     caps = tuple(c if c >= (1 << 20) else max(1, c // nd)
                  for c in bucket_caps)
 
-    def local_fn(vol_or, tex_l, lm_in, po_l, cull_l, eye_, depth_, vz_):
+    def local_fn(vol_or, tex_l, lm_in, po_l, cull_l, eye_, depth_, vz_,
+                 *extra):
         d = jax.lax.axis_index(axis)
         nl = tex_l.shape[0]
         # replicated stack: slice this device's volumes out locally;
@@ -595,7 +597,11 @@ def ray_march_view_sweep_lod_sharded(
             cube_map_size, dtype=dtype, bucket_caps=caps, impl=impl,
             pack=pack, light_w=light_w, vol_zmax=vz_,
             sorted_output=sorted_output,
+            swap_basis=extra[0] if extra else None,
         )
+        if sorted_output and swap_basis is not None:
+            cm, mips, order_l, swap_l = out
+            return (cm.color, cm.depth, mips, order_l + d * nl, swap_l)
         if sorted_output:
             cm, mips, order_l = out
             # local sorted row j = global volume d*nl + order_l[j]; the
@@ -605,15 +611,22 @@ def ray_march_view_sweep_lod_sharded(
         cm, mips = out
         return cm.color, cm.depth, mips
 
+    n_out = (5 if sorted_output and swap_basis is not None
+             else 4 if sorted_output else 3)
+    extra = () if swap_basis is None else (swap_basis,)
     outs = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis) if light_sharded else P(),
-                  P(axis), P(axis), P(), P(), P()),
-        out_specs=((P(axis),) * 4 if sorted_output else (P(axis),) * 3),
+                  P(axis), P(axis), P(), P(), P())
+        + ((P(),) if extra else ()),
+        out_specs=(P(axis),) * n_out,
         check_vma=False,
     )(volumes_oriented, vol_tex_ids, light_maps_oriented, per_object,
-      cull, eye, depth_map, vol_zmax)
+      cull, eye, depth_map, vol_zmax, *extra)
+    if sorted_output and swap_basis is not None:
+        color, depth, mips, order, swap_sorted = outs
+        return CubeMaps(color=color, depth=depth), mips, order, swap_sorted
     if sorted_output:
         color, depth, mips, order = outs
         return CubeMaps(color=color, depth=depth), mips, order
@@ -674,6 +687,12 @@ def ray_march_view_sweep_lod(
     vol_zmax=None,
     sorted_output: bool = False,
     order=None,  # precomputed lod_partition order (batched-prep scan)
+    swap_basis=None,  # (3, 3) warp.screen_basis: emit faces pre-swapped
+                      # for the tile composite (+ depth pre-unprojected)
+                      # and additionally return the (N, 6) swap flags —
+                      # the tile prep then consumes the maps as-is
+                      # instead of re-materializing the whole stack
+                      # (sorted_output only)
 ):
     """LOD-bucketed sweep: the honest work-graph equivalent.
 
@@ -725,6 +744,10 @@ def ray_march_view_sweep_lod(
     # compute dtype
     from multivolumes_tpu.render.composite import pack_cube_f16
 
+    assert swap_basis is None or (sorted_output and not pack), \
+        "swap_basis is a tile-composite (sorted, unpacked) contract"
+    swap_parts = []
+
     if pack:
         color = jnp.zeros((n, 6, 2, s, s), jnp.float32)
     else:
@@ -757,6 +780,19 @@ def ray_march_view_sweep_lod(
             mip_b, max_mip,
         )
         n_eff_v = (s >> eff_mip).astype(jnp.float32)      # (count,)
+
+        if swap_basis is not None:
+            # tile-composite resample orientation (one shared function
+            # with the tile prep — see warp.catmull_swap_flags): the
+            # bucket's images are emitted pre-transposed where the flag
+            # says so, and the flags ride back with the sorted rows
+            from multivolumes_tpu.render.warp import catmull_swap_flags
+
+            swap_b = catmull_swap_flags(
+                swap_basis, per_object.world_i[ids],
+                per_object.world_view_proj[ids], eye_local[ids],
+                n_eff_v)                                   # (count, 6)
+            swap_parts.append(swap_b)
 
         ar = jnp.arange(size_b, dtype=jnp.float32)
         u = (ar[None] + 0.5) / n_eff_v[:, None] * 2.0 - 1.0   # (count, S_b)
@@ -816,10 +852,27 @@ def ray_march_view_sweep_lod(
                     po_b, eye_local[ids], eye_f_b, occl_depth, size_b,
                     n_eff=n_eff_v)
             if sorted_output:
+                if swap_basis is not None:
+                    # the tile kernel consumes VIEW-distance depth in the
+                    # swapped orientation (`tilecast._tile_prep`): fold
+                    # the elementwise unproject + per-face transpose into
+                    # this one assembly write; pad = unproject(1) = Z_FAR
+                    from multivolumes_tpu.config import SharedConsts
+                    from multivolumes_tpu.render.composite import (
+                        unproject_z,
+                    )
+
+                    depth_b = unproject_z(depth_b.astype(jnp.float32))
+                    depth_b = jnp.where(
+                        swap_b[:, :, None, None],
+                        jnp.swapaxes(depth_b, -1, -2), depth_b)
+                    pad_val = float(SharedConsts.Z_FAR)
+                else:
+                    pad_val = 1.0  # far clip, like the init
                 depth_parts.append(jnp.pad(
                     depth_b,
                     ((0, 0), (0, 0), (0, s - size_b), (0, s - size_b)),
-                    constant_values=1.0))  # pad = far clip, like the init
+                    constant_values=pad_val))
             else:
                 cube_depth = cube_depth.at[
                     ids, :, 0:size_b, 0:size_b].set(depth_b)
@@ -855,6 +908,10 @@ def ray_march_view_sweep_lod(
         else:
             out_b = scatter.astype(dtype)
         if sorted_output:
+            if swap_basis is not None:
+                out_b = jnp.where(
+                    swap_b[:, :, None, None, None],
+                    jnp.swapaxes(out_b, -1, -2), out_b)
             color_parts.append(jnp.pad(
                 out_b, ((0, 0), (0, 0), (0, 0),
                         (0, s - size_b), (0, s - size_b))))
@@ -868,5 +925,10 @@ def ray_march_view_sweep_lod(
         if depth_parts:
             cube_depth = (depth_parts[0] if len(depth_parts) == 1
                           else jnp.concatenate(depth_parts, axis=0))
+        if swap_basis is not None:
+            swap_sorted = (swap_parts[0] if len(swap_parts) == 1
+                           else jnp.concatenate(swap_parts, axis=0))
+            return (CubeMaps(color=color, depth=cube_depth), mips, order,
+                    swap_sorted)
         return CubeMaps(color=color, depth=cube_depth), mips, order
     return CubeMaps(color=color, depth=cube_depth), mips

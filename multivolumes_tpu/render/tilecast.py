@@ -74,11 +74,12 @@ def composite_oit_tile(
     order=None,                     # (N,) int32: cube_maps rows are in
                                     # this bucket-sorted volume order
                                     # (sweep sorted_output=True)
+    swap_sorted=None,
 ):
     """Full OIT composite via the screen-tile kernel -> (r, g, b, a)."""
     prep = _tile_prep(cube_maps, per_object, cull, eye, screen_to_world,
                       depth_map, width, height, num_layers=num_layers,
-                      order=order)
+                      order=order, swap_sorted=swap_sorted)
     (color_sel, depth_sel, scene_p, tlist, counts, vol_flt, face_flt,
      s, th, tw, tiles_x, k_layers) = prep
     out = tile_composite_pallas(
@@ -104,6 +105,7 @@ def composite_oit_tile_sharded(
     num_layers: int,
     interpret: bool | None = None,
     order=None,
+    swap_sorted=None,
 ):
     """Row-sharded screen composite: each device runs the tile kernel on
     a contiguous band of tile rows (SURVEY section-2.6's screen-space
@@ -116,7 +118,8 @@ def composite_oit_tile_sharded(
     rows = mesh.shape["rows"]
     prep = _tile_prep(cube_maps, per_object, cull, eye, screen_to_world,
                       depth_map, width, height, rows_mult=rows,
-                      num_layers=num_layers, order=order)
+                      num_layers=num_layers, order=order,
+                      swap_sorted=swap_sorted)
     (color_sel, depth_sel, scene_p, tlist, counts, vol_flt, face_flt,
      s, th, tw, tiles_x, k_layers) = prep
     ty_local = (scene_p.shape[0] // th) // rows
@@ -159,6 +162,9 @@ def _tile_prep(
     rows_mult: int = 1,             # pad tile rows to this multiple
     num_layers: int = 8,
     order=None,
+    swap_sorted=None,               # (N, 6) bool: maps arrive pre-swapped
+                                    # (sweep swap_basis), depth
+                                    # pre-unprojected; rows sorted-space
 ):
     """Per-frame host-side geometry for the tile kernel (docstring at
     module top)."""
@@ -191,11 +197,16 @@ def _tile_prep(
     # --- per-(volume, face) homographies + Catmull-Smith orientation ----
     # swap decision at the volume's projected centre (same granularity as
     # the warp path's tile centre — the tile there is centred on the
-    # volume); in NDC via the clip image of the local origin
-    c0 = per_object.world_view_proj[:, 3, :]
-    c0w = jnp.where(jnp.abs(c0[:, 3]) > 1e-3, c0[:, 3], 1e-3)
-    xc = jnp.clip(c0[:, 0] / c0w, -1.0, 1.0)                  # (N,)
-    yc = jnp.clip(c0[:, 1] / c0w, -1.0, 1.0)
+    # volume); in NDC via the clip image of the local origin.
+    # swap_sorted (from the sweep's swap_basis assembly) means the maps
+    # arrive PRE-swapped (+ depth pre-unprojected): use the sweep's own
+    # flags verbatim so homography rows and face images can never
+    # disagree, and skip the (N, 6, 4, S, S) re-materialization.
+    pre_swapped = swap_sorted is not None
+    swap_nf = (swap_sorted if pre_swapped
+               else warp_lib.catmull_swap_flags(
+                   a_mat, per_object.world_i, per_object.world_view_proj,
+                   eye_local, n_eff))                         # (N, 6)
 
     pu_f, pv_f, dn_f = [], [], []
     for f in range(6):
@@ -204,31 +215,27 @@ def _tile_prep(
         )(b_mat, eye_local)                                   # (N, 3) each
         p_u = n_eff[:, None] * nu - 0.5 * den
         p_v = n_eff[:, None] * nv - 0.5 * den
-        # resample rows along whichever face axis varies more with
-        # screen y (warp.composite_oit_warp's swap criterion)
-        dqc = den[:, 0] * xc + den[:, 1] * yc + den[:, 2]
-        vqc = p_v[:, 0] * xc + p_v[:, 1] * yc + p_v[:, 2]
-        uqc = p_u[:, 0] * xc + p_u[:, 1] * yc + p_u[:, 2]
-        dv_dy = p_v[:, 1] * dqc - den[:, 1] * vqc
-        du_dy = p_u[:, 1] * dqc - den[:, 1] * uqc
-        swap = jnp.abs(dv_dy) < jnp.abs(du_dy)                # (N,)
+        swap = swap_nf[:, f]
         pu_f.append(jnp.where(swap[:, None], p_v, p_u))
         pv_f.append(jnp.where(swap[:, None], p_u, p_v))
-        dn_f.append((den, swap))
+        dn_f.append(den)
 
     face_flt = jnp.stack(
-        [jnp.concatenate([pu_f[f], pv_f[f], dn_f[f][0]], axis=1)
+        [jnp.concatenate([pu_f[f], pv_f[f], dn_f[f]], axis=1)
          for f in range(6)], axis=1)                          # (N, 6, 9)
-    swap_nf = jnp.stack([dn_f[f][1] for f in range(6)], axis=1)  # (N, 6)
 
     # pre-swapped face images (a swapped face samples the transposed
     # image), minor-padded to the lane width; kept in the sweep's
     # compute dtype (bf16) — the kernel's one-hot column hoists are
     # MXU matmuls with f32 accumulation, so precision matches the
     # sweep's own output path while halving the per-volume DMA
-    color_t = jnp.swapaxes(color, -1, -2)
-    color_sel = jnp.where(swap_nf[:, :, None, None, None], color_t, color)
     s_pad = _ceil_to(s, 128)
+    if pre_swapped:
+        color_sel = color
+    else:
+        color_t = jnp.swapaxes(color, -1, -2)
+        color_sel = jnp.where(
+            swap_nf[:, :, None, None, None], color_t, color)
     if s_pad != s:
         color_sel = jnp.pad(
             color_sel, ((0, 0),) * 4 + ((0, s_pad - s),))
@@ -238,14 +245,18 @@ def _tile_prep(
     # zero and the kernel's fallback reproduces the plain tent exactly).
     # Pre-UNPROJECTED to view distance (f32: clip z near 1 unprojects
     # with a ~1e4 gain, so a bf16 clip store would corrupt the weights),
-    # swapped/padded exactly like the color faces.
+    # swapped/padded exactly like the color faces. Under pre_swapped the
+    # sweep assembly already delivered view-distance swapped planes.
     depth_sel = None
     if depth_map is not None and cube_maps.depth is not None:
-        from multivolumes_tpu.render.composite import unproject_z
+        if pre_swapped:
+            depth_sel = cube_maps.depth
+        else:
+            from multivolumes_tpu.render.composite import unproject_z
 
-        dep = unproject_z(cube_maps.depth.astype(jnp.float32))
-        dep_t = jnp.swapaxes(dep, -1, -2)
-        depth_sel = jnp.where(swap_nf[:, :, None, None], dep_t, dep)
+            dep = unproject_z(cube_maps.depth.astype(jnp.float32))
+            dep_t = jnp.swapaxes(dep, -1, -2)
+            depth_sel = jnp.where(swap_nf[:, :, None, None], dep_t, dep)
         if s_pad != s:
             depth_sel = jnp.pad(
                 depth_sel, ((0, 0),) * 3 + ((0, s_pad - s),))

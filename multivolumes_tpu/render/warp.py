@@ -108,6 +108,45 @@ def face_homography(b_mat, o, face: int):
     return nu, nv, den
 
 
+def catmull_swap_flags(a_mat, world_i, world_view_proj, eye_local, n_eff):
+    """Per-(volume, face) Catmull-Smith resample-axis choice for the
+    tile composite: True = sample rows along the face's u axis (the
+    face image is consumed TRANSPOSED).
+
+    The decision picks whichever face axis varies more with screen y at
+    the volume's projected centre (`tilecast._tile_prep`'s criterion).
+    Shared between the tile prep (which builds the kernel's homography
+    rows with it) and the sweep's bucket assembly (which can emit the
+    face images pre-swapped so the prep never re-materializes the
+    (N, 6, 4, S, S) stack — `sweep.ray_march_view_sweep_lod
+    swap_basis`). Both sides MUST compute identical flags, hence one
+    function; the expressions match `_tile_prep` exactly.
+
+    a_mat: (3, 3) `screen_basis`; world_i/world_view_proj: (N, 4, 4);
+    eye_local: (N, 3); n_eff: (N,) f32. Returns (N, 6) bool.
+    """
+    wi3 = world_i[:, :3, :3]
+    b_mat = jnp.einsum("ij,njk->nik", a_mat, wi3)             # (N, 3, 3)
+    c0 = world_view_proj[:, 3, :]
+    c0w = jnp.where(jnp.abs(c0[:, 3]) > 1e-3, c0[:, 3], 1e-3)
+    xc = jnp.clip(c0[:, 0] / c0w, -1.0, 1.0)                  # (N,)
+    yc = jnp.clip(c0[:, 1] / c0w, -1.0, 1.0)
+    swaps = []
+    for f in range(6):
+        nu, nv, den = jax.vmap(
+            lambda b, o, f=f: face_homography(b, o, f)
+        )(b_mat, eye_local)                                   # (N, 3) each
+        p_u = n_eff[:, None] * nu - 0.5 * den
+        p_v = n_eff[:, None] * nv - 0.5 * den
+        dqc = den[:, 0] * xc + den[:, 1] * yc + den[:, 2]
+        vqc = p_v[:, 0] * xc + p_v[:, 1] * yc + p_v[:, 2]
+        uqc = p_u[:, 0] * xc + p_u[:, 1] * yc + p_u[:, 2]
+        dv_dy = p_v[:, 1] * dqc - den[:, 1] * vqc
+        du_dy = p_u[:, 1] * dqc - den[:, 1] * uqc
+        swaps.append(jnp.abs(dv_dy) < jnp.abs(du_dy))
+    return jnp.stack(swaps, axis=1)                           # (N, 6)
+
+
 def _safe(x, eps=_EPS):
     return jnp.where(jnp.abs(x) > eps, x, jnp.where(x >= 0, eps, -eps))
 

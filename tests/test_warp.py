@@ -425,3 +425,62 @@ def test_cube_cast_matches_np_twin():
         np.testing.assert_allclose(
             have, want, rtol=2e-4, atol=2e-4,
             err_msg=f"has_depth={has_depth}")
+
+
+def test_tile_swap_fold_bit_equal():
+    """The sweep's swap_basis assembly (faces pre-swapped + depth
+    pre-unprojected at bucket-assembly time, flags passed through to the
+    tile prep) must reproduce the prep-side swap exactly: the same bits
+    flow into the kernel either way, only WHERE the transpose/unproject
+    happens moves. CPU tolerance covers FMA-contraction drift in the
+    fused unproject (the graphs differ in shape); a wrong flag or a
+    missed transpose would show as O(0.1) error."""
+    from multivolumes_tpu.config import RenderConfig
+    from multivolumes_tpu.render import cull as cull_lib
+    from multivolumes_tpu.render import sweep as sweep_lib
+    from multivolumes_tpu.render import tilecast
+    from multivolumes_tpu.scene import state as state_lib
+
+    cfg = RenderConfig(width=128, height=96, grid_size=16,
+                       light_grid_size=8,
+                       max_ray_samples=24, max_light_samples=8,
+                       num_volumes=12, num_volume_srcs=2,
+                       cube_map_size=32, shadow_map_size=32,
+                       use_bf16=False, packed_composite=False)
+    st = state_lib.create_scene(cfg)
+    cam = cam_lib.orbit_camera(0.3, cfg.aspect_ratio)
+    po = build_per_object(st.volume_worlds, cam.view_proj)
+    cull = cull_lib.cull_volumes(
+        po, cam.eye, jnp.array([cfg.width, cfg.height], jnp.float32),
+        cfg.max_ray_samples, cfg.cube_map_size, cfg.num_cube_mips,
+        adaptive=cfg.adaptive_raymarch)
+    lod_cull = cull._replace(use_cube_map=cull.visible)
+    # synthetic scene depth with a mesh-like block so the CubeCast
+    # depth-weight path (with_depth) engages end to end
+    depth = jnp.ones((cfg.height, cfg.width), jnp.float32)
+    depth = depth.at[28:60, 40:92].set(
+        jnp.linspace(0.3, 0.8, 52, dtype=jnp.float32)[None, :])
+
+    def run(swapped: bool):
+        a_mat = (warp.screen_basis(cam.screen_to_world, cam.eye)
+                 if swapped else None)
+        out = sweep_lib.ray_march_view_sweep_lod(
+            st.volumes_oriented, st.vol_tex_ids,
+            st.light_maps_oriented.astype(jnp.float32), po, lod_cull,
+            cam.eye, depth, cfg.cube_map_size, dtype=jnp.float32,
+            bucket_caps=cfg.lod_bucket_caps, pack=False,
+            light_w=cfg.light_grid_size, vol_zmax=st.vol_zmax,
+            sorted_output=True, swap_basis=a_mat)
+        if swapped:
+            cm, mips, order, swap = out
+        else:
+            (cm, mips, order), swap = out, None
+        cull_c = cull._replace(mip_level=mips, use_cube_map=cull.visible)
+        return jnp.stack(tilecast.composite_oit_tile(
+            cm, po, cull_c, cam.eye, cam.screen_to_world, depth,
+            cfg.width, cfg.height, num_layers=cfg.oit_layers,
+            order=order, swap_sorted=swap))
+
+    old = np.asarray(jax.jit(lambda: run(False))())
+    new = np.asarray(jax.jit(lambda: run(True))())
+    np.testing.assert_allclose(new, old, atol=2e-4, rtol=0)

@@ -153,7 +153,10 @@ def main() -> None:
             _sync(ref_maps)
             print(f"    slab f={f} z0={z0} ok "
                   f"({time.perf_counter() - t0:.0f} s)", file=sys.stderr)
-        if f % 4 == 3 and not args.small:
+        # checkpoint EVERY volume: a volume is ~3-5 min of march on v5e
+        # and session teardown can land any time — the ~3 s chunked
+        # readback + npz write is noise against losing a cadence window
+        if not args.small:
             host = _host_chunks(ref_maps)
             np.savez(cache, maps=host, done=f + 1)
             print(f"  warmed {f + 1}/{cfg.num_volumes} "

@@ -161,17 +161,22 @@ def main() -> None:
     # LOD sweep
     lod_cull = cull._replace(use_cube_map=cull.visible)
 
+    swap_basis = warp_lib.screen_basis(camera.screen_to_world, camera.eye)
+
     def sweep_fn(v, l):
-        # sorted_output + order + depth + zmax matches the production
-        # tile path (frame.py use_tile) — the unsorted scatter assembly
-        # would charge this row ~1.3 ms the frame no longer pays
+        # sorted_output + order + depth + zmax + swap_basis matches the
+        # production tile path (frame.py use_tile) — the unsorted
+        # scatter assembly would charge this row ~1.3 ms the frame no
+        # longer pays; swap_basis folds the composite's face-swap +
+        # depth-unproject into the assembly writes
         return sweep_lib.ray_march_view_sweep_lod(
             v, state.vol_tex_ids, l, po, lod_cull, camera.eye, depth_map,
             cfg.cube_map_size, dtype=dtype, bucket_caps=cfg.lod_bucket_caps,
             pack=False, light_w=cfg.light_grid_size,
-            vol_zmax=state.vol_zmax, sorted_output=True)
+            vol_zmax=state.vol_zmax, sorted_output=True,
+            swap_basis=swap_basis)
 
-    cube_maps, sweep_mips, sweep_order = timed(
+    cube_maps, sweep_mips, sweep_order, sweep_swap = timed(
         "sweep_lod", sweep_fn, vol_or, lm_or)
     del vol_or, lm_or  # free the oriented transients before compositing
 
@@ -187,17 +192,22 @@ def main() -> None:
     timed("tile_composite", lambda cm_color: tilecast.composite_oit_tile(
         cube_maps._replace(color=cm_color), po, cull_c, camera.eye,
         camera.screen_to_world, depth_map, cw, ch,
-        num_layers=cfg.oit_layers, order=sweep_order)[0], cube_maps.color)
+        num_layers=cfg.oit_layers, order=sweep_order,
+        swap_sorted=sweep_swap)[0], cube_maps.color)
     if args.warp_composite:
-        # the warp twin consumes original volume indexing: un-permute
-        # the sorted map rows first (argsort inverts a permutation)
+        # the warp twin consumes original volume indexing and UNSWAPPED
+        # faces: undo the tile-path swap (transpose is an involution),
+        # then un-permute the sorted rows (argsort inverts)
         inv = jnp.argsort(sweep_order)
+        plain = jnp.where(
+            sweep_swap[:, :, None, None, None],
+            jnp.swapaxes(cube_maps.color, -1, -2), cube_maps.color)
         timed("warp_composite", lambda cm_color: warp_lib.composite_oit_warp(
             cube_maps._replace(color=cm_color), po, cull_c, camera.eye,
             camera.screen_to_world, None, cw, ch,
             num_layers=cfg.oit_layers, tile=tile,
             lod_order=lod_order, lod_buckets=lod_buckets),
-            cube_maps.color[inv])
+            plain[inv])
 
     # sky
     timed("sky", lambda: postprocess.render_environment(
